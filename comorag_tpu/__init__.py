@@ -1,0 +1,23 @@
+"""comorag_tpu — a TPU-native memory-organized RAG framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of ComoRAG
+(reference: /root/reference, EternityJune25/ComoRAG): stateful long-narrative
+reasoning through a Reason -> Probe -> Retrieve -> Consolidate -> Resolve loop
+over a tri-layer memory hierarchy (veridical chunks, semantic cluster tree,
+episodic timeline), with graph-augmented retrieval (OpenIE entity graph +
+personalized PageRank).
+
+Architecture (TPU-first, not a port):
+  - Device world: every dense numeric op — MIPS top-k retrieval, KNN synonymy
+    search, PPR sparse matvec, GMM-EM clustering, cosine similarity — runs as
+    batched JAX/Pallas kernels, shardable over a ``jax.sharding.Mesh``.
+  - Host world: LLM orchestration, prompts, agents, memory-pool bookkeeping,
+    persistence. The host/device boundary mirrors where the reference already
+    splits (HTTP LLM calls vs. torch/CUDA math).
+"""
+
+__version__ = "0.1.0"
+
+from comorag_tpu.config import ComoConfig
+
+__all__ = ["ComoConfig", "__version__"]

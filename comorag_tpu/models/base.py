@@ -1,0 +1,43 @@
+"""Encoder interface.
+
+Capability parity with the reference's ``BaseEmbeddingModel.batch_encode``
+(embedding_model/base.py:189-218): batched text -> L2-normalized float
+vectors, with an optional instruction prefix (prompts/linking.py semantics).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import List, Optional, Union
+
+import numpy as np
+
+
+class BaseEncoder(ABC):
+    """All encoders return ``np.ndarray [n, dim]`` float32, L2-normalized
+    (unless ``norm=False``). Device-side encoders (the JAX BGE encoder) do the
+    forward pass under jit and only surface host numpy at this boundary."""
+
+    dim: int
+
+    @abstractmethod
+    def encode(
+        self,
+        texts: Union[str, List[str]],
+        instruction: str = "",
+        norm: bool = True,
+    ) -> np.ndarray:
+        ...
+
+    # Reference-compatible alias (embedding_model/base.py:189)
+    def batch_encode(self, texts, instruction: str = "", norm: bool = True) -> np.ndarray:
+        return self.encode(texts, instruction=instruction, norm=norm)
+
+    @staticmethod
+    def _as_list(texts: Union[str, List[str]]) -> List[str]:
+        return [texts] if isinstance(texts, str) else list(texts)
+
+    @staticmethod
+    def _l2_normalize(x: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(x, axis=-1, keepdims=True)
+        return x / np.maximum(n, 1e-12)

@@ -1,0 +1,48 @@
+"""Score normalization and dense similarity helpers.
+
+``min_max_normalize`` matches the reference semantics
+(embed_utils.py:99-107): scale to [0,1]; an all-equal vector maps to ones.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def min_max_normalize(scores: jnp.ndarray, valid_mask=None) -> jnp.ndarray:
+    """Min-max normalize along the last axis, jit-safe.
+
+    ``valid_mask`` (same shape, bool) restricts the min/max to valid entries
+    — needed when corpora are padded to tile boundaries on device.
+    """
+    if valid_mask is None:
+        lo = jnp.min(scores, axis=-1, keepdims=True)
+        hi = jnp.max(scores, axis=-1, keepdims=True)
+    else:
+        big = jnp.asarray(jnp.finfo(scores.dtype).max, scores.dtype)
+        lo = jnp.min(jnp.where(valid_mask, scores, big), axis=-1, keepdims=True)
+        hi = jnp.max(jnp.where(valid_mask, scores, -big), axis=-1, keepdims=True)
+    span = hi - lo
+    normalized = (scores - lo) / jnp.where(span == 0, 1.0, span)
+    return jnp.where(span == 0, jnp.ones_like(scores), normalized)
+
+
+def min_max_normalize_np(scores: np.ndarray) -> np.ndarray:
+    """Host-side variant for small vectors (same semantics)."""
+    scores = np.asarray(scores)
+    if scores.size == 0:
+        return scores
+    lo, hi = scores.min(), scores.max()
+    if hi == lo:
+        return np.ones_like(scores)
+    return (scores - lo) / (hi - lo)
+
+
+def cosine_similarity_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Host cosine for tiny matrices (memory-pool bookkeeping)."""
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    a_n = a / np.maximum(np.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+    b_n = b / np.maximum(np.linalg.norm(b, axis=-1, keepdims=True), 1e-12)
+    return a_n @ b_n.T

@@ -1,0 +1,118 @@
+"""Fused MIPS (maximum inner-product search) top-k — the retrieval substrate.
+
+This replaces the reference's torch ``mm`` + ``topk`` loop
+(embed_utils.py:8-97) with:
+
+  - ``dense_topk``: single-device jitted matmul + top-k with padded-row
+    masking. On TPU the selection uses ``lax.approx_max_k`` (the hardware
+    PartialReduce path) by default — exact re-ranking of the candidate set
+    is built in via ``aggregate_to_topk``.
+  - ``make_sharded_topk``: a ``shard_map`` over the ``corpus`` mesh axis:
+    each device scores its corpus shard (MXU matmul), takes a *local* top-k,
+    and the per-shard candidates (scores + global row ids) ride ICI via
+    ``all_gather`` into a final merge. Wall-clock = one shard's work.
+
+The Pallas fused kernel (matmul + streaming top-k without materializing the
+score matrix in HBM) lives in ``ops/pallas_topk.py`` and plugs in as the
+per-shard scorer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+NEG_INF = -1e30
+
+
+def _mask_padded(scores: jnp.ndarray, n_valid: jnp.ndarray, offset: int | jnp.ndarray = 0) -> jnp.ndarray:
+    """Set columns whose *global* row id >= n_valid to -inf."""
+    n_cols = scores.shape[-1]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1) + offset
+    return jnp.where(col_ids < n_valid, scores, NEG_INF)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "exact"))
+def dense_topk(
+    queries: jnp.ndarray,  # [P, d]
+    corpus: jnp.ndarray,   # [N, d] (rows >= n_valid are padding)
+    n_valid: jnp.ndarray,  # scalar int32
+    k: int,
+    exact: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k inner products of each query against the corpus. Returns
+    (scores [P, k], indices [P, k]) sorted descending."""
+    scores = jnp.dot(queries, corpus.T, preferred_element_type=jnp.float32)
+    scores = _mask_padded(scores, n_valid)
+    if exact:
+        return jax.lax.top_k(scores, k)
+    return jax.lax.approx_max_k(scores, k, recall_target=0.95, aggregate_to_topk=True)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def dense_scores(queries: jnp.ndarray, corpus: jnp.ndarray) -> jnp.ndarray:
+    """Full score matrix [P, N] (used for PPR passage priors, where every
+    node needs a weight)."""
+    return jnp.dot(queries, corpus.T, preferred_element_type=jnp.float32)
+
+
+def make_sharded_topk(mesh: Mesh, k: int, axis: str = "corpus", exact: bool = True):
+    """Build a jitted sharded top-k: corpus sharded row-wise on ``axis``,
+    queries replicated, output replicated.
+
+    The returned fn takes (queries [P, d], corpus [N_pad, d], n_valid) with
+    N_pad divisible by the axis size and N_pad/axis_size >= k.
+    """
+    n_shards = mesh.shape[axis]
+
+    def _local(queries, corpus_shard, n_valid):
+        # corpus_shard: [N_pad / n_shards, d] — this device's rows.
+        shard_rows = corpus_shard.shape[0]
+        my_shard = jax.lax.axis_index(axis)
+        offset = my_shard * shard_rows
+        scores = jnp.dot(queries, corpus_shard.T, preferred_element_type=jnp.float32)
+        scores = _mask_padded(scores, n_valid, offset=offset)
+        if exact:
+            local_scores, local_idx = jax.lax.top_k(scores, k)
+        else:
+            local_scores, local_idx = jax.lax.approx_max_k(
+                scores, k, recall_target=0.95, aggregate_to_topk=True
+            )
+        local_idx = local_idx + offset
+        # Candidates ride ICI: [P, n_shards * k] on every device.
+        all_scores = jax.lax.all_gather(local_scores, axis, axis=1, tiled=True)
+        all_idx = jax.lax.all_gather(local_idx, axis, axis=1, tiled=True)
+        merged_scores, merged_pos = jax.lax.top_k(all_scores, k)
+        merged_idx = jnp.take_along_axis(all_idx, merged_pos, axis=1)
+        return merged_scores, merged_idx
+
+    sharded = shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_scores(mesh: Mesh, axis: str = "corpus"):
+    """Full [P, N_pad] score matrix with corpus sharded on ``axis``; output
+    sharded on its column axis (gathered to host by the caller if needed)."""
+
+    def _local(queries, corpus_shard):
+        return jnp.dot(queries, corpus_shard.T, preferred_element_type=jnp.float32)
+
+    sharded = shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=P(None, axis),
+        check_rep=False,
+    )
+    return jax.jit(sharded)

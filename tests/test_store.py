@@ -1,0 +1,83 @@
+import numpy as np
+
+from comorag_tpu.models.hash_encoder import HashEncoder
+from comorag_tpu.store.embedding_store import EmbeddingStore
+from comorag_tpu.utils.hashing import content_hash
+from comorag_tpu.utils.json_repair import (
+    extract_json_array,
+    extract_json_object,
+    filter_valid_triples,
+    repair_json,
+)
+from comorag_tpu.utils.text import TokenCounter, normalize_answer, text_processing
+
+
+def test_content_hash_prefix():
+    h = content_hash("hello", prefix="chunk-")
+    assert h.startswith("chunk-") and len(h) == len("chunk-") + 32
+    assert h == content_hash("hello", prefix="chunk-")  # deterministic
+
+
+def test_hash_encoder_similarity_structure():
+    enc = HashEncoder(dim=128)
+    vecs = enc.encode(["the cat sat on the mat", "the cat sat on a mat", "quantum flux capacitor"])
+    assert vecs.shape == (3, 128)
+    np.testing.assert_allclose(np.linalg.norm(vecs, axis=1), 1.0, atol=1e-5)
+    sim_close = vecs[0] @ vecs[1]
+    sim_far = vecs[0] @ vecs[2]
+    assert sim_close > sim_far
+
+
+def test_store_dedup_and_persistence(tmp_path):
+    enc = HashEncoder(dim=32)
+    store = EmbeddingStore(enc, str(tmp_path), batch_size=2, namespace="chunk")
+    ids = store.insert_strings(["a", "b", "a", "c"])
+    assert len(store) == 3
+    assert ids[0] == ids[2]
+    assert store.matrix.shape == (3, 32)
+    # order preserved
+    assert store.get_all_texts() == ["a", "b", "c"]
+    assert store.order_of(store.key_for("b")) == 1
+
+    # reload from parquet
+    store2 = EmbeddingStore(enc, str(tmp_path), batch_size=2, namespace="chunk")
+    assert len(store2) == 3
+    np.testing.assert_allclose(store.matrix, store2.matrix, atol=1e-6)
+    assert store2.get_text(store2.key_for("c")) == "c"
+    # insert into reloaded store dedups
+    store2.insert_strings(["c", "d"])
+    assert len(store2) == 4
+
+
+def test_json_repair_roundtrip():
+    broken = '{"named_entities": ["a", "b", "c'
+    fixed = repair_json(broken)
+    import json
+
+    assert json.loads(fixed)["named_entities"] == ["a", "b"]
+
+
+def test_extract_json_from_prose():
+    text = 'Sure! Here is the answer:\n{"triples": [["a","b","c"], ["d","e","f"]]} hope that helps'
+    obj = extract_json_object(text)
+    assert obj["triples"][1] == ["d", "e", "f"]
+    arr = extract_json_array('prefix [1, 2, 3] suffix')
+    assert arr == [1, 2, 3]
+
+
+def test_filter_valid_triples():
+    triples = [["a", "b", "c"], ["a", "b"], ["a", "b", "c"], [1, 2, 3]]
+    out = filter_valid_triples(triples)
+    assert out == [["a", "b", "c"], ["1", "2", "3"]]
+
+
+def test_text_processing_and_normalize():
+    assert text_processing("Hello, World!") == "hello  world"
+    assert normalize_answer("The  Answer!") == "answer"
+
+
+def test_token_budget_truncation():
+    tc = TokenCounter()
+    texts = ["one two three four five six seven eight"] * 10
+    kept = tc.truncate_by_budget(texts, budget=25)
+    assert 1 <= len(kept) < 10

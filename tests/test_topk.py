@@ -1,0 +1,73 @@
+import numpy as np
+import pytest
+
+from comorag_tpu.retrieval.index import MipsIndex
+from comorag_tpu.ops.similarity import min_max_normalize, min_max_normalize_np
+
+
+def _ref_topk(q, c, k):
+    scores = q @ c.T
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(scores, idx, axis=1), idx
+
+
+def test_single_device_topk_matches_numpy():
+    rng = np.random.default_rng(0)
+    corpus = rng.standard_normal((237, 64)).astype(np.float32)
+    queries = rng.standard_normal((5, 64)).astype(np.float32)
+    index = MipsIndex(corpus)
+    scores, idx = index.topk(queries, k=10)
+    ref_scores, ref_idx = _ref_topk(queries, corpus, 10)
+    np.testing.assert_allclose(scores, ref_scores, rtol=1e-4, atol=1e-4)
+    # compare score sets (ties may reorder indices)
+    np.testing.assert_allclose(np.sort(scores, axis=1), np.sort(ref_scores, axis=1), rtol=1e-4)
+
+
+def test_k_larger_than_corpus():
+    rng = np.random.default_rng(1)
+    corpus = rng.standard_normal((7, 16)).astype(np.float32)
+    index = MipsIndex(corpus)
+    scores, idx = index.topk(rng.standard_normal((2, 16)).astype(np.float32), k=50)
+    assert scores.shape == (2, 7)
+    assert idx.max() < 7  # never returns padded rows
+
+
+def test_empty_corpus():
+    index = MipsIndex(np.zeros((0, 16), np.float32))
+    scores, idx = index.topk(np.zeros((3, 16), np.float32), k=5)
+    assert scores.shape == (3, 0)
+
+
+def test_sharded_topk_matches_single(cpu_mesh):
+    rng = np.random.default_rng(2)
+    corpus = rng.standard_normal((4096, 32)).astype(np.float32)
+    queries = rng.standard_normal((9, 32)).astype(np.float32)
+    sharded = MipsIndex(corpus, mesh=cpu_mesh)
+    assert sharded.mesh is not None, "expected the index to shard over the mesh"
+    single = MipsIndex(corpus)
+    s_scores, s_idx = sharded.topk(queries, k=25)
+    d_scores, d_idx = single.topk(queries, k=25)
+    np.testing.assert_allclose(s_scores, d_scores, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(s_idx, d_idx)
+
+
+def test_sharded_full_scores(cpu_mesh):
+    rng = np.random.default_rng(3)
+    corpus = rng.standard_normal((2048, 32)).astype(np.float32)
+    queries = rng.standard_normal((3, 32)).astype(np.float32)
+    sharded = MipsIndex(corpus, mesh=cpu_mesh)
+    np.testing.assert_allclose(sharded.scores(queries), queries @ corpus.T, rtol=1e-4, atol=1e-4)
+
+
+def test_small_corpus_not_sharded(cpu_mesh):
+    corpus = np.random.default_rng(4).standard_normal((64, 16)).astype(np.float32)
+    index = MipsIndex(corpus, mesh=cpu_mesh)
+    assert index.mesh is None  # too small to shard
+    scores, idx = index.topk(corpus[:2], k=1)
+    assert idx[0, 0] == 0 and idx[1, 0] == 1  # each row retrieves itself
+
+
+def test_min_max_normalize():
+    x = np.asarray([[1.0, 3.0, 2.0]], np.float32)
+    np.testing.assert_allclose(np.asarray(min_max_normalize(x)), [[0.0, 1.0, 0.5]])
+    np.testing.assert_allclose(min_max_normalize_np(np.asarray([2.0, 2.0])), [1.0, 1.0])
