@@ -96,7 +96,7 @@ def make_sharded_topk(mesh: Mesh, k: int, axis: str = "corpus", exact: bool = Tr
         mesh=mesh,
         in_specs=(P(), P(axis, None), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -113,6 +113,6 @@ def make_sharded_scores(mesh: Mesh, axis: str = "corpus"):
         mesh=mesh,
         in_specs=(P(), P(axis, None)),
         out_specs=P(None, axis),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
