@@ -1,0 +1,58 @@
+"""SQLite response cache for LLM calls.
+
+Capability parity with the reference's sqlite cache decorator
+(llm/openai_gpt.py:26-102): key = sha256 of (messages, model, seed,
+temperature); value = (text, metadata JSON). Thread-safe via one process
+lock + per-call connections; multi-process safety comes from sqlite's own
+locking (we use a busy timeout instead of a filelock sidecar file).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import sqlite3
+import threading
+from typing import Any, Dict, Optional, Tuple
+
+
+class ResponseCache:
+    def __init__(self, path: str):
+        self.path = path
+        self._lock = threading.Lock()
+        self._init_db()
+
+    def _connect(self) -> sqlite3.Connection:
+        conn = sqlite3.connect(self.path, timeout=30.0)
+        conn.execute("PRAGMA journal_mode=WAL")
+        return conn
+
+    def _init_db(self) -> None:
+        with self._lock, self._connect() as conn:
+            conn.execute(
+                "CREATE TABLE IF NOT EXISTS cache ("
+                "key TEXT PRIMARY KEY, message TEXT, metadata TEXT)"
+            )
+
+    @staticmethod
+    def make_key(messages, model=None, seed=None, temperature=None) -> str:
+        payload = json.dumps(
+            {"messages": messages, "model": model, "seed": seed, "temperature": temperature},
+            sort_keys=True,
+            default=str,
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()
+
+    def get(self, key: str) -> Optional[Tuple[str, Dict[str, Any]]]:
+        with self._lock, self._connect() as conn:
+            row = conn.execute("SELECT message, metadata FROM cache WHERE key = ?", (key,)).fetchone()
+        if row is None:
+            return None
+        return row[0], json.loads(row[1])
+
+    def put(self, key: str, message: str, metadata: Dict[str, Any]) -> None:
+        with self._lock, self._connect() as conn:
+            conn.execute(
+                "INSERT OR REPLACE INTO cache (key, message, metadata) VALUES (?, ?, ?)",
+                (key, message, json.dumps(metadata)),
+            )
