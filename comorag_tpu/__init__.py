@@ -20,4 +20,14 @@ __version__ = "0.1.0"
 
 from comorag_tpu.config import ComoConfig
 
-__all__ = ["ComoConfig", "__version__"]
+
+def __getattr__(name):
+    # Lazy import: keep `import comorag_tpu` cheap (jax loads on demand).
+    if name == "ComoRAG":
+        from comorag_tpu.comorag import ComoRAG
+
+        return ComoRAG
+    raise AttributeError(name)
+
+
+__all__ = ["ComoConfig", "ComoRAG", "__version__"]

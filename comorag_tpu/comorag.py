@@ -1,0 +1,395 @@
+"""ComoRAG orchestrator: indexing + the Reason->Probe->Retrieve->
+Consolidate->Resolve meta loop.
+
+Capability parity with the reference's monolithic ``ComoRAG`` class
+(ComoRAG.py:43-1195), re-composed from this framework's modules:
+
+  index(docs):
+    1. veridical store: embed + persist chunks,
+    2. episodic layer: timeline window summaries (level_0 store),
+    3. semantic layer: recursive GMM cluster-summary tree,
+    4. OpenIE (NER + triples, resumable JSON artifact),
+    5. entity/fact stores + entity graph (fact/passage/synonymy edges),
+       persisted as graph.npz/json.
+
+  try_answer(queries):
+    per-question meta loop (meta_control_loop, ComoRAG.py:265-431): QA
+    attempt -> on '*' impasse: consolidate temp memory, generate probes,
+    fan out tri-layer retrieval for ALL probes, encode memory nodes with
+    fused cues, fuse similar history into findings, iterate.
+
+TPU-first deltas: the probe fan-out encodes and scores as batches on
+device; dedup in the memory pool actually works (see retrieval/engine.py
+note); LLM fan-out is a bounded pool.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from concurrent.futures import ThreadPoolExecutor, as_completed
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from comorag_tpu.agents.pool_agent import PoolAgent
+from comorag_tpu.agents.probe_agent import ProbeAgent
+from comorag_tpu.cluster.raptor import SemanticTree
+from comorag_tpu.config import ComoConfig
+from comorag_tpu.graph.builder import GraphBuilder, GraphData
+from comorag_tpu.ie.openie import OpenIE
+from comorag_tpu.llm import get_llm
+from comorag_tpu.llm.summarize import Summarizer
+from comorag_tpu.memory.pool import MemoryNode, MemoryPool, NodeType
+from comorag_tpu.models.registry import get_encoder
+from comorag_tpu.prompts.manager import PromptManager
+from comorag_tpu.rerank import FactFilter
+from comorag_tpu.retrieval.engine import RetrievalEngine
+from comorag_tpu.store.embedding_store import EmbeddingStore
+from comorag_tpu.timeline.summarizer import TimelineSummarizer
+from comorag_tpu.types import QuerySolution
+from comorag_tpu.utils.hashing import content_hash
+from comorag_tpu.utils.logging import get_logger
+from comorag_tpu.utils.text import TokenCounter, text_processing
+
+logger = get_logger(__name__)
+
+
+def _unique_entities(chunk_triples: Sequence[Sequence[Sequence[str]]]) -> Tuple[List[str], List[List[str]]]:
+    """(all unique entities, per-chunk unique entity lists) — misc_utils
+    extract_entity_nodes semantics."""
+    per_chunk: List[List[str]] = []
+    for triples in chunk_triples:
+        ents = set()
+        for t in triples:
+            if len(t) == 3:
+                ents.update((t[0], t[2]))
+        per_chunk.append(sorted(ents))
+    all_ents = sorted({e for ents in per_chunk for e in ents})
+    return all_ents, per_chunk
+
+
+class ComoRAG:
+    def __init__(
+        self,
+        config: Optional[ComoConfig] = None,
+        mesh=None,
+        llm=None,
+        encoder=None,
+        tokenizer=None,
+    ):
+        self.config = config or ComoConfig()
+        self.mesh = mesh
+        os.makedirs(self.config.working_dir, exist_ok=True)
+
+        self.llm = llm if llm is not None else get_llm(self.config)
+        self.encoder = encoder if encoder is not None else get_encoder(self.config, mesh=mesh)
+        self.prompts = PromptManager()
+        self.openie = OpenIE(self.llm, self.prompts)
+        self.summarizer = Summarizer(self.llm)
+        self.fact_filter = FactFilter(self.llm, self.config.llm_name, self.config.rerank_dspy_file_path)
+        self.tokens = TokenCounter(tokenizer)
+
+        wd = self.config.working_dir
+        bs = self.config.embedding_batch_size
+        self.ver_store = EmbeddingStore(self.encoder, os.path.join(wd, "chunk_embeddings"), bs, "chunk")
+        self.entity_store = EmbeddingStore(self.encoder, os.path.join(wd, "entity_embeddings"), bs, "entity")
+        self.fact_store = EmbeddingStore(self.encoder, os.path.join(wd, "fact_embeddings"), bs, "fact")
+        self.sem_store = None
+        self.epi_store = None
+        if self.config.need_cluster:
+            self.sem_store = EmbeddingStore(self.encoder, os.path.join(wd, "summary_embeddings"), bs, "summary")
+            self.epi_store = EmbeddingStore(self.encoder, os.path.join(wd, "timeline_embeddings"), bs, "level_0")
+
+        self._graph_prefix = os.path.join(wd, "graph")
+        self.graph: Optional[GraphData] = GraphData.load(self._graph_prefix)
+        self.openie_results_path = os.path.join(
+            self.config.save_dir, f"openie_results_ner_{self.config.llm_name.replace('/', '_')}.json"
+        )
+        self._engine: Optional[RetrievalEngine] = None
+
+    # ------------------------------------------------------------------ index
+    def index(self, docs: Sequence[str]) -> None:
+        cfg = self.config
+        logger.info("Indexing %d documents", len(docs))
+        self.ver_store.insert_strings(list(docs))
+
+        if cfg.need_cluster:
+            self._build_timeline()
+            self._build_semantic_tree()
+
+        ner_results, triple_results = self._run_openie()
+        chunk_ids = self.ver_store.get_all_ids()
+        chunk_triples = [
+            [text_processing(t) for t in triple_results[cid]] for cid in chunk_ids
+        ]
+        entity_nodes, per_chunk_entities = _unique_entities(chunk_triples)
+        facts = sorted({tuple(t) for triples in chunk_triples for t in triples if len(t) == 3})
+
+        logger.info("Encoding %d entities, %d facts", len(entity_nodes), len(facts))
+        self.entity_store.insert_strings(entity_nodes)
+        self.fact_store.insert_strings([json.dumps(list(f)) for f in facts])
+
+        if not cfg.skip_graph:
+            self._build_graph(chunk_ids, chunk_triples, per_chunk_entities)
+        self._engine = None  # force re-prepare with fresh stores
+
+    def _build_timeline(self) -> None:
+        timeline = TimelineSummarizer(
+            self.ver_store,
+            self.summarizer,
+            self.encoder,
+            os.path.join(self.config.working_dir, "timeline_embeddings"),
+            batch_size=self.config.embedding_batch_size,
+        )
+        self.epi_store = timeline.load_or_generate()
+
+    def _build_semantic_tree(self) -> None:
+        if len(self.sem_store):
+            logger.info("Semantic tree already built (%d summaries)", len(self.sem_store))
+            return
+        tree = SemanticTree(
+            self.encoder,
+            self.summarizer,
+            threshold=self.config.cluster_threshold,
+            reduction_dim=self.config.reduction_dimension,
+            max_clusters=self.config.gmm_max_clusters,
+            seed=self.config.cluster_seed,
+            em_iters=self.config.gmm_em_iterations,
+            batch_size=self.config.embedding_batch_size,
+        )
+        all_summaries, final_summary = tree.build(self.ver_store.get_all_texts(), max_levels=5)
+        if all_summaries:
+            self.sem_store.insert_strings(all_summaries)
+        if final_summary:
+            with open(os.path.join(self.config.working_dir, "final_summary.txt"), "w", encoding="utf-8") as f:
+                f.write(final_summary[0])
+
+    def _run_openie(self) -> Tuple[Dict[str, List[str]], Dict[str, List[List[str]]]]:
+        """Resumable OpenIE: existing results load from the JSON artifact;
+        only new chunks hit the LLM (load_existing_openie semantics)."""
+        chunks = {cid: self.ver_store.get_text(cid) for cid in self.ver_store.get_all_ids()}
+        existing_docs: List[dict] = []
+        if os.path.isfile(self.openie_results_path):
+            with open(self.openie_results_path, encoding="utf-8") as f:
+                existing_docs = json.load(f).get("docs", [])
+            for info in existing_docs:
+                info["idx"] = content_hash(info["passage"], "chunk-")
+        existing_keys = {info["idx"] for info in existing_docs}
+        to_process = {cid: text for cid, text in chunks.items() if cid not in existing_keys}
+
+        if to_process:
+            ner_new, triple_new = self.openie.batch_openie(to_process)
+            for cid, text in to_process.items():
+                existing_docs.append(
+                    {
+                        "idx": cid,
+                        "passage": text,
+                        "extracted_entities": ner_new[cid].unique_entities,
+                        "extracted_triples": triple_new[cid].triples,
+                    }
+                )
+            if self.config.save_openie:
+                os.makedirs(os.path.dirname(self.openie_results_path) or ".", exist_ok=True)
+                with open(self.openie_results_path, "w", encoding="utf-8") as f:
+                    json.dump({"docs": existing_docs}, f)
+
+        ner_results = {d["idx"]: list(dict.fromkeys(d["extracted_entities"])) for d in existing_docs}
+        triple_results = {d["idx"]: d["extracted_triples"] for d in existing_docs}
+        return ner_results, triple_results
+
+    def _build_graph(self, chunk_ids, chunk_triples, per_chunk_entities) -> None:
+        builder = GraphBuilder()
+        builder.add_fact_edges(chunk_ids, chunk_triples)
+        builder.add_passage_edges(chunk_ids, per_chunk_entities)
+        entity_keys = self.entity_store.get_all_ids()
+        entity_texts = self.entity_store.get_all_texts()
+        if len(entity_keys) >= 2:
+            builder.add_synonymy_edges(
+                entity_keys,
+                entity_texts,
+                self.entity_store.matrix,
+                mesh=self.mesh,
+                topk=self.config.synonymy_edge_topk,
+                sim_threshold=self.config.synonymy_edge_sim_threshold,
+            )
+        node_names = list(entity_keys) + list(chunk_ids)
+        if self.config.need_cluster and self.sem_store is not None:
+            node_names += list(self.sem_store.get_all_ids())
+        self.graph = builder.finalize(node_names)
+        self.graph.save(self._graph_prefix)
+        logger.info("Graph: %s", self.graph.info())
+
+    # ----------------------------------------------------------------- engine
+    @property
+    def engine(self) -> RetrievalEngine:
+        if self._engine is None:
+            self._engine = RetrievalEngine(
+                self.config,
+                self.encoder,
+                self.ver_store,
+                fact_store=self.fact_store,
+                sem_store=self.sem_store,
+                epi_store=self.epi_store,
+                graph=self.graph,
+                fact_filter=self.fact_filter,
+                mesh=self.mesh,
+            )
+        return self._engine
+
+    # ------------------------------------------------------------- mem encode
+    def mem_encode(self, query: str, docs: Dict[str, List[str]], pool: MemoryPool, probe: Optional[str] = None) -> MemoryPool:
+        cfg = self.config
+        selected_vers = self.tokens.truncate_by_budget(docs["veridical"], cfg.max_tokens_ver)
+        selected_sems = self.tokens.truncate_by_budget(docs["semantic"], cfg.max_tokens_sem)
+        selected_epis = self.tokens.truncate_by_budget(docs["episodic"], cfg.max_tokens_epi)
+
+        ver_cue, sem_cue, epi_cue = pool.agent.fusion(
+            query=query,
+            vers="\n".join(selected_vers),
+            sems="\n".join(selected_sems),
+            epis="\n".join(selected_epis),
+        )
+        for node_type, content, cue in (
+            (NodeType.VER, selected_vers, ver_cue),
+            (NodeType.SEM, selected_sems, sem_cue),
+            (NodeType.EPI, selected_epis, epi_cue),
+        ):
+            pool.add_to_temp_pool(
+                MemoryNode(probe=probe or query, node_type=node_type, original_content=content, cue=cue)
+            )
+        return pool
+
+    # --------------------------------------------------------------- meta loop
+    def meta_control_loop(self, q_idx: int, query: str) -> Tuple[int, QuerySolution, Dict[str, str]]:
+        cfg = self.config
+        pool_agent = PoolAgent(self.llm, self.prompts)
+        probe_agent = ProbeAgent(self.llm, self.prompts)
+        pool = MemoryPool(encoder=self.encoder, agent=pool_agent)
+
+        retrieved = self.engine.tri_retrieve(query, pool.get_all_hashes())
+        self.mem_encode(query, retrieved.as_docs(), pool)
+
+        ver_context = "\n".join(v for n in pool.get_temp_nodes_by_type(NodeType.VER) for v in (n.original_content or []))
+        sem_context = "\n".join(s for n in pool.get_temp_nodes_by_type(NodeType.SEM) for s in (n.original_content or []))
+        epi_context = "\n".join(e for n in pool.get_temp_nodes_by_type(NodeType.EPI) for e in (n.original_content or []))
+
+        historical = ""
+        all_steps: List[Dict[str, Any]] = []
+        step_answers: Dict[str, str] = {}
+        response_text = ""
+
+        for i in range(cfg.max_meta_loop_iterations + 1):
+            step_info: Dict[str, Any] = {
+                "step": i + 1,
+                "ver_context": ver_context,
+                "sem_context": sem_context,
+                "epi_context": epi_context,
+                "historical_information": historical,
+                "total_nodes": len(pool.pool),
+            }
+            prompt_user = ""
+            if cfg.use_ver:
+                prompt_user += f"### Detail Chunks\n{ver_context}\n\n"
+            if cfg.use_sem:
+                prompt_user += f"### Semantic Summary\n{sem_context}\n\n"
+            if cfg.use_epi:
+                prompt_user += f"### Timeline Summary\n{epi_context}\n\n"
+            if i != 0:
+                prompt_user += f"### Historical Information\n{historical}\n\n"
+            prompt_user += "Question: " + query + "\nThought: "
+
+            if cfg.is_mc:
+                template = "rag_qa_mc" if i == 0 else "rag_qa_mc_memory"
+            else:
+                template = "rag_qa_narrativeqa"
+            messages = self.prompts.render(template, prompt_user=prompt_user)
+
+            try:
+                response_text = self.llm.infer(messages).text
+            except Exception as e:  # noqa: BLE001 — keep the loop alive
+                logger.error("QA inference failed: %s", e)
+                step_info["error"] = str(e)
+                all_steps.append(step_info)
+                continue
+
+            parts = response_text.split("### Final Answer")
+            pred = parts[1].strip() if len(parts) > 1 else response_text
+            step_info["response"] = response_text
+            step_info["predicted_answer"] = pred
+            step_answers[f"step{i}"] = pred
+
+            if pred.strip() != "*":
+                all_steps.append(step_info)
+                break
+
+            # ---- impasse: consolidate, probe, fan out, fuse -----------------
+            pool.merge_temp_to_main()
+            previous_probes = "\n".join(pool.get_all_probes())
+            probes = probe_agent.find_probes(query=query, context=prompt_user, previous_probes=previous_probes)
+            step_info["probes"] = probes
+
+            pool_hashes = pool.get_all_hashes()
+            for probe in probes:
+                docs = self.engine.tri_retrieve(probe, pool_hashes).as_docs()
+                self.mem_encode(query + " " + probe, docs, pool, probe=probe)
+
+            fused = pool.create_fusion_content(probe=query, top_k_percent=0.5)
+            pool.add_fused_node(probe=query, fused_content=fused)
+
+            ver_context = "\n".join(n.cue or "" for n in pool.get_temp_nodes_by_type(NodeType.VER))
+            sem_context = "\n".join(n.cue or "" for n in pool.get_temp_nodes_by_type(NodeType.SEM))
+            epi_context = "\n".join(n.cue or "" for n in pool.get_temp_nodes_by_type(NodeType.EPI))
+            historical = ""
+            for n in pool.get_temp_nodes_by_type(NodeType.FUSION) + pool.get_nodes_by_type(NodeType.FUSION):
+                historical += f"probe : {n.probe}\nFinding : {n.cue}\n"
+            all_steps.append(step_info)
+
+        solution = QuerySolution(question=query, docs=ver_context, summary=sem_context, timeline=epi_context)
+        solution.answer = response_text
+        self._dump_details(q_idx, query, pool, all_steps)
+        return q_idx, solution, step_answers
+
+    def _dump_details(self, q_idx: int, query: str, pool: MemoryPool, steps: List[Dict[str, Any]]) -> None:
+        detail_dir = os.path.join(self.config.output_dir, "details")
+        os.makedirs(detail_dir, exist_ok=True)
+        pool_info = {
+            "total_nodes": len(pool.pool),
+            "total_chunks": len(pool.get_nodes_by_type(NodeType.VER)),
+            "total_summaries": len(pool.get_nodes_by_type(NodeType.SEM)),
+            "total_timelines": len(pool.get_nodes_by_type(NodeType.EPI)),
+            "total_probes": len(pool.get_all_probes()),
+            "probes": pool.get_all_probes(),
+        }
+        with open(os.path.join(detail_dir, f"pool_info_{q_idx}.json"), "w", encoding="utf-8") as f:
+            json.dump(pool_info, f, ensure_ascii=False, indent=4)
+        with open(os.path.join(detail_dir, f"qa_output_{q_idx}.txt"), "w", encoding="utf-8") as f:
+            f.write("Problem-Solving Process Overview:\n" + "=" * 50 + "\n")
+            f.write(f"Query: {query}\n\n" + "=" * 50 + "\n")
+            for step in steps:
+                f.write(f"Step {step['step']}:\n" + "-" * 30 + "\n")
+                f.write(f"Predicted Answer: {step.get('predicted_answer', 'N/A')}\n" + "-" * 30 + "\n")
+                f.write(f"ver_context:\n{step['ver_context']}\n" + "-" * 30 + "\n")
+                f.write(f"sem_context:\n{step['sem_context']}\n" + "-" * 30 + "\n")
+                f.write(f"epi_context:\n{step['epi_context']}\n" + "-" * 30 + "\n")
+                f.write(f"Historical Information:\n{step['historical_information']}\n" + "-" * 30 + "\n")
+                f.write(f"Response: {step.get('response', 'N/A')}\n")
+                if "probes" in step:
+                    f.write("-" * 30 + f"\nprobes: {', '.join(step['probes'])}\n")
+                if "error" in step:
+                    f.write(f"Error: {step['error']}\n")
+                f.write("=" * 50 + "\n\n")
+
+    # -------------------------------------------------------------- try_answer
+    def try_answer(self, queries: Sequence[str]) -> List[QuerySolution]:
+        self.engine.prepare()
+        max_workers = min(16, max(1, len(queries)))
+        solutions: List[Optional[QuerySolution]] = [None] * len(queries)
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            futures = {
+                pool.submit(self.meta_control_loop, i, q): i for i, q in enumerate(queries)
+            }
+            for future in as_completed(futures):
+                q_idx, solution, _ = future.result()
+                solutions[q_idx] = solution
+        return [s for s in solutions if s is not None]

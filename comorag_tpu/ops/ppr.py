@@ -1,0 +1,168 @@
+"""Personalized PageRank as jitted sparse power iteration.
+
+Replaces the reference's native igraph/PRPACK call
+(ComoRAG.py:1086-1105 — C++ behind ``personalized_pagerank``) with a
+device-resident solver:
+
+  x_{t+1} = (1 - alpha) * r + alpha * (P^T x_t + dangling_mass * r)
+
+where ``P`` is the weight-row-normalized transition matrix of the
+(undirected -> symmetric COO) graph, ``r`` the normalized reset
+distribution, and ``alpha`` the damping factor (0.5 default). The matvec is
+one ``segment_sum`` over the edge list — MXU-free but bandwidth-friendly —
+and a whole batch of reset vectors (the probe fan-out) solves in one
+``vmap``'d program. Converges to PRPACK's fixed point (same linear system);
+validated against a numpy dense reference in tests.
+
+Graphs are padded to edge/node buckets so repeated queries share one
+compiled program (XLA static shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_EDGE_BUCKETS = (1024, 4096, 16384, 65536, 262144, 1048576)
+_NODE_BUCKETS = (128, 512, 2048, 8192, 32768, 131072)
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + buckets[-1] - 1) // buckets[-1]) * buckets[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("n_nodes", "max_iters"))
+def _ppr_batch(
+    src: jnp.ndarray,        # [E_pad] int32 (padded edges point at node n_nodes-1 w/ weight 0)
+    dst: jnp.ndarray,        # [E_pad] int32
+    rate: jnp.ndarray,       # [E_pad] f32: w_ij / strength(src) (0 for padding)
+    is_dangling: jnp.ndarray,  # [N] f32: 1 where weighted out-degree == 0
+    resets: jnp.ndarray,     # [B, N] f32, rows sum to 1 over valid nodes
+    alpha: jnp.ndarray,      # scalar damping
+    tol: jnp.ndarray,        # scalar L1 tolerance
+    n_nodes: int,
+    max_iters: int,
+) -> jnp.ndarray:
+    def one(reset):
+        def cond(state):
+            x, prev_err, it = state
+            return jnp.logical_and(it < max_iters, prev_err > tol)
+
+        def body(state):
+            x, _, it = state
+            contrib = x[src] * rate
+            flowed = jax.ops.segment_sum(contrib, dst, num_segments=n_nodes)
+            dangling_mass = jnp.sum(x * is_dangling)
+            new_x = (1.0 - alpha) * reset + alpha * (flowed + dangling_mass * reset)
+            err = jnp.sum(jnp.abs(new_x - x))
+            return new_x, err, it + 1
+
+        x0 = reset
+        x, _, _ = jax.lax.while_loop(cond, body, (x0, jnp.asarray(jnp.inf, jnp.float32), 0))
+        return x
+
+    return jax.vmap(one)(resets)
+
+
+class PPRGraph:
+    """Device-resident graph for batched PPR queries.
+
+    Built once from a symmetric weighted edge list; query() takes a batch
+    of reset vectors.
+    """
+
+    def __init__(
+        self,
+        src: np.ndarray,
+        dst: np.ndarray,
+        weights: np.ndarray,
+        n_nodes: int,
+        max_iters: int = 128,
+        tol: float = 1e-10,
+    ):
+        self.n_nodes = n_nodes
+        self.n_pad = _bucket(max(n_nodes, 2), _NODE_BUCKETS)
+        self.max_iters = max_iters
+        self.tol = tol
+
+        e = len(src)
+        e_pad = _bucket(max(e, 1), _EDGE_BUCKETS)
+        src_p = np.full(e_pad, self.n_pad - 1, np.int32)
+        dst_p = np.full(e_pad, self.n_pad - 1, np.int32)
+        w_p = np.zeros(e_pad, np.float32)
+        src_p[:e] = src
+        dst_p[:e] = dst
+        w_p[:e] = weights
+
+        strength = np.zeros(self.n_pad, np.float64)
+        np.add.at(strength, src_p[:e], w_p[:e])
+        rate = np.zeros(e_pad, np.float32)
+        nz = strength[src_p] > 0
+        rate[nz] = (w_p[nz] / strength[src_p[nz]]).astype(np.float32)
+        is_dangling = (strength == 0).astype(np.float32)
+        # padded nodes never receive reset mass; keep them non-dangling so
+        # they don't siphon probability
+        is_dangling[n_nodes:] = 0.0
+
+        self._src = jnp.asarray(src_p)
+        self._dst = jnp.asarray(dst_p)
+        self._rate = jnp.asarray(rate)
+        self._dangling = jnp.asarray(is_dangling)
+
+    def query(self, resets: np.ndarray, damping: float = 0.5) -> np.ndarray:
+        """resets: [B, n_nodes] or [n_nodes] nonnegative; returns PPR scores
+        with the same leading shape."""
+        resets = np.atleast_2d(np.asarray(resets, np.float32))
+        b, n = resets.shape
+        assert n == self.n_nodes
+        resets = np.where(np.isnan(resets) | (resets < 0), 0.0, resets)
+        sums = resets.sum(axis=1, keepdims=True)
+        sums[sums == 0] = 1.0
+        resets = resets / sums
+        r_pad = np.zeros((b, self.n_pad), np.float32)
+        r_pad[:, :n] = resets
+        out = _ppr_batch(
+            self._src,
+            self._dst,
+            self._rate,
+            self._dangling,
+            jnp.asarray(r_pad),
+            jnp.asarray(damping, jnp.float32),
+            jnp.asarray(self.tol, jnp.float32),
+            self.n_pad,
+            self.max_iters,
+        )
+        return np.asarray(out)[:, :n]
+
+
+def ppr_dense_reference(
+    src: np.ndarray,
+    dst: np.ndarray,
+    weights: np.ndarray,
+    n_nodes: int,
+    reset: np.ndarray,
+    damping: float = 0.5,
+    iters: int = 500,
+) -> np.ndarray:
+    """Slow dense numpy fixed-point solver, for tests only."""
+    P = np.zeros((n_nodes, n_nodes), np.float64)
+    for s, d, w in zip(src, dst, weights):
+        P[s, d] += w
+    strength = P.sum(axis=1)
+    r = np.asarray(reset, np.float64)
+    r = r / r.sum()
+    x = r.copy()
+    for _ in range(iters):
+        flowed = np.zeros(n_nodes)
+        nz = strength > 0
+        flowed = (x[nz, None] * P[nz] / strength[nz, None]).sum(axis=0)
+        dangling = x[~nz].sum()
+        x = (1 - damping) * r + damping * (flowed + dangling * r)
+    return x

@@ -1,0 +1,312 @@
+"""Tri-layer retrieval engine.
+
+Implements the query-time call stack of the reference (SURVEY.md §3.3 —
+tri_retrieve, dense_passage_retrieval, get_fact_scores,
+graph_search_with_fact_entities, run_ppr) on top of the TPU substrate:
+
+  - every embedding matrix is a ``MipsIndex`` (replicated or sharded over
+    the mesh's ``corpus`` axis),
+  - the fact/passage query encodings for a whole probe fan-out are encoded
+    in ONE batch and scored in ONE device call per layer,
+  - the entity graph is a device-resident ``PPRGraph``; a batch of probes
+    runs PPR as one vmapped power iteration.
+
+Reference quirks deliberately preserved (SURVEY.md §7.3): the graph-search
+path multiplies passage priors by 0.005 regardless of the config default
+(ComoRAG.py:491); phrase weights divide by per-entity chunk counts
+(:1020-1021); only the top ``linking_top_k`` phrases keep weight (:972-990).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from comorag_tpu.config import ComoConfig
+from comorag_tpu.graph.builder import GraphData
+from comorag_tpu.ops.ppr import PPRGraph
+from comorag_tpu.ops.similarity import min_max_normalize_np
+from comorag_tpu.prompts.linking import get_query_instruction
+from comorag_tpu.retrieval.index import MipsIndex
+from comorag_tpu.store.embedding_store import EmbeddingStore
+from comorag_tpu.utils.hashing import content_hash
+from comorag_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+@dataclass
+class RetrievalResult:
+    veridical: List[str] = field(default_factory=list)
+    semantic: List[str] = field(default_factory=list)
+    episodic: List[str] = field(default_factory=list)
+    rerank_log: Dict[str, Any] = field(default_factory=dict)
+    linked_phrases: Dict[str, float] = field(default_factory=dict)
+
+    def as_docs(self) -> Dict[str, List[str]]:
+        return {"veridical": self.veridical, "semantic": self.semantic, "episodic": self.episodic}
+
+
+class RetrievalEngine:
+    def __init__(
+        self,
+        config: ComoConfig,
+        encoder,
+        ver_store: EmbeddingStore,
+        fact_store: Optional[EmbeddingStore] = None,
+        sem_store: Optional[EmbeddingStore] = None,
+        epi_store: Optional[EmbeddingStore] = None,
+        graph: Optional[GraphData] = None,
+        fact_filter=None,
+        mesh=None,
+    ):
+        self.config = config
+        self.encoder = encoder
+        self.ver_store = ver_store
+        self.fact_store = fact_store
+        self.sem_store = sem_store
+        self.epi_store = epi_store
+        self.graph = graph
+        self.fact_filter = fact_filter
+        self.mesh = mesh
+        self._ready = False
+        self._query_cache: Dict[Tuple[str, str], np.ndarray] = {}
+
+    # ---------------------------------------------------------------- prepare
+    def prepare(self) -> None:
+        """Load all embedding matrices into device indexes and materialize
+        graph arrays (reference prepare_retrieval_objects, ComoRAG.py:876-907)."""
+        if self._ready:
+            return
+        self.ver_index = MipsIndex(self.ver_store.matrix, mesh=self.mesh)
+        self.passage_node_keys = self.ver_store.get_all_ids()
+
+        if self.fact_store is not None and len(self.fact_store):
+            self.fact_index = MipsIndex(self.fact_store.matrix, mesh=self.mesh)
+            self.fact_node_keys = self.fact_store.get_all_ids()
+        else:
+            self.fact_index = None
+            self.fact_node_keys = []
+
+        if self.sem_store is not None and len(self.sem_store):
+            self.sem_index = MipsIndex(self.sem_store.matrix, mesh=self.mesh)
+            self.summary_node_keys = self.sem_store.get_all_ids()
+        else:
+            self.sem_index = None
+            self.summary_node_keys = []
+
+        if self.epi_store is not None and len(self.epi_store):
+            self.epi_index = MipsIndex(self.epi_store.matrix, mesh=self.mesh)
+        else:
+            self.epi_index = None
+
+        if self.graph is not None and self.graph.n_arcs > 0:
+            self.ppr = PPRGraph(
+                self.graph.src,
+                self.graph.dst,
+                self.graph.weights,
+                self.graph.n_nodes,
+                max_iters=self.config.ppr_max_iterations,
+                tol=self.config.ppr_tolerance,
+            )
+            self.passage_node_idxs = np.asarray(
+                [self.graph.name_to_idx[k] for k in self.passage_node_keys], np.int64
+            )
+        else:
+            self.ppr = None
+            self.passage_node_idxs = None
+        self._ready = True
+
+    # ------------------------------------------------------------- encodings
+    def encode_queries(self, queries: Sequence[str]) -> Dict[str, np.ndarray]:
+        """Two instruction-tuned encodings per query ('query_to_fact' and
+        'query_to_passage'), cached, batched across the whole fan-out."""
+        out = {"fact": [], "passage": []}
+        for space, mode in (("fact", "query_to_fact"), ("passage", "query_to_passage")):
+            instruction = get_query_instruction(mode)
+            missing = [q for q in queries if (space, q) not in self._query_cache]
+            if missing:
+                embs = self.encoder.encode(missing, instruction=instruction, norm=True)
+                for q, e in zip(missing, embs):
+                    self._query_cache[(space, q)] = np.asarray(e, np.float32)
+            out[space] = np.stack([self._query_cache[(space, q)] for q in queries])
+        return out
+
+    # ------------------------------------------------------------ primitives
+    def fact_scores(self, fact_query_embs: np.ndarray) -> np.ndarray:
+        """[P, F] min-max-normalized fact similarities (get_fact_scores)."""
+        raw = self.fact_index.scores(fact_query_embs)
+        return np.stack([min_max_normalize_np(row) for row in raw])
+
+    def dense_ranking(self, passage_query_embs: np.ndarray, index: MipsIndex) -> Tuple[np.ndarray, np.ndarray]:
+        """Full descending ranking per query: (sorted_ids [P, N], sorted
+        normalized scores [P, N]) — dense_passage_retrieval semantics."""
+        raw = index.scores(passage_query_embs)
+        normalized = np.stack([min_max_normalize_np(row) for row in raw])
+        sorted_ids = np.argsort(-normalized, axis=1)
+        sorted_scores = np.take_along_axis(normalized, sorted_ids, axis=1)
+        return sorted_ids, sorted_scores
+
+    # ------------------------------------------------------------ fact rerank
+    def rerank_facts(self, query: str, scores: np.ndarray) -> Tuple[List[int], List[Tuple[str, str, str]], dict]:
+        link_top_k = self.config.linking_top_k
+        candidate_idx = np.argsort(scores)[-link_top_k:][::-1].tolist()
+        candidate_keys = [self.fact_node_keys[i] for i in candidate_idx]
+        candidates = []
+        for key in candidate_keys:
+            try:
+                triple = json.loads(self.fact_store.get_text(key))
+            except json.JSONDecodeError:
+                triple = ["", "", ""]
+            candidates.append(tuple(triple))
+        if self.fact_filter is None:
+            return candidate_idx, candidates, {"facts_before_rerank": candidates, "facts_after_rerank": candidates}
+        top_idx, top_facts, _ = self.fact_filter.rerank(query, candidates, candidate_idx, link_top_k)
+        return top_idx, top_facts, {
+            "facts_before_rerank": [list(c) for c in candidates],
+            "facts_after_rerank": [list(f) for f in top_facts],
+        }
+
+    # ----------------------------------------------------------- graph search
+    def graph_search(
+        self,
+        passage_query_emb: np.ndarray,
+        fact_score_row: np.ndarray,
+        top_k_facts: Sequence[Tuple[str, str, str]],
+        top_k_fact_indices: Sequence[int],
+        passage_node_weight: float = 0.005,
+    ) -> Tuple[np.ndarray, np.ndarray, Dict[str, float]]:
+        """Seed node weights from reranked facts + DPR priors, run PPR, and
+        rank passages (graph_search_with_fact_entities semantics)."""
+        g = self.graph
+        n_nodes = g.n_nodes
+        phrase_weights = np.zeros(n_nodes, np.float64)
+        linking_score_map: Dict[str, float] = {}
+        phrase_scores: Dict[str, List[float]] = {}
+        used_phrases: Dict[str, float] = {}
+
+        for rank, fact in enumerate(top_k_facts):
+            fact_score = float(fact_score_row[top_k_fact_indices[rank]])
+            for phrase in (str(fact[0]).lower(), str(fact[2]).lower()):
+                phrase_key = content_hash(phrase, prefix="entity-")
+                node_id = g.name_to_idx.get(phrase_key)
+                if node_id is not None:
+                    weight = fact_score
+                    num_chunks = g.ent_node_to_num_chunk.get(phrase_key, 0)
+                    if num_chunks:
+                        weight /= num_chunks
+                    phrase_weights[node_id] = weight
+                    if weight > 0:
+                        used_phrases[phrase] = weight
+                phrase_scores.setdefault(phrase, []).append(fact_score)
+
+        for phrase, scores in phrase_scores.items():
+            linking_score_map[phrase] = float(np.mean(scores))
+
+        # Keep only the top-k linked phrases (get_top_k_weights semantics).
+        link_top_k = self.config.linking_top_k
+        if link_top_k:
+            top_phrases = set(
+                p for p, _ in sorted(linking_score_map.items(), key=lambda kv: kv[1], reverse=True)[:link_top_k]
+            )
+            top_keys = {content_hash(p, prefix="entity-") for p in top_phrases}
+            for name, node_id in g.name_to_idx.items():
+                if name.startswith("entity-") and name not in top_keys:
+                    phrase_weights[node_id] = 0.0
+
+        # DPR passage priors.
+        passage_weights = np.zeros(n_nodes, np.float64)
+        sorted_ids, sorted_scores = self.dense_ranking(passage_query_emb[None, :], self.ver_index)
+        dpr_norm = min_max_normalize_np(sorted_scores[0])
+        for i, doc_id in enumerate(sorted_ids[0]):
+            node_id = g.name_to_idx[self.passage_node_keys[doc_id]]
+            passage_weights[node_id] = dpr_norm[i] * passage_node_weight
+
+        node_weights = phrase_weights + passage_weights
+        if node_weights.sum() <= 0:
+            raise ValueError("No graph seeds for the given facts")
+
+        ppr_scores = self.ppr.query(node_weights[None, :], damping=self.config.damping)[0]
+        doc_scores = ppr_scores[self.passage_node_idxs]
+        order = np.argsort(-doc_scores)
+        return order, doc_scores[order], used_phrases
+
+    # ------------------------------------------------------------ tri_retrieve
+    def tri_retrieve(
+        self,
+        query: str,
+        pool_hashes: Optional[Dict[str, List[str]]] = None,
+        ver_top_k: Optional[int] = None,
+        sem_top_k: Optional[int] = None,
+        epi_top_k: Optional[int] = None,
+    ) -> RetrievalResult:
+        self.prepare()
+        cfg = self.config
+        ver_top_k = ver_top_k or cfg.qa_ver_top_k
+        sem_top_k = sem_top_k or cfg.qa_sem_top_k
+        epi_top_k = epi_top_k or cfg.qa_epi_top_k
+        pool_hashes = pool_hashes or {}
+        result = RetrievalResult()
+
+        embs = self.encode_queries([query])
+        fact_emb = embs["fact"][0]
+        passage_emb = embs["passage"][0]
+
+        # ---- veridical branch: facts -> rerank -> graph PPR (or DPR fallback)
+        sorted_doc_ids = None
+        if self.fact_index is not None and self.ppr is not None:
+            score_row = self.fact_scores(fact_emb[None, :])[0]
+            top_idx, top_facts, rerank_log = self.rerank_facts(query, score_row)
+            result.rerank_log = rerank_log
+            if top_facts:
+                try:
+                    sorted_doc_ids, _, used = self.graph_search(
+                        passage_emb, score_row, top_facts, top_idx, passage_node_weight=0.005
+                    )
+                    result.linked_phrases = used
+                except ValueError:
+                    sorted_doc_ids = None
+        if sorted_doc_ids is None:
+            sorted_doc_ids, _ = self.dense_ranking(passage_emb[None, :], self.ver_index)
+            sorted_doc_ids = sorted_doc_ids[0]
+
+        top_docs = [self.ver_store.get_text(self.passage_node_keys[i]) for i in sorted_doc_ids[:ver_top_k]]
+        # Pool dedup. NOTE: the reference compares store-namespace hashes
+        # against node-type-prefixed pool hashes, which never match — its
+        # dedup is a silent no-op (ComoRAG.py:504-505 vs memory_utils.py:41).
+        # Here both sides hash with the node-type prefix so consolidation
+        # actually deduplicates.
+        ver_seen = set(pool_hashes.get("veridical", []))
+        if ver_seen:
+            top_docs = [d for d in top_docs if content_hash(d, "veridical-") not in ver_seen]
+        # chronological re-sort by insertion order
+        top_docs.sort(key=lambda d: self.ver_store.order_of(self.ver_store.key_for(d)))
+        result.veridical = top_docs
+
+        # ---- semantic branch
+        if self.sem_index is not None:
+            sem_ids, _ = self.dense_ranking(passage_emb[None, :], self.sem_index)
+            top_sem = [self.sem_store.get_text(self.summary_node_keys[i]) for i in sem_ids[0][:sem_top_k]]
+            sem_seen = set(pool_hashes.get("semantical", []))
+            if sem_seen:
+                top_sem = [s for s in top_sem if content_hash(s, "semantical-") not in sem_seen]
+            result.semantic = top_sem
+
+        # ---- episodic branch
+        if self.epi_index is not None:
+            epi_query = self.encoder.encode(
+                [query], instruction=get_query_instruction("query_to_passage"), norm=True
+            )[0]
+            scores, idx = self.epi_index.topk(epi_query[None, :], k=epi_top_k)
+            epi_keys = self.epi_store.get_all_ids()
+            top_epi = [self.epi_store.get_text(epi_keys[i]) for i in idx[0]]
+            epi_seen = set(pool_hashes.get("episodic", []))
+            if epi_seen:
+                top_epi = [e for e in top_epi if content_hash(e, "episodic-") not in epi_seen]
+            top_epi.sort(key=lambda e: self.epi_store.order_of(self.epi_store.key_for(e)))
+            result.episodic = top_epi
+
+        return result

@@ -1,0 +1,113 @@
+"""End-to-end pipeline test: index -> graph -> meta loop -> answers,
+hermetic (HashEncoder + FakeLLM), on the CPU mesh. The fixture story is an
+original mini-narrative shaped like the bundled smoke-test dataset
+(5-ish chunks, a few QA pairs)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from comorag_tpu.comorag import ComoRAG
+from comorag_tpu.config import ComoConfig
+
+CORPUS = [
+    "Mara the lighthouse keeper lived alone on the cliff at Graywater Point. "
+    "Every evening she lit the great lamp and wound the brass clockwork that "
+    "turned its beam across the bay.",
+    "One autumn storm, a trading ship called the Petrel struck the shoals. "
+    "Mara rowed out through the breakers and pulled the ship's navigator, a "
+    "young man named Tomas, from the freezing water.",
+    "Tomas stayed the winter at Graywater Point to mend his broken arm. He "
+    "taught Mara to read the old star charts he carried in a sealed copper tube.",
+    "In spring, a letter arrived from the Harbor Guild. The Guild offered "
+    "Mara a post as chart-mistress in the city, because Tomas had written to "
+    "them about her skill with the star charts.",
+    "Mara refused the Guild's offer. She chose to stay at the lighthouse, and "
+    "Tomas returned each summer with new charts, apprenticing under her until "
+    "he could keep the lamp himself.",
+    "Years later the brass clockwork finally failed. Tomas forged a new "
+    "mainspring in the village smithy, and the beam of Graywater Point never "
+    "went dark again.",
+]
+
+QAS = [
+    {"question": "Who did Mara pull from the freezing water?", "golden_answers": ["Tomas", "the navigator"]},
+    {"question": "What did the Harbor Guild offer Mara?", "golden_answers": ["a post as chart-mistress"]},
+    {"question": "What did Tomas forge in the village smithy?", "golden_answers": ["a new mainspring", "mainspring"]},
+]
+
+
+@pytest.fixture(scope="module")
+def rag(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    config = ComoConfig(
+        llm_name="fake",
+        embedding_model_name="hash",
+        embedding_dim=128,
+        need_cluster=True,
+        save_dir=str(tmp / "outputs"),
+        output_dir=str(tmp / "results"),
+        max_meta_loop_iterations=2,
+        gmm_max_clusters=4,
+        gmm_em_iterations=20,
+    )
+    rag = ComoRAG(config)
+    rag.index(CORPUS)
+    return rag
+
+
+def test_index_builds_all_layers(rag):
+    assert len(rag.ver_store) == len(CORPUS)
+    assert len(rag.entity_store) > 0
+    assert len(rag.fact_store) > 0
+    assert rag.epi_store is not None and len(rag.epi_store) > 0
+    assert len(rag.sem_store) > 0
+    assert rag.graph is not None and rag.graph.n_arcs > 0
+    # persistence artifacts on disk
+    wd = rag.config.working_dir
+    assert os.path.exists(os.path.join(wd, "chunk_embeddings", "vdb_chunk.parquet"))
+    assert os.path.exists(os.path.join(wd, "graph.npz"))
+    assert os.path.isfile(rag.openie_results_path)
+
+
+def test_tri_retrieve_layers(rag):
+    result = rag.engine.tri_retrieve("Who repaired the clockwork mainspring?")
+    assert len(result.veridical) > 0
+    assert len(result.episodic) > 0
+    # chunk about the mainspring should rank into the veridical list
+    assert any("mainspring" in d for d in result.veridical)
+
+
+def test_meta_loop_answers(rag):
+    solutions = rag.try_answer([q["question"] for q in QAS])
+    assert len(solutions) == len(QAS)
+    for sol in solutions:
+        assert sol.answer and "### Final Answer" in sol.answer
+    # the overlap-answer FakeLLM should find the mainspring sentence
+    forge_answer = solutions[2].answer.split("### Final Answer")[1]
+    assert "mainspring" in forge_answer or "smithy" in forge_answer
+    # detail dumps exist
+    details = os.path.join(rag.config.output_dir, "details")
+    assert os.path.exists(os.path.join(details, "pool_info_0.json"))
+    assert os.path.exists(os.path.join(details, "qa_output_0.txt"))
+
+
+def test_index_resume_is_idempotent(rag):
+    # Re-indexing the same docs must not duplicate anything (content hashes).
+    n_chunks = len(rag.ver_store)
+    n_facts = len(rag.fact_store)
+    rag.index(CORPUS)
+    assert len(rag.ver_store) == n_chunks
+    assert len(rag.fact_store) == n_facts
+
+
+def test_reload_from_disk(rag):
+    config2 = ComoConfig(**{**rag.config.to_dict()})
+    rag2 = ComoRAG(config2)
+    assert len(rag2.ver_store) == len(CORPUS)
+    assert rag2.graph is not None
+    assert rag2.graph.n_nodes == rag.graph.n_nodes
+    result = rag2.engine.tri_retrieve("Who taught Mara to read star charts?")
+    assert any("star charts" in d for d in result.veridical)

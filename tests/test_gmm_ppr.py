@@ -1,0 +1,95 @@
+import numpy as np
+import pytest
+
+from comorag_tpu.ops.gmm import fit_gmm_bic
+from comorag_tpu.ops.ppr import PPRGraph, ppr_dense_reference
+from comorag_tpu.ops.projection import random_projection
+
+
+def _blobs(seed=0, n_per=40, centers=((0, 0), (8, 8), (-8, 6))):
+    rng = np.random.default_rng(seed)
+    xs, labels = [], []
+    for i, c in enumerate(centers):
+        xs.append(rng.normal(loc=c, scale=0.6, size=(n_per, 2)))
+        labels += [i] * n_per
+    return np.concatenate(xs).astype(np.float32), np.asarray(labels)
+
+
+def test_gmm_bic_recovers_blob_count():
+    x, labels = _blobs()
+    k, resp = fit_gmm_bic(x, max_clusters=8, iters=50, seed=224)
+    assert k == 3
+    # hard assignment should be consistent within each blob
+    hard = resp.argmax(axis=1)
+    for blob in range(3):
+        blob_assignments = hard[labels == blob]
+        # all points of one blob land in the same component
+        assert (blob_assignments == blob_assignments[0]).all()
+    # responsibilities are proper probabilities
+    np.testing.assert_allclose(resp.sum(axis=1), 1.0, atol=1e-3)
+
+
+def test_gmm_single_point_and_tiny():
+    x = np.asarray([[1.0, 2.0]], np.float32)
+    k, resp = fit_gmm_bic(x)
+    assert k == 1 and resp.shape == (1, 1)
+    x2 = np.asarray([[0.0, 0.0], [10.0, 10.0], [0.1, 0.1]], np.float32)
+    k2, resp2 = fit_gmm_bic(x2, max_clusters=5)
+    assert 1 <= k2 <= 2
+    assert resp2.shape == (3, k2)
+
+
+def test_random_projection_preserves_neighborhoods():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((50, 128)).astype(np.float32)
+    y = random_projection(x, 10, seed=224)
+    assert y.shape == (50, 10)
+    # deterministic
+    np.testing.assert_allclose(y, random_projection(x, 10, seed=224))
+    # identity if already small
+    small = rng.standard_normal((5, 8)).astype(np.float32)
+    assert random_projection(small, 10).shape == (5, 8)
+
+
+def _toy_graph():
+    # 0-1 (w2), 1-2 (w1), 2-3 (w1), 3-0 (w1), 4 isolated
+    und = [(0, 1, 2.0), (1, 2, 1.0), (2, 3, 1.0), (3, 0, 1.0)]
+    src, dst, w = [], [], []
+    for s, d, wt in und:
+        src += [s, d]
+        dst += [d, s]
+        w += [wt, wt]
+    return np.asarray(src), np.asarray(dst), np.asarray(w, np.float32), 5
+
+
+def test_ppr_matches_dense_reference():
+    src, dst, w, n = _toy_graph()
+    g = PPRGraph(src, dst, w, n)
+    reset = np.asarray([1.0, 0.0, 0.0, 1.0, 0.5], np.float32)
+    got = g.query(reset, damping=0.5)[0]
+    want = ppr_dense_reference(src, dst, w, n, reset, damping=0.5)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert abs(got.sum() - 1.0) < 1e-5
+
+
+def test_ppr_batched_and_ranking():
+    src, dst, w, n = _toy_graph()
+    g = PPRGraph(src, dst, w, n)
+    resets = np.zeros((2, n), np.float32)
+    resets[0, 0] = 1.0
+    resets[1, 2] = 1.0
+    out = g.query(resets, damping=0.5)
+    assert out.shape == (2, n)
+    # seeding at node 0 should rank node 0 first; its heavy neighbor 1 above distant 2
+    assert out[0].argmax() == 0
+    assert out[0, 1] > out[0, 2]
+    assert out[1].argmax() == 2
+
+
+def test_ppr_handles_nan_and_negative_reset():
+    src, dst, w, n = _toy_graph()
+    g = PPRGraph(src, dst, w, n)
+    reset = np.asarray([np.nan, -1.0, 1.0, 0.0, 0.0], np.float32)
+    out = g.query(reset)[0]
+    assert np.isfinite(out).all()
+    assert out.argmax() == 2
