@@ -1,0 +1,98 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from comorag_tpu.models.bge import (
+    BGEJaxEncoder,
+    EncoderArch,
+    SimpleHashTokenizer,
+    encode_pooled,
+    init_params,
+)
+from comorag_tpu.models.train import contrastive_loss, create_train_state, make_train_step
+from comorag_tpu.parallel.mesh import build_mesh
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    arch = EncoderArch.tiny()
+    params = init_params(jax.random.PRNGKey(0), arch)
+    return arch, params
+
+
+def test_forward_shapes_and_norm(tiny):
+    arch, params = tiny
+    ids = jnp.ones((4, 16), jnp.int32)
+    mask = jnp.ones((4, 16), jnp.int32)
+    out = encode_pooled(params, ids, mask, arch)
+    assert out.shape == (4, arch.hidden_size)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=1), 1.0, atol=1e-5)
+
+
+def test_mask_excludes_padding(tiny):
+    arch, params = tiny
+    ids_short = jnp.asarray([[5, 7, 9, 0, 0, 0, 0, 0]], jnp.int32)
+    mask_short = jnp.asarray([[1, 1, 1, 0, 0, 0, 0, 0]], jnp.int32)
+    # same tokens but garbage in padded tail
+    ids_garbage = ids_short.at[0, 3:].set(99)
+    out1 = encode_pooled(params, ids_short, mask_short, arch)
+    out2 = encode_pooled(params, ids_garbage, mask_short, arch)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-4)
+
+
+def test_host_encoder_wrapper(tiny):
+    arch, params = tiny
+    enc = BGEJaxEncoder(params=params, arch=arch, max_seq_len=64, batch_size=4)
+    vecs = enc.encode(["hello world", "the mainspring of the clock", "hello world"])
+    assert vecs.shape == (3, arch.hidden_size)
+    np.testing.assert_allclose(vecs[0], vecs[2], atol=1e-5)  # deterministic
+    # instruction prefix changes the embedding
+    vecs_inst = enc.encode(["hello world"], instruction="Given a question: ")
+    assert not np.allclose(vecs[0], vecs_inst[0], atol=1e-4)
+
+
+def test_contrastive_training_reduces_loss(tiny):
+    arch, _ = tiny
+    tok = SimpleHashTokenizer(arch.vocab_size)
+    qs = ["the red fox", "a tall ship", "mountain snow", "river delta"]
+    ps = ["fox red the", "ship tall a", "snow mountain", "delta river"]
+
+    def toks(texts):
+        ids, masks = tok(texts, 16)
+        id_arr = np.zeros((4, 16), np.int32)
+        m_arr = np.zeros((4, 16), np.int32)
+        for i, (r, m) in enumerate(zip(ids, masks)):
+            id_arr[i, : len(r)] = r
+            m_arr[i, : len(m)] = m
+        return id_arr, m_arr
+
+    q_ids, q_mask = toks(qs)
+    p_ids, p_mask = toks(ps)
+    batch = {
+        "q_ids": jnp.asarray(q_ids), "q_mask": jnp.asarray(q_mask),
+        "p_ids": jnp.asarray(p_ids), "p_mask": jnp.asarray(p_mask),
+    }
+    state = create_train_state(jax.random.PRNGKey(1), arch)
+    step = make_train_step(arch)
+    loss0 = contrastive_loss(state.params, batch, arch)
+    for _ in range(5):
+        state, loss = step(state, batch)
+    assert float(loss) < float(loss0)
+    assert int(state.step) == 5
+
+
+def test_multichip_train_step_runs():
+    arch = EncoderArch.tiny()
+    mesh = build_mesh({"data": 2, "model": 4})
+    step = make_train_step(arch, mesh=mesh)
+    state = create_train_state(jax.random.PRNGKey(0), arch)
+    batch = {
+        "q_ids": jnp.ones((8, 16), jnp.int32), "q_mask": jnp.ones((8, 16), jnp.int32),
+        "p_ids": jnp.ones((8, 16), jnp.int32), "p_mask": jnp.ones((8, 16), jnp.int32),
+    }
+    state, loss = step(state, batch)
+    assert np.isfinite(float(loss))
+    # params actually sharded over the model axis
+    q_w = state.params["layers"]["q_w"]
+    assert len(q_w.sharding.device_set) == 8 or q_w.sharding.is_fully_replicated is False
