@@ -1,0 +1,121 @@
+"""Dataset runner: corpus.jsonl + qas.jsonl -> index -> answer -> results.json.
+
+Capability parity with the reference's main_openai.py (process_dataset +
+per-subset loop) plus an actual CLI (the reference requires editing the
+source to change configs, main_openai.py:56-71).
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import os
+from typing import List, Optional, Sequence, Set
+
+from comorag_tpu.comorag import ComoRAG
+from comorag_tpu.config import ComoConfig
+from comorag_tpu.utils.jsonio import load_jsonl
+from comorag_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def gold_answers_of(sample: dict) -> List[str]:
+    """Reference get_gold_answers semantics (misc_utils.py:207-226)."""
+    gold = None
+    for key in ("answer", "golden_answers", "reference"):
+        if key in sample:
+            gold = sample[key]
+            break
+    if gold is None and "obj" in sample:
+        gold = list(
+            {sample["obj"], sample.get("possible_answers"), sample.get("o_wiki_title"), sample.get("o_aliases")}
+            - {None}
+        )
+    assert gold is not None, f"no gold answer in sample: {sample.keys()}"
+    if isinstance(gold, str):
+        gold = [gold]
+    gold_set: Set[str] = set(gold)
+    if "answer_aliases" in sample:
+        gold_set.update(sample["answer_aliases"])
+    return list(gold_set)
+
+
+def process_dataset(dataset_path: str, config: ComoConfig, mesh=None) -> List[dict]:
+    corpus = load_jsonl(os.path.join(dataset_path, "corpus.jsonl"))
+    samples = load_jsonl(os.path.join(dataset_path, "qas.jsonl"))
+    docs = [doc["contents"] for doc in corpus]
+    queries = [s["question"] for s in samples]
+    config.corpus_len = len(corpus)
+
+    rag = ComoRAG(config, mesh=mesh)
+    rag.index(docs)
+    solutions = rag.try_answer(queries)
+
+    golds = [gold_answers_of(s) for s in samples]
+    results = []
+    for idx, (query, solution) in enumerate(zip(queries, solutions)):
+        solution.gold_answers = golds[idx]
+        results.append(
+            {"idx": idx, "question": query, "golden_answers": golds[idx], "output": solution.answer}
+        )
+
+    os.makedirs(config.output_dir, exist_ok=True)
+    with open(os.path.join(config.output_dir, "results.json"), "w", encoding="utf-8") as f:
+        json.dump(results, f, ensure_ascii=False, indent=2)
+    logger.info("Wrote %d results to %s", len(results), config.output_dir)
+    return results
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Run ComoRAG-TPU over a dataset directory tree")
+    parser.add_argument("--base_path", required=True, help="dir with per-subset subdirs (corpus.jsonl + qas.jsonl), or one such dir")
+    parser.add_argument("--llm_name", default="gpt-4o-mini")
+    parser.add_argument("--llm_base_url", default=None)
+    parser.add_argument("--llm_api_key", default=os.environ.get("OPENAI_API_KEY"))
+    parser.add_argument("--embedding_model_name", default="hash")
+    parser.add_argument("--embedding_batch_size", type=int, default=32)
+    parser.add_argument("--need_cluster", action="store_true", default=True)
+    parser.add_argument("--no_cluster", dest="need_cluster", action="store_false")
+    parser.add_argument("--is_mc", action="store_true")
+    parser.add_argument("--output_dir", default="result/run")
+    parser.add_argument("--save_dir", default="outputs/run")
+    parser.add_argument("--max_meta_loop_iterations", type=int, default=5)
+    parser.add_argument("--max_tokens_ver", type=int, default=2000)
+    parser.add_argument("--max_tokens_sem", type=int, default=2000)
+    parser.add_argument("--max_tokens_epi", type=int, default=2000)
+    args = parser.parse_args()
+
+    config = ComoConfig(
+        llm_name=args.llm_name,
+        llm_base_url=args.llm_base_url,
+        llm_api_key=args.llm_api_key,
+        embedding_model_name=args.embedding_model_name,
+        embedding_batch_size=args.embedding_batch_size,
+        need_cluster=args.need_cluster,
+        is_mc=args.is_mc,
+        output_dir=args.output_dir,
+        save_dir=args.save_dir,
+        max_meta_loop_iterations=args.max_meta_loop_iterations,
+        max_tokens_ver=args.max_tokens_ver,
+        max_tokens_sem=args.max_tokens_sem,
+        max_tokens_epi=args.max_tokens_epi,
+    )
+
+    base = args.base_path
+    if os.path.exists(os.path.join(base, "corpus.jsonl")):
+        subset_paths = [base]
+    else:
+        subset_paths = sorted(
+            os.path.join(base, d) for d in os.listdir(base) if os.path.isdir(os.path.join(base, d))
+        )
+    for path in subset_paths:
+        sub = copy.deepcopy(config)
+        sub.output_dir = os.path.join(config.output_dir, os.path.basename(path))
+        sub.save_dir = os.path.join(config.save_dir, os.path.basename(path))
+        process_dataset(path, sub)
+
+
+if __name__ == "__main__":
+    main()
