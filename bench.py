@@ -6,6 +6,12 @@ and compares against the reference's retrieval path (torch-CPU ``mm`` +
 ``topk`` with batched key tiles, embed_utils.py:8-97 semantics) on the
 same data.
 
+The TPU path is *pipelined*, matching how the meta loop actually issues
+work (many concurrent probes per iteration, ComoRAG.py:356-358): all
+query batches are dispatched async, host copies start eagerly, and the
+pipeline is drained once — instead of paying a blocking host↔device
+round-trip per call.
+
 Prints ONE JSON line:
   {"metric": "retrieval_qps_per_chip", "value": ..., "unit": "qps",
    "vs_baseline": <tpu_qps / cpu_reference_qps>}
@@ -25,7 +31,7 @@ N = int(os.environ.get("BENCH_N", 100_000))
 DIM = int(os.environ.get("BENCH_DIM", 1024))
 P = int(os.environ.get("BENCH_P", 16))  # probe fan-out per meta iteration
 K = int(os.environ.get("BENCH_K", 50))  # qa_top_k default
-TPU_ITERS = int(os.environ.get("BENCH_ITERS", 30))
+TPU_ITERS = int(os.environ.get("BENCH_ITERS", 100))
 CPU_ITERS = int(os.environ.get("BENCH_CPU_ITERS", 3))
 
 
@@ -38,23 +44,31 @@ def make_data():
     return corpus, queries
 
 
-def bench_tpu(corpus: np.ndarray, queries: np.ndarray) -> tuple[float, np.ndarray]:
-    import jax
-
+def bench_tpu(corpus, queries, dtype="float32", exact=True):
+    """Pipelined QPS + last result; also returns blocking per-call QPS."""
     from comorag_tpu.retrieval.index import MipsIndex
 
-    index = MipsIndex(corpus)
+    index = MipsIndex(corpus, dtype=dtype)
     # warmup + compile
-    scores, idx = index.topk(queries, k=K)
+    idx_out = index.topk(queries, k=K)[1]
+
+    # pipelined: dispatch everything, then drain
     start = time.perf_counter()
-    for _ in range(TPU_ITERS):
-        scores, idx = index.topk(queries, k=K)
+    results = index.topk_many([queries] * TPU_ITERS, k=K, exact=exact)
     elapsed = time.perf_counter() - start
-    qps = P * TPU_ITERS / elapsed
-    return qps, idx
+    qps_pipe = P * TPU_ITERS / elapsed
+    idx_out = results[-1][1]
+
+    # sequential blocking (one sync per call) for reference
+    n_block = max(3, TPU_ITERS // 10)
+    start = time.perf_counter()
+    for _ in range(n_block):
+        _, idx_out_b = index.topk(queries, k=K, exact=exact)
+    qps_block = P * n_block / (time.perf_counter() - start)
+    return qps_pipe, qps_block, idx_out
 
 
-def bench_cpu_reference(corpus: np.ndarray, queries: np.ndarray) -> tuple[float, np.ndarray]:
+def bench_cpu_reference(corpus, queries):
     """The reference's device-agnostic retrieval loop (torch mm + topk over
     key batches, two-level top-k merge), running on CPU as it does without
     CUDA."""
@@ -63,9 +77,8 @@ def bench_cpu_reference(corpus: np.ndarray, queries: np.ndarray) -> tuple[float,
     q = torch.from_numpy(queries)
     key_batch = 10_000  # synonymy_edge_key_batch_size default
     keys = torch.from_numpy(corpus)
-    idx_out = None
-    start = time.perf_counter()
-    for _ in range(CPU_ITERS):
+
+    def one_pass():
         all_scores, all_idx = [], []
         offset = 0
         for i in range(0, len(keys), key_batch):
@@ -78,20 +91,28 @@ def bench_cpu_reference(corpus: np.ndarray, queries: np.ndarray) -> tuple[float,
         cat_s = torch.cat(all_scores, dim=1)
         cat_i = torch.cat(all_idx, dim=1)
         final_s, pos = torch.topk(cat_s, min(K, cat_s.shape[1]), dim=1, largest=True, sorted=True)
-        idx_out = torch.gather(cat_i, 1, pos)
-    elapsed = time.perf_counter() - start
-    qps = P * CPU_ITERS / elapsed
-    return qps, idx_out.numpy()
+        return torch.gather(cat_i, 1, pos)
+
+    idx_out = one_pass()  # warmup (thread pool spin-up, page-in)
+    # Best (fastest) pass = the most favorable baseline number, i.e. the
+    # most conservative reported speedup.
+    best = float("inf")
+    for _ in range(CPU_ITERS):
+        start = time.perf_counter()
+        idx_out = one_pass()
+        best = min(best, time.perf_counter() - start)
+    return P / best, idx_out.numpy()
+
+
+def overlap(a: np.ndarray, b: np.ndarray) -> float:
+    return float(np.mean([len(set(a[i]) & set(b[i])) / K for i in range(P)]))
 
 
 def main() -> None:
     corpus, queries = make_data()
-    tpu_qps, tpu_idx = bench_tpu(corpus, queries)
+    tpu_qps, tpu_qps_block, tpu_idx = bench_tpu(corpus, queries, dtype="float32", exact=True)
+    bf16_qps, _, bf16_idx = bench_tpu(corpus, queries, dtype="bfloat16", exact=True)
     cpu_qps, cpu_idx = bench_cpu_reference(corpus, queries)
-    # sanity: same top-k sets (allow order/tie differences)
-    overlap = np.mean(
-        [len(set(tpu_idx[i]) & set(cpu_idx[i])) / K for i in range(P)]
-    )
     result = {
         "metric": "retrieval_qps_per_chip",
         "value": round(tpu_qps, 2),
@@ -103,7 +124,10 @@ def main() -> None:
             "query_batch": P,
             "k": K,
             "cpu_reference_qps": round(cpu_qps, 2),
-            "topk_overlap": round(float(overlap), 4),
+            "tpu_blocking_qps": round(tpu_qps_block, 2),
+            "tpu_bf16_pipelined_qps": round(bf16_qps, 2),
+            "topk_overlap_vs_cpu": round(overlap(tpu_idx, cpu_idx), 4),
+            "topk_overlap_bf16_vs_cpu": round(overlap(bf16_idx, cpu_idx), 4),
         },
     }
     print(json.dumps(result))

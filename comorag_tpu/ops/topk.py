@@ -29,6 +29,19 @@ from jax import shard_map
 
 NEG_INF = -1e30
 
+def _score_dot(queries: jnp.ndarray, corpus_t: jnp.ndarray) -> jnp.ndarray:
+    """Query-corpus matmul with fp32 accumulation. fp32 inputs use true
+    fp32 MXU passes (Precision.HIGHEST) — the TPU default would silently
+    truncate operands to bf16; callers wanting the fast path store the
+    corpus in bf16 explicitly (MipsIndex dtype="bfloat16")."""
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if queries.dtype == jnp.float32 and corpus_t.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    return jnp.dot(queries, corpus_t, preferred_element_type=jnp.float32, precision=precision)
+
+
 
 def _mask_padded(scores: jnp.ndarray, n_valid: jnp.ndarray, offset: int | jnp.ndarray = 0) -> jnp.ndarray:
     """Set columns whose *global* row id >= n_valid to -inf."""
@@ -47,21 +60,41 @@ def dense_topk(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k inner products of each query against the corpus. Returns
     (scores [P, k], indices [P, k]) sorted descending."""
-    scores = jnp.dot(queries, corpus.T, preferred_element_type=jnp.float32)
+    scores = _score_dot(queries, corpus.T)
     scores = _mask_padded(scores, n_valid)
     if exact:
         return jax.lax.top_k(scores, k)
     return jax.lax.approx_max_k(scores, k, recall_target=0.95, aggregate_to_topk=True)
 
 
+def _pack(scores: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Pack (scores fp32 [P, k], idx int32 [P, k]) into one int32 [P, 2k]
+    buffer so the host fetch is a single transfer. The *scores* are the
+    bitcast side: small int indices bitcast to fp32 are denormals, which
+    the TPU VPU flushes to zero; int32 lanes round-trip exactly."""
+    score_bits = jax.lax.bitcast_convert_type(scores.astype(jnp.float32), jnp.int32)
+    return jnp.concatenate([score_bits, idx.astype(jnp.int32)], axis=1)
+
+
+def make_packed_topk(k: int, exact: bool = True):
+    """Jitted single-device top-k returning one packed [P, 2k] buffer."""
+
+    @jax.jit
+    def fn(queries, corpus, n_valid):
+        scores, idx = dense_topk(queries, corpus, n_valid, k, exact)
+        return _pack(scores, idx)
+
+    return fn
+
+
 @functools.partial(jax.jit, static_argnames=())
 def dense_scores(queries: jnp.ndarray, corpus: jnp.ndarray) -> jnp.ndarray:
     """Full score matrix [P, N] (used for PPR passage priors, where every
     node needs a weight)."""
-    return jnp.dot(queries, corpus.T, preferred_element_type=jnp.float32)
+    return _score_dot(queries, corpus.T)
 
 
-def make_sharded_topk(mesh: Mesh, k: int, axis: str = "corpus", exact: bool = True):
+def make_sharded_topk(mesh: Mesh, k: int, axis: str = "corpus", exact: bool = True, packed: bool = False):
     """Build a jitted sharded top-k: corpus sharded row-wise on ``axis``,
     queries replicated, output replicated.
 
@@ -75,7 +108,7 @@ def make_sharded_topk(mesh: Mesh, k: int, axis: str = "corpus", exact: bool = Tr
         shard_rows = corpus_shard.shape[0]
         my_shard = jax.lax.axis_index(axis)
         offset = my_shard * shard_rows
-        scores = jnp.dot(queries, corpus_shard.T, preferred_element_type=jnp.float32)
+        scores = _score_dot(queries, corpus_shard.T)
         scores = _mask_padded(scores, n_valid, offset=offset)
         if exact:
             local_scores, local_idx = jax.lax.top_k(scores, k)
@@ -98,7 +131,15 @@ def make_sharded_topk(mesh: Mesh, k: int, axis: str = "corpus", exact: bool = Tr
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    if not packed:
+        return jax.jit(sharded)
+
+    @jax.jit
+    def fn(queries, corpus, n_valid):
+        scores, idx = sharded(queries, corpus, n_valid)
+        return _pack(scores, idx)
+
+    return fn
 
 
 def make_sharded_scores(mesh: Mesh, axis: str = "corpus"):
@@ -106,7 +147,7 @@ def make_sharded_scores(mesh: Mesh, axis: str = "corpus"):
     sharded on its column axis (gathered to host by the caller if needed)."""
 
     def _local(queries, corpus_shard):
-        return jnp.dot(queries, corpus_shard.T, preferred_element_type=jnp.float32)
+        return _score_dot(queries, corpus_shard.T)
 
     sharded = shard_map(
         _local,

@@ -6,9 +6,16 @@ semantic summaries, episodic timeline). It owns:
   - padding to tile/shard boundaries (XLA static shapes),
   - placement: replicated on one device, or row-sharded over the mesh's
     ``corpus`` axis when a mesh is supplied,
+  - scoring dtype: fp32, or bf16 storage with fp32 MXU accumulation
+    (halves HBM traffic — the retrieval bottleneck),
   - query-batch bucketing so the jit cache stays small across the meta
     loop's variable probe fan-out,
-  - top-k and full-score entry points returning host numpy.
+  - a *pipelined* host protocol: every query launch is async, the top-k
+    scores+indices are packed into ONE device buffer, and the host copy is
+    started eagerly (``copy_to_host_async``) so device→host latency
+    overlaps with the next launch.  On a remote-attached TPU a blocking
+    round-trip costs tens of ms; the async protocol turns N sequential
+    syncs into one pipeline drain.
 
 This is the TPU-native replacement for the reference's per-call
 numpy/torch matmuls (ComoRAG.py:937-967, embed_utils.py:8-97).
@@ -16,15 +23,19 @@ numpy/torch matmuls (ComoRAG.py:937-967, embed_utils.py:8-97).
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from comorag_tpu.ops.topk import dense_topk, dense_scores, make_sharded_topk, make_sharded_scores
+from comorag_tpu.ops.topk import (
+    dense_scores,
+    make_packed_topk,
+    make_sharded_scores,
+    make_sharded_topk,
+)
 from comorag_tpu.utils.logging import get_logger
 
 logger = get_logger(__name__)
@@ -43,6 +54,30 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+class TopkHandle:
+    """An in-flight top-k query: device work + host copy already started.
+
+    ``result()`` blocks only on this handle's own transfer; independent
+    handles pipeline freely.
+    """
+
+    def __init__(self, packed: jax.Array, p: int, k: int):
+        self._packed = packed
+        self._p = p
+        self._k = k
+        try:
+            packed.copy_to_host_async()
+        except Exception:  # pragma: no cover - platform without async copies
+            pass
+
+    def result(self) -> Tuple[np.ndarray, np.ndarray]:
+        packed = np.asarray(self._packed)  # int32 [P, 2*k_pad]
+        k_pad = packed.shape[1] // 2
+        scores = packed[:, :k_pad].view(np.float32)[: self._p, : self._k]
+        idx = packed[: self._p, k_pad : k_pad + self._k].astype(np.int64)
+        return scores, idx
+
+
 class MipsIndex:
     def __init__(
         self,
@@ -50,10 +85,12 @@ class MipsIndex:
         mesh: Optional[Mesh] = None,
         axis: str = "corpus",
         min_rows_per_shard: int = 256,
+        dtype: str = "float32",  # "float32" | "bfloat16" storage/scoring
     ):
         self.n = int(matrix.shape[0])
         self.dim = int(matrix.shape[1]) if matrix.ndim == 2 and matrix.shape[1] else 1
         self.axis = axis
+        self.dtype = jnp.bfloat16 if dtype in ("bfloat16", "bf16") else jnp.float32
 
         n_shards = mesh.shape.get(axis, 1) if mesh is not None else 1
         # Sharding tiny layers wastes ICI latency; keep them single-device.
@@ -66,42 +103,61 @@ class MipsIndex:
         if self.n:
             padded[: self.n] = matrix
 
+        host = padded.astype(self.dtype) if self.dtype == jnp.bfloat16 else padded
         if self.mesh is not None:
             sharding = NamedSharding(self.mesh, P(axis, None))
-            self.corpus = jax.device_put(padded, sharding)
-            self._sharded_topk_cache: Dict[int, object] = {}
+            self.corpus = jax.device_put(host, sharding)
+            self._sharded_topk_cache: Dict[Tuple[int, bool], object] = {}
             self._sharded_scores = make_sharded_scores(self.mesh, axis)
         else:
-            self.corpus = jax.device_put(padded)
+            self.corpus = jax.device_put(host)
+            self._packed_topk_cache: Dict[Tuple[int, bool], object] = {}
         self.n_valid = jnp.asarray(self.n, jnp.int32)
 
     # ------------------------------------------------------------------ topk
-    def topk(self, queries: np.ndarray, k: int, exact: bool = True) -> Tuple[np.ndarray, np.ndarray]:
-        """Return (scores [P, k], indices [P, k]) as host numpy, descending.
-        ``queries`` may be [d] or [P, d]. k is clipped to N."""
+    def _prep_queries(self, queries: np.ndarray) -> Tuple[jnp.ndarray, int]:
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         p = queries.shape[0]
-        if self.n == 0:
-            return np.zeros((p, 0), np.float32), np.zeros((p, 0), np.int64)
-        k_eff = min(k, self.n)
-        # Static-shape padding of both the query batch and k.
         p_pad = _bucket(p)
-        k_pad = min(self.n_pad if self.mesh is None else self.n_pad // self.n_shards, _round_up(k_eff, 8))
-        k_pad = max(k_pad, k_eff)
         q_pad = np.zeros((p_pad, self.dim), np.float32)
         q_pad[:p] = queries
+        return jnp.asarray(q_pad.astype(self.dtype) if self.dtype == jnp.bfloat16 else q_pad), p
+
+    def topk_async(self, queries: np.ndarray, k: int, exact: bool = True) -> TopkHandle:
+        """Launch top-k and start the host copy; returns a TopkHandle.
+        ``queries`` may be [d] or [P, d]. k is clipped to N."""
+        q_dev, p = self._prep_queries(queries)
+        if self.n == 0:
+            return _EmptyHandle(p)
+        k_eff = min(k, self.n)
+        shard_cap = self.n_pad if self.mesh is None else self.n_pad // self.n_shards
+        k_pad = max(min(shard_cap, _round_up(k_eff, 8)), k_eff)
 
         if self.mesh is not None:
             fn = self._sharded_topk_cache.get((k_pad, exact))
             if fn is None:
-                fn = make_sharded_topk(self.mesh, k_pad, self.axis, exact=exact)
+                fn = make_sharded_topk(self.mesh, k_pad, self.axis, exact=exact, packed=True)
                 self._sharded_topk_cache[(k_pad, exact)] = fn
-            scores, idx = fn(jnp.asarray(q_pad), self.corpus, self.n_valid)
+            packed = fn(q_dev, self.corpus, self.n_valid)
         else:
-            scores, idx = dense_topk(jnp.asarray(q_pad), self.corpus, self.n_valid, k_pad, exact)
-        scores = np.asarray(scores)[:p, :k_eff]
-        idx = np.asarray(idx)[:p, :k_eff]
-        return scores, idx
+            fn = self._packed_topk_cache.get((k_pad, exact))
+            if fn is None:
+                fn = make_packed_topk(k_pad, exact=exact)
+                self._packed_topk_cache[(k_pad, exact)] = fn
+            packed = fn(q_dev, self.corpus, self.n_valid)
+        return TopkHandle(packed, p, k_eff)
+
+    def topk(self, queries: np.ndarray, k: int, exact: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+        """Return (scores [P, k], indices [P, k]) as host numpy, descending."""
+        return self.topk_async(queries, k, exact).result()
+
+    def topk_many(
+        self, query_batches: Sequence[np.ndarray], k: int, exact: bool = True
+    ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Pipelined fan-out: dispatch every batch before draining any —
+        one pipeline drain instead of len(batches) blocking round-trips."""
+        handles = [self.topk_async(q, k, exact) for q in query_batches]
+        return [h.result() for h in handles]
 
     # ----------------------------------------------------------- full scores
     def scores(self, queries: np.ndarray) -> np.ndarray:
@@ -110,11 +166,17 @@ class MipsIndex:
         p = queries.shape[0]
         if self.n == 0:
             return np.zeros((p, 0), np.float32)
-        p_pad = _bucket(p)
-        q_pad = np.zeros((p_pad, self.dim), np.float32)
-        q_pad[:p] = queries
+        q_dev, p = self._prep_queries(queries)
         if self.mesh is not None:
-            s = self._sharded_scores(jnp.asarray(q_pad), self.corpus)
+            s = self._sharded_scores(q_dev, self.corpus)
         else:
-            s = dense_scores(jnp.asarray(q_pad), self.corpus)
+            s = dense_scores(q_dev, self.corpus)
         return np.asarray(s)[:p, : self.n]
+
+
+class _EmptyHandle(TopkHandle):
+    def __init__(self, p: int):  # noqa: super-init-not-called
+        self._p = p
+
+    def result(self) -> Tuple[np.ndarray, np.ndarray]:
+        return np.zeros((self._p, 0), np.float32), np.zeros((self._p, 0), np.int64)
