@@ -18,6 +18,18 @@ Architecture (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA/Mosaic compilation cache: Pallas kernel compiles can take
+# minutes on remote-compile setups; cache them across processes. Opt out
+# with COMORAG_NO_COMPILE_CACHE=1 or by pre-setting JAX_COMPILATION_CACHE_DIR.
+if not _os.environ.get("COMORAG_NO_COMPILE_CACHE") and not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "jax_comorag"),
+    )
+    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 from comorag_tpu.config import ComoConfig
 
 

@@ -86,8 +86,22 @@ class PPRGraph:
         n_nodes: int,
         max_iters: int = 128,
         tol: float = 1e-10,
+        backend: str = "auto",
     ):
+        """backend: 'device' (JAX), 'native' (C++ host solver), or 'auto' —
+        native for small graphs where one host<->device round-trip costs
+        more than the whole solve, device at scale."""
         self.n_nodes = n_nodes
+        self.backend = backend
+        if backend in ("auto", "native"):
+            from comorag_tpu import native as _native
+
+            self._native = _native if _native.available() else None
+            self._src_host = np.asarray(src, np.int32)
+            self._dst_host = np.asarray(dst, np.int32)
+            self._w_host = np.asarray(weights, np.float32)
+        else:
+            self._native = None
         self.n_pad = _bucket(max(n_nodes, 2), _NODE_BUCKETS)
         self.max_iters = max_iters
         self.tol = tol
@@ -126,6 +140,24 @@ class PPRGraph:
         sums = resets.sum(axis=1, keepdims=True)
         sums[sums == 0] = 1.0
         resets = resets / sums
+
+        use_native = self._native is not None and (
+            self.backend == "native"
+            or (self.backend == "auto" and self.n_nodes * max(len(self._src_host), 1) < 50_000_000)
+        )
+        if use_native:
+            out = self._native.ppr(
+                self._src_host,
+                self._dst_host,
+                self._w_host,
+                self.n_nodes,
+                resets,
+                damping=float(damping),
+                tol=self.tol,
+                max_iters=self.max_iters,
+            )
+            if out is not None:
+                return out
         r_pad = np.zeros((b, self.n_pad), np.float32)
         r_pad[:, :n] = resets
         out = _ppr_batch(

@@ -81,25 +81,26 @@ class RetrievalEngine:
         graph arrays (reference prepare_retrieval_objects, ComoRAG.py:876-907)."""
         if self._ready:
             return
-        self.ver_index = MipsIndex(self.ver_store.matrix, mesh=self.mesh)
+        kw = dict(mesh=self.mesh, dtype=self.config.embedding_dtype, method=self.config.topk_method)
+        self.ver_index = MipsIndex(self.ver_store.matrix, **kw)
         self.passage_node_keys = self.ver_store.get_all_ids()
 
         if self.fact_store is not None and len(self.fact_store):
-            self.fact_index = MipsIndex(self.fact_store.matrix, mesh=self.mesh)
+            self.fact_index = MipsIndex(self.fact_store.matrix, **kw)
             self.fact_node_keys = self.fact_store.get_all_ids()
         else:
             self.fact_index = None
             self.fact_node_keys = []
 
         if self.sem_store is not None and len(self.sem_store):
-            self.sem_index = MipsIndex(self.sem_store.matrix, mesh=self.mesh)
+            self.sem_index = MipsIndex(self.sem_store.matrix, **kw)
             self.summary_node_keys = self.sem_store.get_all_ids()
         else:
             self.sem_index = None
             self.summary_node_keys = []
 
         if self.epi_store is not None and len(self.epi_store):
-            self.epi_index = MipsIndex(self.epi_store.matrix, mesh=self.mesh)
+            self.epi_index = MipsIndex(self.epi_store.matrix, **kw)
         else:
             self.epi_index = None
 

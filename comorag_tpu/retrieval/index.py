@@ -86,6 +86,7 @@ class MipsIndex:
         axis: str = "corpus",
         min_rows_per_shard: int = 256,
         dtype: str = "float32",  # "float32" | "bfloat16" storage/scoring
+        method: str = "xla",  # "xla" | "pallas" (fused streaming kernel)
     ):
         self.n = int(matrix.shape[0])
         self.dim = int(matrix.shape[1]) if matrix.ndim == 2 and matrix.shape[1] else 1
@@ -96,8 +97,14 @@ class MipsIndex:
         # Sharding tiny layers wastes ICI latency; keep them single-device.
         self.mesh = mesh if (mesh is not None and self.n >= n_shards * min_rows_per_shard) else None
         self.n_shards = mesh.shape[axis] if self.mesh is not None else 1
+        # The Pallas kernel needs tile-aligned rows, a single device, and a
+        # real TPU backend (tests run on CPU where only interpret mode works).
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        self.method = method if (method == "pallas" and self.mesh is None and self.n >= 512 and on_tpu) else "xla"
 
         pad_to = max(8, self.n_shards * 8)
+        if self.method == "pallas":
+            pad_to = 512
         self.n_pad = max(_round_up(max(self.n, 1), pad_to), self.n_shards * 8)
         padded = np.zeros((self.n_pad, self.dim), dtype=np.float32)
         if self.n:
@@ -119,6 +126,8 @@ class MipsIndex:
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         p = queries.shape[0]
         p_pad = _bucket(p)
+        if self.method == "pallas":
+            p_pad = max(p_pad, 8)  # kernel needs sublane-aligned query blocks
         q_pad = np.zeros((p_pad, self.dim), np.float32)
         q_pad[:p] = queries
         return jnp.asarray(q_pad.astype(self.dtype) if self.dtype == jnp.bfloat16 else q_pad), p
@@ -138,6 +147,19 @@ class MipsIndex:
             if fn is None:
                 fn = make_sharded_topk(self.mesh, k_pad, self.axis, exact=exact, packed=True)
                 self._sharded_topk_cache[(k_pad, exact)] = fn
+            packed = fn(q_dev, self.corpus, self.n_valid)
+        elif self.method == "pallas":
+            fn = self._packed_topk_cache.get(("pallas", k_pad))
+            if fn is None:
+                from comorag_tpu.ops.pallas_topk import pallas_mips_topk
+                from comorag_tpu.ops.topk import _pack
+
+                @jax.jit
+                def fn(q, c, nv, _k=k_pad):
+                    s, i = pallas_mips_topk(q, c, nv, _k)
+                    return _pack(s, i)
+
+                self._packed_topk_cache[("pallas", k_pad)] = fn
             packed = fn(q_dev, self.corpus, self.n_valid)
         else:
             fn = self._packed_topk_cache.get((k_pad, exact))

@@ -1,0 +1,130 @@
+"""Kernel-level numerics tests (SURVEY.md §4): the Pallas fused MIPS top-k
+(interpret mode on CPU; compiled path covered by bench on TPU) and the
+native C++ runtime (CSR build, PPR vs dense reference, host top-k)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from comorag_tpu import native
+from comorag_tpu.ops.pallas_topk import pallas_mips_topk
+from comorag_tpu.ops.ppr import PPRGraph, ppr_dense_reference
+
+
+def _random_graph(rng, n=40, m=120):
+    u = rng.integers(0, n, m)
+    v = rng.integers(0, n, m)
+    keep = u != v
+    u, v = u[keep], v[keep]
+    w = rng.random(len(u)).astype(np.float32) + 0.1
+    src = np.concatenate([u, v]).astype(np.int32)
+    dst = np.concatenate([v, u]).astype(np.int32)
+    ww = np.concatenate([w, w]).astype(np.float32)
+    return src, dst, ww, n
+
+
+class TestPallasTopk:
+    def test_exact_vs_argsort(self):
+        rng = np.random.default_rng(0)
+        n, d, p, k = 1024, 128, 8, 20
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        q = rng.standard_normal((p, d)).astype(np.float32)
+        s, i = pallas_mips_topk(
+            jnp.asarray(q), jnp.asarray(c), jnp.asarray(n, jnp.int32), k, interpret=True
+        )
+        ref_full = q @ c.T
+        ref_i = np.argsort(-ref_full, axis=1)[:, :k]
+        assert (np.asarray(i) == ref_i).all()
+        ref_s = np.take_along_axis(ref_full, ref_i, axis=1)
+        assert np.abs(np.asarray(s) - ref_s).max() < 1e-2
+
+    def test_padding_mask(self):
+        rng = np.random.default_rng(1)
+        n_pad, n_valid, d, k = 1024, 900, 64, 10
+        c = rng.standard_normal((n_pad, d)).astype(np.float32)
+        q = rng.standard_normal((8, d)).astype(np.float32)
+        _, i = pallas_mips_topk(
+            jnp.asarray(q), jnp.asarray(c), jnp.asarray(n_valid, jnp.int32), k, interpret=True
+        )
+        i = np.asarray(i)
+        assert (i < n_valid).all()
+        ref_i = np.argsort(-(q @ c[:n_valid].T), axis=1)[:, :k]
+        assert (i == ref_i).all()
+
+    def test_tie_breaks_to_lowest_index(self):
+        # duplicate rows -> equal scores; lax.top_k picks the lowest index
+        c = np.zeros((512, 8), np.float32)
+        c[:] = 1.0  # every row identical
+        q = np.ones((8, 8), np.float32)
+        _, i = pallas_mips_topk(
+            jnp.asarray(q), jnp.asarray(c), jnp.asarray(512, jnp.int32), 4, interpret=True
+        )
+        assert (np.asarray(i) == np.arange(4)).all()
+
+    def test_multi_query_block(self):
+        rng = np.random.default_rng(2)
+        n, d, p, k = 1024, 32, 16, 5
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        q = rng.standard_normal((p, d)).astype(np.float32)
+        _, i = pallas_mips_topk(
+            jnp.asarray(q), jnp.asarray(c), jnp.asarray(n, jnp.int32), k,
+            tile_n=256, block_p=8, interpret=True,
+        )
+        ref_i = np.argsort(-(q @ c.T), axis=1)[:, :k]
+        assert (np.asarray(i) == ref_i).all()
+
+
+@pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+class TestNative:
+    def test_csr_roundtrip(self):
+        rng = np.random.default_rng(3)
+        src, dst, w, n = _random_graph(rng)
+        indptr, indices, data = native.build_csr(src, dst, w, n)
+        assert indptr[-1] == len(src)
+        # row u's out-neighbors match the arc list
+        for u in range(n):
+            mine = sorted(zip(indices[indptr[u] : indptr[u + 1]].tolist(), data[indptr[u] : indptr[u + 1]].tolist()))
+            ref = sorted(zip(dst[src == u].tolist(), w[src == u].tolist()))
+            assert mine == ref
+
+    def test_ppr_matches_dense_reference(self):
+        rng = np.random.default_rng(4)
+        src, dst, w, n = _random_graph(rng)
+        reset = np.zeros(n, np.float32)
+        reset[[3, 7, 19]] = [1.0, 2.0, 0.5]
+        ref = ppr_dense_reference(src, dst, w, n, reset, damping=0.5, iters=800)
+        out = native.ppr(src, dst, w, n, reset[None, :], damping=0.5, tol=1e-12, max_iters=500)
+        assert np.abs(out[0] - ref).max() < 1e-6
+        assert (np.argsort(-out[0]) == np.argsort(-ref)).all()
+
+    def test_ppr_batched_threads(self):
+        rng = np.random.default_rng(5)
+        src, dst, w, n = _random_graph(rng)
+        resets = rng.random((6, n)).astype(np.float32)
+        out = native.ppr(src, dst, w, n, resets, damping=0.5)
+        for b in range(6):
+            ref = ppr_dense_reference(src, dst, w, n, resets[b], 0.5, 800)
+            assert np.abs(out[b] - ref).max() < 1e-6
+
+    def test_host_topk(self):
+        rng = np.random.default_rng(6)
+        c = rng.standard_normal((300, 24)).astype(np.float32)
+        q = rng.standard_normal((5, 24)).astype(np.float32)
+        s, i = native.mips_topk(q, c, 7)
+        ref_i = np.argsort(-(q @ c.T), axis=1)[:, :7]
+        assert (i == ref_i).all()
+
+
+@pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+class TestPPRGraphBackends:
+    def test_native_and_device_agree(self):
+        rng = np.random.default_rng(7)
+        src, dst, w, n = _random_graph(rng)
+        resets = rng.random((3, n)).astype(np.float32)
+        g_native = PPRGraph(src, dst, w, n, backend="native", tol=1e-12, max_iters=500)
+        g_device = PPRGraph(src, dst, w, n, backend="device", tol=1e-12, max_iters=500)
+        out_n = g_native.query(resets, damping=0.5)
+        out_d = g_device.query(resets, damping=0.5)
+        assert np.abs(out_n - out_d).max() < 1e-5
+        # rankings identical (what retrieval consumes)
+        assert (np.argsort(-out_n, axis=1) == np.argsort(-out_d, axis=1)).all()
