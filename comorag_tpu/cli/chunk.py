@@ -48,6 +48,42 @@ def chunk_by_tokens(text: str, chunk_size: int, tokenizer, overlap: int = 0) -> 
     return out
 
 
+def chunk_recursive(text: str, chunk_size: int) -> List[str]:
+    """Hierarchical splitting (reference's chonkie RecursiveChunker
+    semantics): paragraphs -> sentences -> words, splitting a level only
+    when a piece exceeds ~chunk_size words, then greedily re-packing."""
+
+    def split_level(piece: str, level: int) -> List[str]:
+        if len(piece.split()) <= chunk_size:
+            return [piece]
+        if level == 0:
+            parts = [p.strip() for p in re.split(r"\n\s*\n", piece) if p.strip()]
+        elif level == 1:
+            parts = [s.strip() for s in re.split(r"(?<=[.!?])\s+", piece) if s.strip()]
+        else:
+            return chunk_by_words(piece, chunk_size)
+        if len(parts) <= 1:
+            return split_level(piece, level + 1)
+        out: List[str] = []
+        for p in parts:
+            out.extend(split_level(p, level + 1))
+        return out
+
+    pieces = split_level(text, 0)
+    # greedy re-pack to ~chunk_size words
+    chunks, current, count = [], [], 0
+    for p in pieces:
+        n = len(p.split())
+        if current and count + n > chunk_size:
+            chunks.append(" ".join(current))
+            current, count = [], 0
+        current.append(p)
+        count += n
+    if current:
+        chunks.append(" ".join(current))
+    return chunks
+
+
 def make_chunker(method: str, chunk_size: int, tokenizer_path: Optional[str], overlap: int) -> Callable[[str], List[str]]:
     if method == "token" and tokenizer_path:
         from transformers import AutoTokenizer
@@ -56,6 +92,8 @@ def make_chunker(method: str, chunk_size: int, tokenizer_path: Optional[str], ov
         return lambda text: chunk_by_tokens(text, chunk_size, tok, overlap)
     if method == "sentence":
         return lambda text: chunk_by_sentences(text, chunk_size)
+    if method == "recursive":
+        return lambda text: chunk_recursive(text, chunk_size)
     # "word" and tokenizer-less "token" both fall back to words
     return lambda text: chunk_by_words(text, chunk_size, overlap)
 
@@ -64,7 +102,7 @@ def main() -> None:
     parser = argparse.ArgumentParser(description="Chunk documents from a corpus JSONL file")
     parser.add_argument("--input_path", required=True)
     parser.add_argument("--output_path", required=True)
-    parser.add_argument("--chunk_by", default="token", choices=["token", "word", "sentence"])
+    parser.add_argument("--chunk_by", default="token", choices=["token", "word", "sentence", "recursive"])
     parser.add_argument("--chunk_size", default=512, type=int)
     parser.add_argument("--overlap", default=0, type=int)
     parser.add_argument("--tokenizer_name_or_path", default=None)
