@@ -330,9 +330,12 @@ class ComoRAG:
             step_info["probes"] = probes
 
             pool_hashes = pool.get_all_hashes()
-            for probe in probes:
-                docs = self.engine.tri_retrieve(probe, pool_hashes).as_docs()
-                self.mem_encode(query + " " + probe, docs, pool, probe=probe)
+            # One batched device call per layer for the WHOLE fan-out
+            # (probes x {fact-score, DPR, PPR, episodic} — SURVEY.md §7.1),
+            # vs the reference's sequential per-probe retrievals.
+            fan_out = self.engine.tri_retrieve_batch(probes, pool_hashes)
+            for probe, retrieved_probe in zip(probes, fan_out):
+                self.mem_encode(query + " " + probe, retrieved_probe.as_docs(), pool, probe=probe)
 
             fused = pool.create_fusion_content(probe=query, top_k_percent=0.5)
             pool.add_fused_node(probe=query, fused_content=fused)

@@ -172,19 +172,16 @@ class RetrievalEngine:
         }
 
     # ----------------------------------------------------------- graph search
-    def graph_search(
+    def _phrase_weights(
         self,
-        passage_query_emb: np.ndarray,
         fact_score_row: np.ndarray,
         top_k_facts: Sequence[Tuple[str, str, str]],
         top_k_fact_indices: Sequence[int],
-        passage_node_weight: float = 0.005,
-    ) -> Tuple[np.ndarray, np.ndarray, Dict[str, float]]:
-        """Seed node weights from reranked facts + DPR priors, run PPR, and
-        rank passages (graph_search_with_fact_entities semantics)."""
+    ) -> Tuple[np.ndarray, Dict[str, float]]:
+        """Seed entity-node weights from reranked facts
+        (graph_search_with_fact_entities phrase side, ComoRAG.py:1005-1026)."""
         g = self.graph
-        n_nodes = g.n_nodes
-        phrase_weights = np.zeros(n_nodes, np.float64)
+        phrase_weights = np.zeros(g.n_nodes, np.float64)
         linking_score_map: Dict[str, float] = {}
         phrase_scores: Dict[str, List[float]] = {}
         used_phrases: Dict[str, float] = {}
@@ -217,23 +214,38 @@ class RetrievalEngine:
             for name, node_id in g.name_to_idx.items():
                 if name.startswith("entity-") and name not in top_keys:
                     phrase_weights[node_id] = 0.0
+        return phrase_weights, used_phrases
 
-        # DPR passage priors.
-        passage_weights = np.zeros(n_nodes, np.float64)
-        sorted_ids, sorted_scores = self.dense_ranking(passage_query_emb[None, :], self.ver_index)
-        dpr_norm = min_max_normalize_np(sorted_scores[0])
-        for i, doc_id in enumerate(sorted_ids[0]):
+    def _passage_priors(self, dpr_sorted_ids: np.ndarray, dpr_sorted_scores: np.ndarray, passage_node_weight: float) -> np.ndarray:
+        """DPR passage priors for one probe's graph seeds (ComoRAG.py:1034-1042)."""
+        g = self.graph
+        passage_weights = np.zeros(g.n_nodes, np.float64)
+        dpr_norm = min_max_normalize_np(dpr_sorted_scores)
+        for i, doc_id in enumerate(dpr_sorted_ids):
             node_id = g.name_to_idx[self.passage_node_keys[doc_id]]
             passage_weights[node_id] = dpr_norm[i] * passage_node_weight
+        return passage_weights
 
-        node_weights = phrase_weights + passage_weights
+    def graph_search(
+        self,
+        passage_query_emb: np.ndarray,
+        fact_score_row: np.ndarray,
+        top_k_facts: Sequence[Tuple[str, str, str]],
+        top_k_fact_indices: Sequence[int],
+        passage_node_weight: float = 0.005,
+    ) -> Tuple[np.ndarray, np.ndarray, Dict[str, float]]:
+        """Single-probe graph search: seed weights -> PPR -> passage ranking
+        (graph_search_with_fact_entities semantics). The batched fan-out
+        path is graph_search_batch."""
+        phrase_weights, used = self._phrase_weights(fact_score_row, top_k_facts, top_k_fact_indices)
+        sorted_ids, sorted_scores = self.dense_ranking(passage_query_emb[None, :], self.ver_index)
+        node_weights = phrase_weights + self._passage_priors(sorted_ids[0], sorted_scores[0], passage_node_weight)
         if node_weights.sum() <= 0:
             raise ValueError("No graph seeds for the given facts")
-
         ppr_scores = self.ppr.query(node_weights[None, :], damping=self.config.damping)[0]
         doc_scores = ppr_scores[self.passage_node_idxs]
         order = np.argsort(-doc_scores)
-        return order, doc_scores[order], used_phrases
+        return order, doc_scores[order], used
 
     # ------------------------------------------------------------ tri_retrieve
     def tri_retrieve(
@@ -244,70 +256,97 @@ class RetrievalEngine:
         sem_top_k: Optional[int] = None,
         epi_top_k: Optional[int] = None,
     ) -> RetrievalResult:
+        return self.tri_retrieve_batch([query], pool_hashes, ver_top_k, sem_top_k, epi_top_k)[0]
+
+    def tri_retrieve_batch(
+        self,
+        queries: Sequence[str],
+        pool_hashes: Optional[Dict[str, List[str]]] = None,
+        ver_top_k: Optional[int] = None,
+        sem_top_k: Optional[int] = None,
+        epi_top_k: Optional[int] = None,
+    ) -> List[RetrievalResult]:
+        """The batched probe fan-out (SURVEY.md §7.1's idiomatic shift): the
+        whole fan-out encodes in one batch, scores each memory layer with
+        ONE device call, and solves every probe's PPR in ONE batched call —
+        vs the reference's ~9 sequential per-probe retrievals per iteration
+        (ComoRAG.py:356-358)."""
         self.prepare()
         cfg = self.config
         ver_top_k = ver_top_k or cfg.qa_ver_top_k
         sem_top_k = sem_top_k or cfg.qa_sem_top_k
         epi_top_k = epi_top_k or cfg.qa_epi_top_k
         pool_hashes = pool_hashes or {}
-        result = RetrievalResult()
+        queries = list(queries)
+        b = len(queries)
+        results = [RetrievalResult() for _ in range(b)]
+        if b == 0:
+            return results
 
-        embs = self.encode_queries([query])
-        fact_emb = embs["fact"][0]
-        passage_emb = embs["passage"][0]
+        embs = self.encode_queries(queries)
+        fact_embs = embs["fact"]      # [B, d]
+        passage_embs = embs["passage"]  # [B, d]
 
-        # ---- veridical branch: facts -> rerank -> graph PPR (or DPR fallback)
-        sorted_doc_ids = None
+        # ---- veridical branch: facts -> rerank -> batched graph PPR -------
+        # One DPR ranking call serves priors AND the no-facts fallback.
+        dpr_ids, dpr_scores = self.dense_ranking(passage_embs, self.ver_index)
+        sorted_doc_ids: List[Optional[np.ndarray]] = [None] * b
         if self.fact_index is not None and self.ppr is not None:
-            score_row = self.fact_scores(fact_emb[None, :])[0]
-            top_idx, top_facts, rerank_log = self.rerank_facts(query, score_row)
-            result.rerank_log = rerank_log
-            if top_facts:
-                try:
-                    sorted_doc_ids, _, used = self.graph_search(
-                        passage_emb, score_row, top_facts, top_idx, passage_node_weight=0.005
-                    )
-                    result.linked_phrases = used
-                except ValueError:
-                    sorted_doc_ids = None
-        if sorted_doc_ids is None:
-            sorted_doc_ids, _ = self.dense_ranking(passage_emb[None, :], self.ver_index)
-            sorted_doc_ids = sorted_doc_ids[0]
+            score_rows = self.fact_scores(fact_embs)  # [B, F] in one call
+            seeds: List[Tuple[int, np.ndarray]] = []
+            for qi, query in enumerate(queries):
+                top_idx, top_facts, rerank_log = self.rerank_facts(query, score_rows[qi])
+                results[qi].rerank_log = rerank_log
+                if not top_facts:
+                    continue
+                phrase_w, used = self._phrase_weights(score_rows[qi], top_facts, top_idx)
+                node_w = phrase_w + self._passage_priors(dpr_ids[qi], dpr_scores[qi], 0.005)
+                if node_w.sum() <= 0:
+                    continue
+                results[qi].linked_phrases = used
+                seeds.append((qi, node_w))
+            if seeds:
+                resets = np.stack([w for _, w in seeds])
+                ppr_scores = self.ppr.query(resets, damping=cfg.damping)  # ONE batched solve
+                for row, (qi, _) in enumerate(seeds):
+                    doc_scores = ppr_scores[row][self.passage_node_idxs]
+                    sorted_doc_ids[qi] = np.argsort(-doc_scores)
 
-        top_docs = [self.ver_store.get_text(self.passage_node_keys[i]) for i in sorted_doc_ids[:ver_top_k]]
-        # Pool dedup. NOTE: the reference compares store-namespace hashes
-        # against node-type-prefixed pool hashes, which never match — its
-        # dedup is a silent no-op (ComoRAG.py:504-505 vs memory_utils.py:41).
-        # Here both sides hash with the node-type prefix so consolidation
-        # actually deduplicates.
         ver_seen = set(pool_hashes.get("veridical", []))
-        if ver_seen:
-            top_docs = [d for d in top_docs if content_hash(d, "veridical-") not in ver_seen]
-        # chronological re-sort by insertion order
-        top_docs.sort(key=lambda d: self.ver_store.order_of(self.ver_store.key_for(d)))
-        result.veridical = top_docs
+        for qi in range(b):
+            doc_order = sorted_doc_ids[qi] if sorted_doc_ids[qi] is not None else dpr_ids[qi]
+            top_docs = [self.ver_store.get_text(self.passage_node_keys[i]) for i in doc_order[:ver_top_k]]
+            # Pool dedup. NOTE: the reference compares store-namespace hashes
+            # against node-type-prefixed pool hashes, which never match — its
+            # dedup is a silent no-op (ComoRAG.py:504-505 vs memory_utils.py:41).
+            # Here both sides hash with the node-type prefix so consolidation
+            # actually deduplicates.
+            if ver_seen:
+                top_docs = [d for d in top_docs if content_hash(d, "veridical-") not in ver_seen]
+            # chronological re-sort by insertion order
+            top_docs.sort(key=lambda d: self.ver_store.order_of(self.ver_store.key_for(d)))
+            results[qi].veridical = top_docs
 
-        # ---- semantic branch
+        # ---- semantic branch: one ranking call for the whole fan-out ------
         if self.sem_index is not None:
-            sem_ids, _ = self.dense_ranking(passage_emb[None, :], self.sem_index)
-            top_sem = [self.sem_store.get_text(self.summary_node_keys[i]) for i in sem_ids[0][:sem_top_k]]
+            sem_ids, _ = self.dense_ranking(passage_embs, self.sem_index)
             sem_seen = set(pool_hashes.get("semantical", []))
-            if sem_seen:
-                top_sem = [s for s in top_sem if content_hash(s, "semantical-") not in sem_seen]
-            result.semantic = top_sem
+            for qi in range(b):
+                top_sem = [self.sem_store.get_text(self.summary_node_keys[i]) for i in sem_ids[qi][:sem_top_k]]
+                if sem_seen:
+                    top_sem = [s for s in top_sem if content_hash(s, "semantical-") not in sem_seen]
+                results[qi].semantic = top_sem
 
-        # ---- episodic branch
+        # ---- episodic branch: one top-k call for the whole fan-out --------
         if self.epi_index is not None:
-            epi_query = self.encoder.encode(
-                [query], instruction=get_query_instruction("query_to_passage"), norm=True
-            )[0]
-            scores, idx = self.epi_index.topk(epi_query[None, :], k=epi_top_k)
+            _, epi_idx = self.epi_index.topk(passage_embs, k=epi_top_k)
             epi_keys = self.epi_store.get_all_ids()
-            top_epi = [self.epi_store.get_text(epi_keys[i]) for i in idx[0]]
             epi_seen = set(pool_hashes.get("episodic", []))
-            if epi_seen:
-                top_epi = [e for e in top_epi if content_hash(e, "episodic-") not in epi_seen]
-            top_epi.sort(key=lambda e: self.epi_store.order_of(self.epi_store.key_for(e)))
-            result.episodic = top_epi
+            for qi in range(b):
+                top_epi = [self.epi_store.get_text(epi_keys[i]) for i in epi_idx[qi]]
+                if epi_seen:
+                    top_epi = [e for e in top_epi if content_hash(e, "episodic-") not in epi_seen]
+                top_epi.sort(key=lambda e: self.epi_store.order_of(self.epi_store.key_for(e)))
+                results[qi].episodic = top_epi
 
-        return result
+        return results

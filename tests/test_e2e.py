@@ -111,3 +111,19 @@ def test_reload_from_disk(rag):
     assert rag2.graph.n_nodes == rag.graph.n_nodes
     result = rag2.engine.tri_retrieve("Who taught Mara to read star charts?")
     assert any("star charts" in d for d in result.veridical)
+
+
+def test_tri_retrieve_batch_matches_single(rag):
+    """The batched probe fan-out must return exactly what per-probe calls
+    return (one device call per layer + one batched PPR vs N sequential)."""
+    probes = [
+        "Who did Mara pull from the freezing water?",
+        "What did the Harbor Guild offer Mara?",
+        "What did Tomas forge in the village smithy?",
+    ]
+    batched = rag.engine.tri_retrieve_batch(probes)
+    for probe, got in zip(probes, batched):
+        single = rag.engine.tri_retrieve(probe)
+        assert got.veridical == single.veridical
+        assert got.semantic == single.semantic
+        assert got.episodic == single.episodic
