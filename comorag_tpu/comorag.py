@@ -109,9 +109,24 @@ class ComoRAG:
         self._engine: Optional[RetrievalEngine] = None
 
     # ------------------------------------------------------------------ index
+    def pre_openie(self, docs: Sequence[str]) -> int:
+        """Two-phase indexing pre-pass (reference openie_mode='offline',
+        ComoRAG.py:180-196): embed the chunks and run/persist OpenIE only,
+        so a later ``index()`` call finds everything cached. Unlike the
+        reference, which halts with ``assert False`` after saving (a quirk,
+        SURVEY.md §7.3), this returns the number of chunks processed."""
+        self.ver_store.insert_strings(list(docs))
+        ner_results, _ = self._run_openie()
+        return len(ner_results)
+
     def index(self, docs: Sequence[str]) -> None:
         cfg = self.config
         logger.info("Indexing %d documents", len(docs))
+        if cfg.openie_mode == "offline":
+            # run the OpenIE pre-pass first so the graph stage below is a
+            # pure cache read — same two-phase artifact flow as the
+            # reference, minus the deliberate halt.
+            self.pre_openie(list(docs))
         self.ver_store.insert_strings(list(docs))
 
         if cfg.need_cluster:
