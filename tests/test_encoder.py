@@ -96,3 +96,49 @@ def test_multichip_train_step_runs():
     # params actually sharded over the model axis
     q_w = state.params["layers"]["q_w"]
     assert len(q_w.sharding.device_set) == 8 or q_w.sharding.is_fully_replicated is False
+
+
+def test_hf_checkpoint_parity(tmp_path):
+    """Weight-conversion oracle: a randomly-initialized HF BERT saved to
+    disk must produce the same pooled embeddings through the JAX encoder
+    as through the torch forward (mean-pool + L2, BGEEmbedding.py:15-28)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    import numpy as np
+    import jax.numpy as jnp
+
+    from comorag_tpu.models.bge import encode_pooled, load_hf_checkpoint
+
+    cfg = transformers.BertConfig(
+        vocab_size=97,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=48,
+    )
+    torch.manual_seed(0)
+    model = transformers.BertModel(cfg)
+    model.eval()
+    model.save_pretrained(tmp_path / "tiny-bert")
+
+    params, arch = load_hf_checkpoint(str(tmp_path / "tiny-bert"))
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 97, (3, 16)).astype(np.int64)
+    mask = np.ones((3, 16), np.int64)
+    mask[1, 10:] = 0
+    ids[1, 10:] = 0
+
+    with torch.no_grad():
+        hidden = model(
+            input_ids=torch.from_numpy(ids), attention_mask=torch.from_numpy(mask)
+        ).last_hidden_state.numpy()
+    m = mask[..., None].astype(np.float32)
+    ref = (hidden * m).sum(1) / m.sum(1)
+    ref = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
+
+    got = np.asarray(
+        encode_pooled(params, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32), arch)
+    )
+    assert np.abs(got - ref).max() < 2e-4, np.abs(got - ref).max()
