@@ -50,6 +50,7 @@ from comorag_tpu.timeline.summarizer import TimelineSummarizer
 from comorag_tpu.types import QuerySolution
 from comorag_tpu.utils.hashing import content_hash
 from comorag_tpu.utils.logging import get_logger
+from comorag_tpu.utils import trace
 from comorag_tpu.utils.text import TokenCounter, text_processing
 
 logger = get_logger(__name__)
@@ -127,13 +128,17 @@ class ComoRAG:
             # pure cache read — same two-phase artifact flow as the
             # reference, minus the deliberate halt.
             self.pre_openie(list(docs))
-        self.ver_store.insert_strings(list(docs))
+        with trace.span("index.embed_chunks"):
+            self.ver_store.insert_strings(list(docs))
 
         if cfg.need_cluster:
-            self._build_timeline()
-            self._build_semantic_tree()
+            with trace.span("index.timeline"):
+                self._build_timeline()
+            with trace.span("index.semantic_tree"):
+                self._build_semantic_tree()
 
-        ner_results, triple_results = self._run_openie()
+        with trace.span("index.openie"):
+            ner_results, triple_results = self._run_openie()
         chunk_ids = self.ver_store.get_all_ids()
         chunk_triples = [
             [text_processing(t) for t in triple_results[cid]] for cid in chunk_ids
@@ -146,7 +151,8 @@ class ComoRAG:
         self.fact_store.insert_strings([json.dumps(list(f)) for f in facts])
 
         if not cfg.skip_graph:
-            self._build_graph(chunk_ids, chunk_triples, per_chunk_entities)
+            with trace.span("index.graph"):
+                self._build_graph(chunk_ids, chunk_triples, per_chunk_entities)
         self._engine = None  # force re-prepare with fresh stores
 
     def _build_timeline(self) -> None:
@@ -282,7 +288,8 @@ class ComoRAG:
         probe_agent = ProbeAgent(self.llm, self.prompts)
         pool = MemoryPool(encoder=self.encoder, agent=pool_agent)
 
-        retrieved = self.engine.tri_retrieve(query, pool.get_all_hashes())
+        with trace.span("qa.initial_retrieve"):
+            retrieved = self.engine.tri_retrieve(query, pool.get_all_hashes())
         self.mem_encode(query, retrieved.as_docs(), pool)
 
         ver_context = "\n".join(v for n in pool.get_temp_nodes_by_type(NodeType.VER) for v in (n.original_content or []))
@@ -348,7 +355,8 @@ class ComoRAG:
             # One batched device call per layer for the WHOLE fan-out
             # (probes x {fact-score, DPR, PPR, episodic} — SURVEY.md §7.1),
             # vs the reference's sequential per-probe retrievals.
-            fan_out = self.engine.tri_retrieve_batch(probes, pool_hashes)
+            with trace.span("qa.probe_fanout_retrieve"):
+                fan_out = self.engine.tri_retrieve_batch(probes, pool_hashes)
             for probe, retrieved_probe in zip(probes, fan_out):
                 self.mem_encode(query + " " + probe, retrieved_probe.as_docs(), pool, probe=probe)
 
@@ -410,4 +418,5 @@ class ComoRAG:
             for future in as_completed(futures):
                 q_idx, solution, _ = future.result()
                 solutions[q_idx] = solution
+        trace.dump(os.path.join(self.config.output_dir, "trace.json"))
         return [s for s in solutions if s is not None]

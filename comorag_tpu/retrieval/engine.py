@@ -34,6 +34,7 @@ from comorag_tpu.retrieval.index import MipsIndex
 from comorag_tpu.store.embedding_store import EmbeddingStore
 from comorag_tpu.utils.hashing import content_hash
 from comorag_tpu.utils.logging import get_logger
+from comorag_tpu.utils import trace
 
 logger = get_logger(__name__)
 
@@ -283,13 +284,15 @@ class RetrievalEngine:
         if b == 0:
             return results
 
-        embs = self.encode_queries(queries)
+        with trace.span("retrieve.encode_queries"):
+            embs = self.encode_queries(queries)
         fact_embs = embs["fact"]      # [B, d]
         passage_embs = embs["passage"]  # [B, d]
 
         # ---- veridical branch: facts -> rerank -> batched graph PPR -------
         # One DPR ranking call serves priors AND the no-facts fallback.
-        dpr_ids, dpr_scores = self.dense_ranking(passage_embs, self.ver_index)
+        with trace.span("retrieve.dense_ranking"):
+            dpr_ids, dpr_scores = self.dense_ranking(passage_embs, self.ver_index)
         sorted_doc_ids: List[Optional[np.ndarray]] = [None] * b
         if self.fact_index is not None and self.ppr is not None:
             score_rows = self.fact_scores(fact_embs)  # [B, F] in one call
@@ -307,7 +310,8 @@ class RetrievalEngine:
                 seeds.append((qi, node_w))
             if seeds:
                 resets = np.stack([w for _, w in seeds])
-                ppr_scores = self.ppr.query(resets, damping=cfg.damping)  # ONE batched solve
+                with trace.span("retrieve.ppr"):
+                    ppr_scores = self.ppr.query(resets, damping=cfg.damping)  # ONE batched solve
                 for row, (qi, _) in enumerate(seeds):
                     doc_scores = ppr_scores[row][self.passage_node_idxs]
                     sorted_doc_ids[qi] = np.argsort(-doc_scores)
