@@ -84,11 +84,33 @@ def make_train_step(
     batch_sharding = {
         k: NamedSharding(mesh, P(dp_axis, None)) for k in ("q_ids", "q_mask", "p_ids", "p_mask")
     }
-    opt_shard = jax.tree.map(lambda _: replicated, optimizer.init(init_params(jax.random.PRNGKey(0), arch)))
     # Adam moments follow the parameter shardings; scalars replicate.
     opt_shard = _shard_opt_like(optimizer, p_shard, replicated, arch)
     state_shardings = TrainState(p_shard, opt_shard, replicated)
     return jax.jit(step, in_shardings=(state_shardings, batch_sharding), out_shardings=(state_shardings, replicated))
+
+
+def save_checkpoint(path: str, state: TrainState) -> None:
+    """Persist a TrainState with orbax (async-safe, atomic directory swap)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(_abs(path), state, force=True)
+
+
+def load_checkpoint(path: str, state_like: TrainState) -> TrainState:
+    """Restore a TrainState saved by ``save_checkpoint``. ``state_like``
+    supplies the tree structure/shapes (e.g. a fresh create_train_state)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(_abs(path), state_like)
+
+
+def _abs(path: str) -> str:
+    import os
+
+    return os.path.abspath(path)
 
 
 def _shard_opt_like(optimizer, p_shard, replicated, arch):

@@ -142,3 +142,40 @@ def test_hf_checkpoint_parity(tmp_path):
         encode_pooled(params, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32), arch)
     )
     assert np.abs(got - ref).max() < 2e-4, np.abs(got - ref).max()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """orbax save -> restore reproduces params, optimizer state, and step;
+    training resumes from the restored state."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from comorag_tpu.models.bge import EncoderArch
+    from comorag_tpu.models.train import (
+        create_train_state,
+        load_checkpoint,
+        make_train_step,
+        save_checkpoint,
+    )
+
+    arch = EncoderArch.tiny()
+    step = make_train_step(arch)
+    state = create_train_state(jax.random.PRNGKey(0), arch)
+    batch = {
+        "q_ids": jnp.ones((8, 16), jnp.int32),
+        "q_mask": jnp.ones((8, 16), jnp.int32),
+        "p_ids": jnp.ones((8, 16), jnp.int32),
+        "p_mask": jnp.ones((8, 16), jnp.int32),
+    }
+    state, _ = step(state, batch)
+    save_checkpoint(str(tmp_path / "ckpt"), state)
+
+    fresh = create_train_state(jax.random.PRNGKey(1), arch)
+    restored = load_checkpoint(str(tmp_path / "ckpt"), fresh)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumes: one more step runs and advances
+    resumed, loss = step(restored, batch)
+    assert int(resumed.step) == 2 and np.isfinite(float(loss))
