@@ -39,6 +39,20 @@ def min_max_normalize_np(scores: np.ndarray) -> np.ndarray:
     return (scores - lo) / (hi - lo)
 
 
+def min_max_normalize_rows_np(scores: np.ndarray) -> np.ndarray:
+    """Row-wise min-max over a [P, N] host matrix, vectorized (no per-row
+    Python loop — this sits on the probe fan-out path)."""
+    scores = np.asarray(scores, np.float64)
+    if scores.size == 0:
+        return scores
+    lo = scores.min(axis=-1, keepdims=True)
+    hi = scores.max(axis=-1, keepdims=True)
+    span = hi - lo
+    out = (scores - lo) / np.where(span == 0, 1.0, span)
+    out[np.broadcast_to(span == 0, out.shape)] = 1.0
+    return out
+
+
 def cosine_similarity_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Host cosine for tiny matrices (memory-pool bookkeeping)."""
     a = np.asarray(a, np.float32)

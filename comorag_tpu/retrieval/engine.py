@@ -28,7 +28,7 @@ import numpy as np
 from comorag_tpu.config import ComoConfig
 from comorag_tpu.graph.builder import GraphData
 from comorag_tpu.ops.ppr import PPRGraph
-from comorag_tpu.ops.similarity import min_max_normalize_np
+from comorag_tpu.ops.similarity import min_max_normalize_np, min_max_normalize_rows_np
 from comorag_tpu.prompts.linking import get_query_instruction
 from comorag_tpu.retrieval.index import MipsIndex
 from comorag_tpu.store.embedding_store import EmbeddingStore
@@ -140,14 +140,20 @@ class RetrievalEngine:
     # ------------------------------------------------------------ primitives
     def fact_scores(self, fact_query_embs: np.ndarray) -> np.ndarray:
         """[P, F] min-max-normalized fact similarities (get_fact_scores)."""
-        raw = self.fact_index.scores(fact_query_embs)
-        return np.stack([min_max_normalize_np(row) for row in raw])
+        return min_max_normalize_rows_np(self.fact_index.scores(fact_query_embs))
+
+    def dense_norm_scores(self, passage_query_embs: np.ndarray, index: MipsIndex) -> np.ndarray:
+        """[P, N] min-max-normalized scores in document order. Equivalent to
+        the reference's sort-then-normalize (dense_passage_retrieval):
+        min-max is monotonic, so normalizing before or after ranking gives
+        identical values — and priors/fallbacks don't need the full sort."""
+        return min_max_normalize_rows_np(index.scores(passage_query_embs))
 
     def dense_ranking(self, passage_query_embs: np.ndarray, index: MipsIndex) -> Tuple[np.ndarray, np.ndarray]:
         """Full descending ranking per query: (sorted_ids [P, N], sorted
-        normalized scores [P, N]) — dense_passage_retrieval semantics."""
-        raw = index.scores(passage_query_embs)
-        normalized = np.stack([min_max_normalize_np(row) for row in raw])
+        normalized scores [P, N]). Prefer dense_norm_scores + index.topk on
+        hot paths; this full sort exists for API parity and tests."""
+        normalized = self.dense_norm_scores(passage_query_embs, index)
         sorted_ids = np.argsort(-normalized, axis=1)
         sorted_scores = np.take_along_axis(normalized, sorted_ids, axis=1)
         return sorted_ids, sorted_scores
@@ -190,41 +196,40 @@ class RetrievalEngine:
         for rank, fact in enumerate(top_k_facts):
             fact_score = float(fact_score_row[top_k_fact_indices[rank]])
             for phrase in (str(fact[0]).lower(), str(fact[2]).lower()):
-                phrase_key = content_hash(phrase, prefix="entity-")
-                node_id = g.name_to_idx.get(phrase_key)
-                if node_id is not None:
-                    weight = fact_score
-                    num_chunks = g.ent_node_to_num_chunk.get(phrase_key, 0)
-                    if num_chunks:
-                        weight /= num_chunks
-                    phrase_weights[node_id] = weight
-                    if weight > 0:
-                        used_phrases[phrase] = weight
                 phrase_scores.setdefault(phrase, []).append(fact_score)
 
         for phrase, scores in phrase_scores.items():
             linking_score_map[phrase] = float(np.mean(scores))
 
-        # Keep only the top-k linked phrases (get_top_k_weights semantics).
+        # Only the top-k linked phrases receive weight (get_top_k_weights
+        # semantics) — assigning just those replaces the reference's
+        # all-nodes zeroing scan (ComoRAG.py:972-990).
         link_top_k = self.config.linking_top_k
+        top_phrases = sorted(linking_score_map.items(), key=lambda kv: kv[1], reverse=True)
         if link_top_k:
-            top_phrases = set(
-                p for p, _ in sorted(linking_score_map.items(), key=lambda kv: kv[1], reverse=True)[:link_top_k]
-            )
-            top_keys = {content_hash(p, prefix="entity-") for p in top_phrases}
-            for name, node_id in g.name_to_idx.items():
-                if name.startswith("entity-") and name not in top_keys:
-                    phrase_weights[node_id] = 0.0
-        return phrase_weights, used_phrases
+            top_phrases = top_phrases[:link_top_k]
+        for phrase, _ in top_phrases:
+            phrase_key = content_hash(phrase, prefix="entity-")
+            node_id = g.name_to_idx.get(phrase_key)
+            if node_id is None:
+                continue
+            # the reference's per-fact loop overwrites, so the LAST fact
+            # mentioning the phrase supplies its weight (ComoRAG.py:1018)
+            weight = phrase_scores[phrase][-1]
+            num_chunks = g.ent_node_to_num_chunk.get(phrase_key, 0)
+            if num_chunks:
+                weight /= num_chunks
+            phrase_weights[node_id] = weight
+            if weight > 0:
+                used_phrases[phrase] = weight
+                return phrase_weights, used_phrases
 
-    def _passage_priors(self, dpr_sorted_ids: np.ndarray, dpr_sorted_scores: np.ndarray, passage_node_weight: float) -> np.ndarray:
-        """DPR passage priors for one probe's graph seeds (ComoRAG.py:1034-1042)."""
-        g = self.graph
-        passage_weights = np.zeros(g.n_nodes, np.float64)
-        dpr_norm = min_max_normalize_np(dpr_sorted_scores)
-        for i, doc_id in enumerate(dpr_sorted_ids):
-            node_id = g.name_to_idx[self.passage_node_keys[doc_id]]
-            passage_weights[node_id] = dpr_norm[i] * passage_node_weight
+    def _passage_priors(self, dpr_norm_row: np.ndarray, passage_node_weight: float) -> np.ndarray:
+        """DPR passage priors for one probe's graph seeds
+        (ComoRAG.py:1034-1042), vectorized: dpr_norm_row is the [N]
+        normalized score vector in document order."""
+        passage_weights = np.zeros(self.graph.n_nodes, np.float64)
+        passage_weights[self.passage_node_idxs] = dpr_norm_row * passage_node_weight
         return passage_weights
 
     def graph_search(
@@ -239,8 +244,8 @@ class RetrievalEngine:
         (graph_search_with_fact_entities semantics). The batched fan-out
         path is graph_search_batch."""
         phrase_weights, used = self._phrase_weights(fact_score_row, top_k_facts, top_k_fact_indices)
-        sorted_ids, sorted_scores = self.dense_ranking(passage_query_emb[None, :], self.ver_index)
-        node_weights = phrase_weights + self._passage_priors(sorted_ids[0], sorted_scores[0], passage_node_weight)
+        dpr_norm = self.dense_norm_scores(passage_query_emb[None, :], self.ver_index)
+        node_weights = phrase_weights + self._passage_priors(dpr_norm[0], passage_node_weight)
         if node_weights.sum() <= 0:
             raise ValueError("No graph seeds for the given facts")
         ppr_scores = self.ppr.query(node_weights[None, :], damping=self.config.damping)[0]
@@ -290,9 +295,10 @@ class RetrievalEngine:
         passage_embs = embs["passage"]  # [B, d]
 
         # ---- veridical branch: facts -> rerank -> batched graph PPR -------
-        # One DPR ranking call serves priors AND the no-facts fallback.
+        # One DPR scoring call serves priors AND the no-facts fallback
+        # (top-k on device; no full host sort on the fan-out path).
         with trace.span("retrieve.dense_ranking"):
-            dpr_ids, dpr_scores = self.dense_ranking(passage_embs, self.ver_index)
+            dpr_norm = self.dense_norm_scores(passage_embs, self.ver_index)
         sorted_doc_ids: List[Optional[np.ndarray]] = [None] * b
         if self.fact_index is not None and self.ppr is not None:
             score_rows = self.fact_scores(fact_embs)  # [B, F] in one call
@@ -303,7 +309,7 @@ class RetrievalEngine:
                 if not top_facts:
                     continue
                 phrase_w, used = self._phrase_weights(score_rows[qi], top_facts, top_idx)
-                node_w = phrase_w + self._passage_priors(dpr_ids[qi], dpr_scores[qi], 0.005)
+                node_w = phrase_w + self._passage_priors(dpr_norm[qi], 0.005)
                 if node_w.sum() <= 0:
                     continue
                 results[qi].linked_phrases = used
@@ -317,9 +323,11 @@ class RetrievalEngine:
                     sorted_doc_ids[qi] = np.argsort(-doc_scores)
 
         ver_seen = set(pool_hashes.get("veridical", []))
+        k_ver = min(ver_top_k, dpr_norm.shape[1]) if dpr_norm.size else 0
+        dpr_top = np.argsort(-dpr_norm, axis=1)[:, :k_ver] if k_ver else np.zeros((b, 0), np.int64)
         for qi in range(b):
-            doc_order = sorted_doc_ids[qi] if sorted_doc_ids[qi] is not None else dpr_ids[qi]
-            top_docs = [self.ver_store.get_text(self.passage_node_keys[i]) for i in doc_order[:ver_top_k]]
+            doc_order = sorted_doc_ids[qi][:ver_top_k] if sorted_doc_ids[qi] is not None else dpr_top[qi]
+            top_docs = [self.ver_store.get_text(self.passage_node_keys[i]) for i in doc_order]
             # Pool dedup. NOTE: the reference compares store-namespace hashes
             # against node-type-prefixed pool hashes, which never match — its
             # dedup is a silent no-op (ComoRAG.py:504-505 vs memory_utils.py:41).
@@ -331,12 +339,12 @@ class RetrievalEngine:
             top_docs.sort(key=lambda d: self.ver_store.order_of(self.ver_store.key_for(d)))
             results[qi].veridical = top_docs
 
-        # ---- semantic branch: one ranking call for the whole fan-out ------
+        # ---- semantic branch: one device top-k for the whole fan-out ------
         if self.sem_index is not None:
-            sem_ids, _ = self.dense_ranking(passage_embs, self.sem_index)
+            _, sem_ids = self.sem_index.topk(passage_embs, k=sem_top_k)
             sem_seen = set(pool_hashes.get("semantical", []))
             for qi in range(b):
-                top_sem = [self.sem_store.get_text(self.summary_node_keys[i]) for i in sem_ids[qi][:sem_top_k]]
+                top_sem = [self.sem_store.get_text(self.summary_node_keys[i]) for i in sem_ids[qi]]
                 if sem_seen:
                     top_sem = [s for s in top_sem if content_hash(s, "semantical-") not in sem_seen]
                 results[qi].semantic = top_sem
