@@ -32,10 +32,21 @@ class BaseLLM(ABC):
         ...
 
     def batch_infer(self, batch: Sequence[Messages], **gen_kwargs) -> List[LLMResponse]:
+        """Concurrent fan-out with per-item failure isolation: one request
+        dying yields an empty LLMResponse carrying the error in metadata,
+        never an exception that kills the whole batch (the reference's
+        batch stages degrade per-chunk the same way, openie_openai.py)."""
         if not batch:
             return []
+
+        def safe(messages: Messages) -> LLMResponse:
+            try:
+                return self.infer(messages, **gen_kwargs)
+            except Exception as e:  # noqa: BLE001 — isolate per item
+                return LLMResponse(text="", metadata={"error": str(e), "finish_reason": "error"})
+
         if len(batch) == 1:
-            return [self.infer(batch[0], **gen_kwargs)]
+            return [safe(batch[0])]
         with ThreadPoolExecutor(max_workers=min(self.max_workers, len(batch))) as pool:
-            futures = [pool.submit(self.infer, m, **gen_kwargs) for m in batch]
+            futures = [pool.submit(safe, m) for m in batch]
             return [f.result() for f in futures]

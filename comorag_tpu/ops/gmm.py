@@ -135,7 +135,7 @@ def _init_means_for_sweep(x: np.ndarray, k_max: int, seed: int) -> np.ndarray:
     n = x.shape[0]
     inits = np.zeros((k_max, k_max, x.shape[1]), np.float32)
     for k in range(1, k_max + 1):
-        pick = rng.choice(n, size=min(k, n), replace=n < k)
+        pick = rng.choice(n, size=k, replace=k > n)
         inits[k - 1, :k] = x[pick]
     return inits
 
@@ -156,7 +156,11 @@ def fit_gmm_bic(
     n, d = x.shape
     if n <= 1:
         return 1, np.ones((n, 1), np.float32)
-    k_max = max(1, min(max_clusters, n - 1))
+    # Sweep a STATIC k_max so every call with the same point bucket reuses
+    # one compiled program (a data-dependent k_max recompiles per cluster
+    # size); models with k > n-1 are discarded on host below.
+    k_max = max(1, max_clusters)
+    k_valid = max(1, min(max_clusters, n - 1))
 
     n_pad = _pad_points(n)
     x_pad = np.zeros((n_pad, d), np.float32)
@@ -166,7 +170,9 @@ def fit_gmm_bic(
     init_means = _init_means_for_sweep(x, k_max, seed)
 
     fits = _sweep(jnp.asarray(x_pad), jnp.asarray(mask), jnp.asarray(init_means), k_max, iters)
-    bics = np.asarray(fits.bic)
+    bics = np.array(fits.bic, copy=True)  # jax buffers are read-only views
+    bics[k_valid:] = np.inf  # k > n-1: over-parameterized, not candidates
+    bics[~np.isfinite(bics)] = np.inf
     best = int(np.argmin(bics))  # model index -> k = best + 1
     resp = _posterior(
         jnp.asarray(x_pad),

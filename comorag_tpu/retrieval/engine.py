@@ -294,14 +294,36 @@ class RetrievalEngine:
         fact_embs = embs["fact"]      # [B, d]
         passage_embs = embs["passage"]  # [B, d]
 
+        # Launch EVERY layer's device scoring up front — the four calls
+        # pipeline on one stream and their host copies overlap, so the
+        # fan-out pays ~one device round-trip instead of four (the blocking
+        # round-trip dominates on remote-attached chips).
+        with trace.span("retrieve.dispatch"):
+            ver_handle = self.ver_index.scores_async(passage_embs)
+            fact_handle = (
+                self.fact_index.scores_async(fact_embs)
+                if self.fact_index is not None and self.ppr is not None
+                else None
+            )
+            sem_handle = (
+                self.sem_index.topk_async(passage_embs, k=sem_top_k)
+                if self.sem_index is not None
+                else None
+            )
+            epi_handle = (
+                self.epi_index.topk_async(passage_embs, k=epi_top_k)
+                if self.epi_index is not None
+                else None
+            )
+
         # ---- veridical branch: facts -> rerank -> batched graph PPR -------
         # One DPR scoring call serves priors AND the no-facts fallback
         # (top-k on device; no full host sort on the fan-out path).
         with trace.span("retrieve.dense_ranking"):
-            dpr_norm = self.dense_norm_scores(passage_embs, self.ver_index)
+            dpr_norm = min_max_normalize_rows_np(ver_handle.result())
         sorted_doc_ids: List[Optional[np.ndarray]] = [None] * b
-        if self.fact_index is not None and self.ppr is not None:
-            score_rows = self.fact_scores(fact_embs)  # [B, F] in one call
+        if fact_handle is not None:
+            score_rows = min_max_normalize_rows_np(fact_handle.result())  # [B, F]
             seeds: List[Tuple[int, np.ndarray]] = []
             for qi, query in enumerate(queries):
                 top_idx, top_facts, rerank_log = self.rerank_facts(query, score_rows[qi])
@@ -340,8 +362,8 @@ class RetrievalEngine:
             results[qi].veridical = top_docs
 
         # ---- semantic branch: one device top-k for the whole fan-out ------
-        if self.sem_index is not None:
-            _, sem_ids = self.sem_index.topk(passage_embs, k=sem_top_k)
+        if sem_handle is not None:
+            _, sem_ids = sem_handle.result()
             sem_seen = set(pool_hashes.get("semantical", []))
             for qi in range(b):
                 top_sem = [self.sem_store.get_text(self.summary_node_keys[i]) for i in sem_ids[qi]]
@@ -350,8 +372,8 @@ class RetrievalEngine:
                 results[qi].semantic = top_sem
 
         # ---- episodic branch: one top-k call for the whole fan-out --------
-        if self.epi_index is not None:
-            _, epi_idx = self.epi_index.topk(passage_embs, k=epi_top_k)
+        if epi_handle is not None:
+            _, epi_idx = epi_handle.result()
             epi_keys = self.epi_store.get_all_ids()
             epi_seen = set(pool_hashes.get("episodic", []))
             for qi in range(b):

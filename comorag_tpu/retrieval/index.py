@@ -182,18 +182,42 @@ class MipsIndex:
         return [h.result() for h in handles]
 
     # ----------------------------------------------------------- full scores
-    def scores(self, queries: np.ndarray) -> np.ndarray:
-        """Full raw inner-product scores [P, N] (host numpy)."""
+    def scores_async(self, queries: np.ndarray) -> "ScoresHandle":
+        """Launch full [P, N] scoring and start the host copy; returns a
+        handle whose .result() blocks only on its own transfer."""
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         p = queries.shape[0]
         if self.n == 0:
-            return np.zeros((p, 0), np.float32)
+            return ScoresHandle(None, p, 0)
         q_dev, p = self._prep_queries(queries)
         if self.mesh is not None:
             s = self._sharded_scores(q_dev, self.corpus)
         else:
             s = dense_scores(q_dev, self.corpus)
-        return np.asarray(s)[:p, : self.n]
+        return ScoresHandle(s, p, self.n)
+
+    def scores(self, queries: np.ndarray) -> np.ndarray:
+        """Full raw inner-product scores [P, N] (host numpy)."""
+        return self.scores_async(queries).result()
+
+
+class ScoresHandle:
+    """In-flight full-score query (see TopkHandle)."""
+
+    def __init__(self, dev: Optional[jax.Array], p: int, n: int):
+        self._dev = dev
+        self._p = p
+        self._n = n
+        if dev is not None:
+            try:
+                dev.copy_to_host_async()
+            except Exception:  # pragma: no cover
+                pass
+
+    def result(self) -> np.ndarray:
+        if self._dev is None:
+            return np.zeros((self._p, 0), np.float32)
+        return np.asarray(self._dev)[: self._p, : self._n]
 
 
 class _EmptyHandle(TopkHandle):

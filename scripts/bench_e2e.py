@@ -1,0 +1,128 @@
+"""End-to-end scale benchmark (BASELINE config 3: 10k+ chunk corpus).
+
+Builds a synthetic long-narrative corpus with planted gold facts, runs the
+FULL pipeline (index: embed -> timeline -> semantic tree -> OpenIE ->
+graph; query: tri-layer retrieval + meta loop) hermetically (hash encoder
++ fake LLM), and reports:
+
+  - index wall time per stage (from the tracing subsystem),
+  - retrieval recall@10 of planted gold chunks over Q probe queries,
+  - retrieval latency per query batch at corpus scale.
+
+Usage: python scripts/bench_e2e.py [--chunks 10000] [--queries 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from comorag_tpu.comorag import ComoRAG
+from comorag_tpu.config import ComoConfig
+from comorag_tpu.utils import trace
+
+NAMES = [
+    "Arden", "Brisa", "Corin", "Davet", "Elwyn", "Fiora", "Garrick", "Halla",
+    "Isolde", "Joren", "Kestrel", "Lumen", "Maris", "Nerin", "Orla", "Petra",
+]
+PLACES = ["mill", "harbor", "orchard", "quarry", "archive", "forge", "lighthouse", "granary"]
+ITEMS = ["ledger", "compass", "seedchest", "ironkey", "starchart", "bronzebell", "anvil", "lantern"]
+
+
+def make_corpus(n: int, n_gold: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    chunks = []
+    for i in range(n):
+        a = NAMES[rng.integers(len(NAMES))]
+        b = PLACES[rng.integers(len(PLACES))]
+        c = ITEMS[rng.integers(len(ITEMS))]
+        d = int(rng.integers(1, 365))
+        chunks.append(
+            f"Record {i}: {a} visited the {b} on day {d} and catalogued the {c} "
+            f"before returning along the river road at dusk."
+        )
+    golds = []
+    gold_ids = rng.choice(n, size=n_gold, replace=False)
+    for gi, cid in enumerate(gold_ids):
+        token = f"relic{gi:03d}"
+        place = PLACES[gi % len(PLACES)]
+        chunks[cid] = (
+            f"Record {cid}: the hidden {token} was sealed inside the {place} vault "
+            f"by the wandering cartographer Quintessa."
+        )
+        golds.append({"chunk_id": int(cid), "token": token,
+                      "query": f"Where was the hidden {token} sealed by Quintessa?"})
+    return chunks, golds
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunks", type=int, default=10_000)
+    ap.add_argument("--queries", type=int, default=64)
+    ap.add_argument("--gmm_max_clusters", type=int, default=20)
+    args = ap.parse_args()
+
+    chunks, golds = make_corpus(args.chunks, args.queries)
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+    config = ComoConfig(
+        llm_name="fake",
+        embedding_model_name="hash",
+        embedding_dim=256,
+        need_cluster=True,
+        save_dir=os.path.join(tmp, "outputs"),
+        output_dir=os.path.join(tmp, "results"),
+        gmm_max_clusters=args.gmm_max_clusters,
+        gmm_em_iterations=30,
+        max_meta_loop_iterations=1,
+    )
+    rag = ComoRAG(config)
+
+    t0 = time.perf_counter()
+    rag.index(chunks)
+    index_s = time.perf_counter() - t0
+
+    rag.engine.prepare()
+
+    # retrieval recall@10 over the planted queries, batched fan-out
+    queries = [g["query"] for g in golds]
+    rag.engine.tri_retrieve_batch(queries, ver_top_k=10)  # warmup/compile (same batch bucket)
+    t0 = time.perf_counter()
+    results = rag.engine.tri_retrieve_batch(queries, ver_top_k=10)
+    retrieve_s = time.perf_counter() - t0
+    hits = 0
+    for g, res in zip(golds, results):
+        if any(g["token"] in d for d in res.veridical[:10]):
+            hits += 1
+    recall = hits / len(golds)
+
+    spans = trace.summary()["spans"]
+    report = {
+        "chunks": args.chunks,
+        "queries": len(queries),
+        "index_wall_s": round(index_s, 2),
+        "index_stages_s": {k.split(".", 1)[1]: v["total_s"] for k, v in spans.items() if k.startswith("index.")},
+        "retrieval_recall_at_10": round(recall, 4),
+        "fanout_retrieve_s": round(retrieve_s, 3),
+        "fanout_qps": round(len(queries) / retrieve_s, 2),
+        "graph": rag.graph.info() if rag.graph else None,
+        "stores": {
+            "chunks": len(rag.ver_store),
+            "entities": len(rag.entity_store),
+            "facts": len(rag.fact_store),
+            "summaries": len(rag.sem_store) if rag.sem_store else 0,
+            "timeline": len(rag.epi_store) if rag.epi_store else 0,
+        },
+    }
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
