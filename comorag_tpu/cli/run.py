@@ -29,10 +29,12 @@ def gold_answers_of(sample: dict) -> List[str]:
             gold = sample[key]
             break
     if gold is None and "obj" in sample:
-        gold = list(
-            {sample["obj"], sample.get("possible_answers"), sample.get("o_wiki_title"), sample.get("o_aliases")}
-            - {None}
-        )
+        gold = []
+        for value in (sample["obj"], sample.get("possible_answers"), sample.get("o_wiki_title"), sample.get("o_aliases")):
+            if value is None:
+                continue
+            # alias fields may be lists — flatten instead of hashing them
+            gold.extend(value if isinstance(value, (list, tuple)) else [value])
     assert gold is not None, f"no gold answer in sample: {sample.keys()}"
     if isinstance(gold, str):
         gold = [gold]

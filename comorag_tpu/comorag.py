@@ -344,6 +344,11 @@ class ComoRAG:
             if pred.strip() != "*":
                 all_steps.append(step_info)
                 break
+            if i == cfg.max_meta_loop_iterations:
+                # last iteration: no further QA attempt will consume the
+                # fan-out, so skip the probe/retrieve/fuse round-trips
+                all_steps.append(step_info)
+                break
 
             # ---- impasse: consolidate, probe, fan out, fuse -----------------
             pool.merge_temp_to_main()

@@ -109,7 +109,7 @@ class OpenAIChatLLM(BaseLLM):
                 return LLMResponse(text=text, metadata=metadata, cache_hit=False)
             except Exception as e:  # noqa: BLE001 — network layer, retry everything
                 last_err = e
-                wait = min(20.0, (2**attempt) + random.random())
                 logger.warning("LLM call failed (attempt %d/%d): %s", attempt + 1, self.max_retries, e)
-                time.sleep(wait)
+                if attempt + 1 < self.max_retries:  # no backoff after the final attempt
+                    time.sleep(min(20.0, (2**attempt) + random.random()))
         raise RuntimeError(f"LLM call failed after {self.max_retries} attempts: {last_err}")

@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import hashlib
+import math
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -373,7 +374,9 @@ class BGEJaxEncoder(BaseEncoder):
         s = _seq_bucket(max_len, self.max_seq_len)
         b = len(ids)
         dp = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
-        b_pad = ((b + max(8, dp) - 1) // max(8, dp)) * max(8, dp)
+        # the batch must divide by the data axis AND stay sublane-aligned
+        pad_unit = math.lcm(8, dp)
+        b_pad = ((b + pad_unit - 1) // pad_unit) * pad_unit
         id_arr = np.zeros((b_pad, s), np.int32)
         mask_arr = np.zeros((b_pad, s), np.int32)
         for i, (row, mask) in enumerate(zip(ids, masks)):

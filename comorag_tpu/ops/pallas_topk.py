@@ -129,7 +129,10 @@ def pallas_mips_topk(
     n_pad = corpus.shape[0]
     assert n_pad % tile_n == 0, (n_pad, tile_n)
     k_pad = _round_up(k, 8)
-    block_p = min(block_p, _round_up(p, 8))
+    # largest sublane-aligned block that divides the (8-aligned) batch
+    block_p = min(block_p, 128)
+    while block_p > 8 and p % block_p:
+        block_p //= 2
     assert p % block_p == 0, (p, block_p)
 
     grid = (p // block_p, n_pad // tile_n)

@@ -110,17 +110,21 @@ def make_sharded_topk(mesh: Mesh, k: int, axis: str = "corpus", exact: bool = Tr
         offset = my_shard * shard_rows
         scores = _score_dot(queries, corpus_shard.T)
         scores = _mask_padded(scores, n_valid, offset=offset)
+        # k may exceed a shard's rows (e.g. synonymy_edge_topk=2047 over
+        # small shards): each shard contributes ALL its rows then, and the
+        # global merge still sees every global top-k candidate.
+        local_k = min(k, shard_rows)
         if exact:
-            local_scores, local_idx = jax.lax.top_k(scores, k)
+            local_scores, local_idx = jax.lax.top_k(scores, local_k)
         else:
             local_scores, local_idx = jax.lax.approx_max_k(
-                scores, k, recall_target=0.95, aggregate_to_topk=True
+                scores, local_k, recall_target=0.95, aggregate_to_topk=True
             )
         local_idx = local_idx + offset
-        # Candidates ride ICI: [P, n_shards * k] on every device.
+        # Candidates ride ICI: [P, n_shards * local_k] on every device.
         all_scores = jax.lax.all_gather(local_scores, axis, axis=1, tiled=True)
         all_idx = jax.lax.all_gather(local_idx, axis, axis=1, tiled=True)
-        merged_scores, merged_pos = jax.lax.top_k(all_scores, k)
+        merged_scores, merged_pos = jax.lax.top_k(all_scores, min(k, all_scores.shape[1]))
         merged_idx = jnp.take_along_axis(all_idx, merged_pos, axis=1)
         return merged_scores, merged_idx
 

@@ -222,7 +222,7 @@ class RetrievalEngine:
             phrase_weights[node_id] = weight
             if weight > 0:
                 used_phrases[phrase] = weight
-                return phrase_weights, used_phrases
+        return phrase_weights, used_phrases
 
     def _passage_priors(self, dpr_norm_row: np.ndarray, passage_node_weight: float) -> np.ndarray:
         """DPR passage priors for one probe's graph seeds

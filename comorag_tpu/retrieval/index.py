@@ -139,8 +139,10 @@ class MipsIndex:
         if self.n == 0:
             return _EmptyHandle(p)
         k_eff = min(k, self.n)
-        shard_cap = self.n_pad if self.mesh is None else self.n_pad // self.n_shards
-        k_pad = max(min(shard_cap, _round_up(k_eff, 8)), k_eff)
+        # k may exceed a shard's rows; make_sharded_topk clamps per shard
+        # and merges globally, so only the total padded rows bound k here.
+        k_pad = min(_round_up(k_eff, 8), self.n_pad)
+        k_pad = max(k_pad, k_eff)
 
         if self.mesh is not None:
             fn = self._sharded_topk_cache.get((k_pad, exact))

@@ -64,6 +64,16 @@ class EmbeddingStore:
         )
         pq.write_table(table, self.path)
 
+    def clear(self) -> None:
+        """Drop all rows and the on-disk artifact (used when a derived
+        layer — e.g. the timeline — is stale and must be rebuilt)."""
+        self.hash_ids = []
+        self.texts = []
+        self._matrix = None
+        self._index = {}
+        if os.path.exists(self.path):
+            os.remove(self.path)
+
     # ------------------------------------------------------------ insertion
     def key_for(self, text: str) -> str:
         return content_hash(text, prefix=self.namespace + "-")

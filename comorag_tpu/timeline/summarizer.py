@@ -86,6 +86,7 @@ class TimelineSummarizer:
                 summaries[i] = s
         summaries = [s for s in summaries if s]
         store = self.level_store(0)
+        store.clear()  # regeneration replaces any stale windows wholesale
         store.insert_strings(summaries)
         return summaries
 
@@ -93,8 +94,22 @@ class TimelineSummarizer:
         return (total_chunks + self.window_size - 1) // self.window_size
 
     def validate(self) -> bool:
+        """A reusable timeline must cover the CURRENT corpus: the stored
+        summary count has to match the expected window count (a grown
+        corpus otherwise silently reuses a stale timeline —
+        timeline_utils.py:392-491 validate-or-regenerate semantics)."""
         store = self.level_store(0)
-        return len(store) > 0
+        if len(store) == 0:
+            return False
+        expected = self.expected_summaries(len(self.chunk_store))
+        if len(store) != expected:
+            logger.info(
+                "Timeline stale: %d summaries on disk, %d expected — regenerating",
+                len(store),
+                expected,
+            )
+            return False
+        return True
 
     def load_or_generate(self) -> EmbeddingStore:
         os.makedirs(self.directory, exist_ok=True)

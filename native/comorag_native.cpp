@@ -127,18 +127,19 @@ int32_t ppr_csr(int32_t n, const int32_t* indptr, const int32_t* indices,
 void mips_topk(int32_t p, int32_t n, int32_t d, int32_t k,
                const float* queries, const float* corpus, float* out_scores,
                int32_t* out_ids) {
+  const int32_t kk = std::min(k, n);  // the heap holds at most n entries
   int hw = static_cast<int>(std::thread::hardware_concurrency());
   int n_threads = std::max(1, std::min(p, hw > 0 ? hw : 1));
   auto run_q = [&](int32_t qi) {
     const float* q = queries + static_cast<int64_t>(qi) * d;
     // (score, id) min-heap of size k over all corpus rows
     std::vector<std::pair<float, int32_t>> heap;
-    heap.reserve(k + 1);
+    heap.reserve(kk + 1);
     for (int32_t row = 0; row < n; ++row) {
       const float* c = corpus + static_cast<int64_t>(row) * d;
       float s = 0.f;
       for (int32_t j = 0; j < d; ++j) s += q[j] * c[j];
-      if (static_cast<int32_t>(heap.size()) < k) {
+      if (static_cast<int32_t>(heap.size()) < kk) {
         heap.emplace_back(s, row);
         std::push_heap(heap.begin(), heap.end(), std::greater<>());
       } else if (s > heap.front().first) {
@@ -149,8 +150,9 @@ void mips_topk(int32_t p, int32_t n, int32_t d, int32_t k,
     }
     std::sort_heap(heap.begin(), heap.end(), std::greater<>());
     for (int32_t j = 0; j < k; ++j) {
-      out_scores[static_cast<int64_t>(qi) * k + j] = heap[j].first;
-      out_ids[static_cast<int64_t>(qi) * k + j] = heap[j].second;
+      // rows beyond kk (k > n) are zero-filled, never read out of bounds
+      out_scores[static_cast<int64_t>(qi) * k + j] = j < kk ? heap[j].first : 0.f;
+      out_ids[static_cast<int64_t>(qi) * k + j] = j < kk ? heap[j].second : 0;
     }
   };
   std::vector<std::thread> pool;
