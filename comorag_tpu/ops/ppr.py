@@ -71,11 +71,56 @@ def _ppr_batch(
     return jax.vmap(one)(resets)
 
 
+def make_sharded_ppr(mesh, n_nodes: int, max_iters: int, axis: str = "corpus"):
+    """Edge-sharded batched PPR: the arc list is split across the mesh's
+    ``axis``; every device holds the full (replicated) rank vector, does a
+    ``segment_sum`` over ITS arcs, and the partial flows merge with one
+    ``psum`` per iteration (riding ICI). Scales PPR to graphs whose edge
+    list exceeds one device's memory.
+
+    Returned fn: (src [E_pad], dst [E_pad], rate [E_pad], is_dangling [N],
+    resets [B, N], alpha, tol) -> [B, N]; E_pad divisible by the axis size.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def _local(src, dst, rate, is_dangling, resets, alpha, tol):
+        def one(reset):
+            def cond(state):
+                _, prev_err, it = state
+                return jnp.logical_and(it < max_iters, prev_err > tol)
+
+            def body(state):
+                x, _, it = state
+                contrib = x[src] * rate
+                partial = jax.ops.segment_sum(contrib, dst, num_segments=n_nodes)
+                flowed = jax.lax.psum(partial, axis)  # merge shard partials
+                dangling_mass = jnp.sum(x * is_dangling)
+                new_x = (1.0 - alpha) * reset + alpha * (flowed + dangling_mass * reset)
+                err = jnp.sum(jnp.abs(new_x - x))
+                return new_x, err, it + 1
+
+            x, _, _ = jax.lax.while_loop(cond, body, (reset, jnp.asarray(jnp.inf, jnp.float32), 0))
+            return x
+
+        return jax.vmap(one)(resets)
+
+    sharded = shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 class PPRGraph:
     """Device-resident graph for batched PPR queries.
 
     Built once from a symmetric weighted edge list; query() takes a batch
-    of reset vectors.
+    of reset vectors. With a mesh, arcs shard across the ``corpus`` axis
+    (see make_sharded_ppr).
     """
 
     def __init__(
@@ -87,12 +132,18 @@ class PPRGraph:
         max_iters: int = 128,
         tol: float = 1e-10,
         backend: str = "auto",
+        mesh=None,
+        axis: str = "corpus",
     ):
         """backend: 'device' (JAX), 'native' (C++ host solver), or 'auto' —
         native for small graphs where one host<->device round-trip costs
-        more than the whole solve, device at scale."""
+        more than the whole solve, device at scale. With a mesh, the arc
+        list shards over ``axis`` and each iteration psum-merges shard
+        partial flows over ICI."""
         self.n_nodes = n_nodes
         self.backend = backend
+        self.mesh = mesh if (mesh is not None and axis in getattr(mesh, "shape", {})) else None
+        self.axis = axis
         if backend in ("auto", "native"):
             from comorag_tpu import native as _native
 
@@ -108,6 +159,9 @@ class PPRGraph:
 
         e = len(src)
         e_pad = _bucket(max(e, 1), _EDGE_BUCKETS)
+        if self.mesh is not None:
+            shards = self.mesh.shape[axis]
+            e_pad = ((e_pad + shards - 1) // shards) * shards
         src_p = np.full(e_pad, self.n_pad - 1, np.int32)
         dst_p = np.full(e_pad, self.n_pad - 1, np.int32)
         w_p = np.zeros(e_pad, np.float32)
@@ -125,10 +179,21 @@ class PPRGraph:
         # they don't siphon probability
         is_dangling[n_nodes:] = 0.0
 
-        self._src = jnp.asarray(src_p)
-        self._dst = jnp.asarray(dst_p)
-        self._rate = jnp.asarray(rate)
-        self._dangling = jnp.asarray(is_dangling)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            arc_sharding = NamedSharding(self.mesh, P(axis))
+            replicated = NamedSharding(self.mesh, P())
+            self._src = jax.device_put(src_p, arc_sharding)
+            self._dst = jax.device_put(dst_p, arc_sharding)
+            self._rate = jax.device_put(rate, arc_sharding)
+            self._dangling = jax.device_put(is_dangling, replicated)
+            self._sharded_fn = make_sharded_ppr(self.mesh, self.n_pad, max_iters, axis)
+        else:
+            self._src = jnp.asarray(src_p)
+            self._dst = jnp.asarray(dst_p)
+            self._rate = jnp.asarray(rate)
+            self._dangling = jnp.asarray(is_dangling)
 
     def query(self, resets: np.ndarray, damping: float = 0.5) -> np.ndarray:
         """resets: [B, n_nodes] or [n_nodes] nonnegative; returns PPR scores
@@ -160,6 +225,17 @@ class PPRGraph:
                 return out
         r_pad = np.zeros((b, self.n_pad), np.float32)
         r_pad[:, :n] = resets
+        if self.mesh is not None:
+            out = self._sharded_fn(
+                self._src,
+                self._dst,
+                self._rate,
+                self._dangling,
+                jnp.asarray(r_pad),
+                jnp.asarray(damping, jnp.float32),
+                jnp.asarray(self.tol, jnp.float32),
+            )
+            return np.asarray(out)[:, :n]
         out = _ppr_batch(
             self._src,
             self._dst,

@@ -113,6 +113,7 @@ class RetrievalEngine:
                 self.graph.n_nodes,
                 max_iters=self.config.ppr_max_iterations,
                 tol=self.config.ppr_tolerance,
+                mesh=self.mesh,
             )
             self.passage_node_idxs = np.asarray(
                 [self.graph.name_to_idx[k] for k in self.passage_node_keys], np.int64

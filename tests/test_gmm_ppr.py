@@ -93,3 +93,29 @@ def test_ppr_handles_nan_and_negative_reset():
     out = g.query(reset)[0]
     assert np.isfinite(out).all()
     assert out.argmax() == 2
+
+
+def test_edge_sharded_ppr_matches_single_device(cpu_mesh):
+    """Arcs sharded over the 8-device mesh + per-iteration psum must match
+    the single-device solver exactly (same fixed point)."""
+    import numpy as np
+    from comorag_tpu.ops.ppr import PPRGraph
+
+    rng = np.random.default_rng(9)
+    n, m = 60, 400
+    u = rng.integers(0, n, m)
+    v = rng.integers(0, n, m)
+    keep = u != v
+    u, v = u[keep], v[keep]
+    w = (rng.random(len(u)) + 0.1).astype(np.float32)
+    src = np.concatenate([u, v]).astype(np.int32)
+    dst = np.concatenate([v, u]).astype(np.int32)
+    ww = np.concatenate([w, w]).astype(np.float32)
+    resets = rng.random((4, n)).astype(np.float32)
+
+    single = PPRGraph(src, dst, ww, n, backend="device", tol=1e-12, max_iters=300)
+    sharded = PPRGraph(src, dst, ww, n, backend="device", tol=1e-12, max_iters=300, mesh=cpu_mesh)
+    assert sharded.mesh is not None
+    out_single = single.query(resets, damping=0.5)
+    out_sharded = sharded.query(resets, damping=0.5)
+    assert np.abs(out_single - out_sharded).max() < 1e-6
