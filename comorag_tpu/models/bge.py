@@ -394,7 +394,10 @@ class BGEJaxEncoder(BaseEncoder):
             return np.zeros((0, self.dim), np.float32)
         if instruction:
             texts = [instruction + t for t in texts]
-        out = []
+        # Pipelined: dispatch every batch before draining any — device
+        # compute and host copies overlap instead of paying one blocking
+        # round-trip per batch (the dominant cost on remote-attached chips).
+        pending = []
         for i in range(0, len(texts), self.batch_size):
             ids, mask = self._tokenize(texts[i : i + self.batch_size])
             ids_j, mask_j = jnp.asarray(ids), jnp.asarray(mask)
@@ -402,5 +405,9 @@ class BGEJaxEncoder(BaseEncoder):
                 ids_j = jax.device_put(ids_j, self._batch_sharding)
                 mask_j = jax.device_put(mask_j, self._batch_sharding)
             pooled = self._encode_fn(self.params, ids_j, mask_j, normalize=norm)
-            out.append(np.asarray(pooled)[: min(self.batch_size, len(texts) - i)])
-        return np.concatenate(out, axis=0)
+            try:
+                pooled.copy_to_host_async()
+            except Exception:  # pragma: no cover - platform without async copies
+                pass
+            pending.append((pooled, min(self.batch_size, len(texts) - i)))
+        return np.concatenate([np.asarray(p)[:valid] for p, valid in pending], axis=0)
