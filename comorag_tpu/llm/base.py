@@ -50,3 +50,10 @@ class BaseLLM(ABC):
         with ThreadPoolExecutor(max_workers=min(self.max_workers, len(batch))) as pool:
             futures = [pool.submit(safe, m) for m in batch]
             return [f.result() for f in futures]
+
+    async def ainfer(self, messages: Messages, **gen_kwargs) -> LLMResponse:
+        """Async variant (reference BaseLLM.ainfer parity): runs the sync
+        client off the event loop so asyncio orchestration can await it."""
+        import asyncio
+
+        return await asyncio.to_thread(self.infer, messages, **gen_kwargs)

@@ -127,3 +127,47 @@ def test_tri_retrieve_batch_matches_single(rag):
         assert got.veridical == single.veridical
         assert got.semantic == single.semantic
         assert got.episodic == single.episodic
+
+
+def test_multiple_choice_path(tmp_path):
+    """is_mc=True routes through rag_qa_mc / rag_qa_mc_memory templates."""
+    from comorag_tpu.comorag import ComoRAG
+    from comorag_tpu.config import ComoConfig
+    from comorag_tpu.llm.fake import FakeLLM
+
+    llm = FakeLLM(qa_answer_fn=lambda q, ctx: "B" if "color" in q else None)
+    config = ComoConfig(
+        llm_name="fake",
+        embedding_model_name="hash",
+        embedding_dim=64,
+        need_cluster=False,
+        skip_graph=True,
+        is_mc=True,
+        save_dir=str(tmp_path / "o"),
+        output_dir=str(tmp_path / "r"),
+        max_meta_loop_iterations=1,
+    )
+    rag = ComoRAG(config, llm=llm)
+    rag.index(["The banner over the gate was dyed deep crimson for the festival."])
+    sols = rag.try_answer(["What color was the banner? A) blue B) crimson C) white"])
+    assert "B" in sols[0].answer
+    assert llm.calls, "no LLM calls recorded"
+
+
+def test_sixteen_concurrent_questions(rag):
+    """try_answer's 16-thread fan-out over a shared engine/encoder: every
+    question returns, no cross-thread corruption (answers match the
+    single-threaded result)."""
+    questions = [
+        "Who did Mara pull from the freezing water?",
+        "What did the Harbor Guild offer Mara?",
+        "What did Tomas forge in the village smithy?",
+        "Who taught Mara to read the star charts?",
+    ] * 4  # 16 questions, 4 distinct
+    sols = rag.try_answer(questions)
+    assert len(sols) == 16
+    by_q = {}
+    for q, s in zip(questions, sols):
+        by_q.setdefault(q, set()).add(s.answer)
+    # identical questions must produce identical answers across threads
+    assert all(len(v) == 1 for v in by_q.values()), by_q
