@@ -233,6 +233,7 @@ class ComoRAG:
                 mesh=self.mesh,
                 topk=self.config.synonymy_edge_topk,
                 sim_threshold=self.config.synonymy_edge_sim_threshold,
+                query_batch_size=self.config.synonymy_edge_query_batch_size,
             )
         node_names = list(entity_keys) + list(chunk_ids)
         if self.config.need_cluster and self.sem_store is not None:

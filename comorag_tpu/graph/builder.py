@@ -132,14 +132,22 @@ class GraphBuilder:
         topk: int = 2047,
         sim_threshold: float = 0.8,
         max_neighbors: int = 100,
+        query_batch_size: int = 1000,
     ) -> int:
-        """One batched device KNN over all entities, then host thresholding."""
+        """Device KNN over all entities with pipelined query batches
+        (one giant call would materialize an [n, n] score matrix beyond
+        HBM at 100k+ entities; the reference batches at 1000 too,
+        config_utils.py:156-159), then host thresholding."""
         n = len(entity_keys)
         if n < 2:
             return 0
-        index = MipsIndex(np.asarray(entity_embeddings, np.float32), mesh=mesh)
+        embs = np.asarray(entity_embeddings, np.float32)
+        index = MipsIndex(embs, mesh=mesh)
         k = min(topk, n)
-        scores, idx = index.topk(entity_embeddings, k=k)
+        batches = [embs[i : i + query_batch_size] for i in range(0, n, query_batch_size)]
+        outs = index.topk_many(batches, k=k)
+        scores = np.concatenate([s for s, _ in outs], axis=0)
+        idx = np.concatenate([i for _, i in outs], axis=0)
 
         num_added = 0
         for qi in range(n):
