@@ -58,7 +58,9 @@ def _ppr_batch(
         def body(state):
             x, _, it = state
             contrib = x[src] * rate
-            flowed = jax.ops.segment_sum(contrib, dst, num_segments=n_nodes)
+            # edges are pre-sorted by dst (PPRGraph.__init__): the scatter
+            # lowers to a segmented reduction instead of random scatter-adds
+            flowed = jax.ops.segment_sum(contrib, dst, num_segments=n_nodes, indices_are_sorted=True)
             dangling_mass = jnp.sum(x * is_dangling)
             new_x = (1.0 - alpha) * reset + alpha * (flowed + dangling_mass * reset)
             err = jnp.sum(jnp.abs(new_x - x))
@@ -93,7 +95,9 @@ def make_sharded_ppr(mesh, n_nodes: int, max_iters: int, axis: str = "corpus"):
             def body(state):
                 x, _, it = state
                 contrib = x[src] * rate
-                partial = jax.ops.segment_sum(contrib, dst, num_segments=n_nodes)
+                # each shard's slice of the globally dst-sorted arc list
+                # stays sorted
+                partial = jax.ops.segment_sum(contrib, dst, num_segments=n_nodes, indices_are_sorted=True)
                 flowed = jax.lax.psum(partial, axis)  # merge shard partials
                 dangling_mass = jnp.sum(x * is_dangling)
                 new_x = (1.0 - alpha) * reset + alpha * (flowed + dangling_mass * reset)
@@ -174,6 +178,12 @@ class PPRGraph:
         rate = np.zeros(e_pad, np.float32)
         nz = strength[src_p] > 0
         rate[nz] = (w_p[nz] / strength[src_p[nz]]).astype(np.float32)
+
+        # Sort edges by destination: segment_sum(indices_are_sorted=True)
+        # lowers to a segmented reduction instead of random scatter-adds —
+        # the hot op of the device solver at 10M+ arcs.
+        order = np.argsort(dst_p, kind="stable")
+        src_p, dst_p, rate = src_p[order], dst_p[order], rate[order]
         is_dangling = (strength == 0).astype(np.float32)
         # padded nodes never receive reset mass; keep them non-dangling so
         # they don't siphon probability
@@ -225,6 +235,10 @@ class PPRGraph:
                 return out
         r_pad = np.zeros((b, self.n_pad), np.float32)
         r_pad[:, :n] = resets
+        # fp32 L1 error floors near ~1e-7: a tighter tol would spin the
+        # while_loop to max_iters without improving the (double-checked)
+        # ranking. The native solver keeps the exact tol in float64.
+        device_tol = max(self.tol, 1e-7)
         if self.mesh is not None:
             out = self._sharded_fn(
                 self._src,
@@ -233,7 +247,7 @@ class PPRGraph:
                 self._dangling,
                 jnp.asarray(r_pad),
                 jnp.asarray(damping, jnp.float32),
-                jnp.asarray(self.tol, jnp.float32),
+                jnp.asarray(device_tol, jnp.float32),
             )
             return np.asarray(out)[:, :n]
         out = _ppr_batch(
@@ -243,7 +257,7 @@ class PPRGraph:
             self._dangling,
             jnp.asarray(r_pad),
             jnp.asarray(damping, jnp.float32),
-            jnp.asarray(self.tol, jnp.float32),
+            jnp.asarray(device_tol, jnp.float32),
             self.n_pad,
             self.max_iters,
         )

@@ -87,6 +87,55 @@ def make_packed_topk(k: int, exact: bool = True):
     return fn
 
 
+def quantize_int8(corpus: jnp.ndarray | "np.ndarray") -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-row int8 quantization: returns (q [N, d] int8,
+    scales [N] f32) with row ≈ q * scale. 4x less HBM than fp32."""
+    import numpy as np
+
+    c = np.asarray(corpus, np.float32)
+    scales = np.abs(c).max(axis=1) / 127.0
+    scales = np.where(scales == 0, 1.0, scales)
+    q = np.clip(np.rint(c / scales[:, None]), -127, 127).astype(np.int8)
+    return jnp.asarray(q), jnp.asarray(scales.astype(np.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "exact"))
+def int8_topk(
+    queries: jnp.ndarray,    # [P, d] f32
+    corpus_q: jnp.ndarray,   # [N, d] int8
+    scales: jnp.ndarray,     # [N] f32
+    n_valid: jnp.ndarray,
+    k: int,
+    exact: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k over a quantized corpus: int8 rows upcast on the fly (HBM
+    reads 1/4 of fp32), per-row scales folded into the score columns."""
+    # the int8->query-dtype convert fuses into the dot's operand read, so
+    # HBM traffic stays 1 byte/element
+    scores = jnp.dot(queries, corpus_q.T.astype(queries.dtype), preferred_element_type=jnp.float32)
+    scores = scores * scales[None, :]
+    scores = _mask_padded(scores, n_valid)
+    if exact:
+        return jax.lax.top_k(scores, k)
+    return jax.lax.approx_max_k(scores, k, recall_target=0.95, aggregate_to_topk=True)
+
+
+@jax.jit
+def int8_scores(queries: jnp.ndarray, corpus_q: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    """Full [P, N] score matrix over a quantized corpus."""
+    scores = jnp.dot(queries, corpus_q.T.astype(queries.dtype), preferred_element_type=jnp.float32)
+    return scores * scales[None, :]
+
+
+def make_packed_int8_topk(k: int, exact: bool = True):
+    @jax.jit
+    def fn(queries, corpus_q, scales, n_valid):
+        scores, idx = int8_topk(queries, corpus_q, scales, n_valid, k, exact)
+        return _pack(scores, idx)
+
+    return fn
+
+
 @functools.partial(jax.jit, static_argnames=())
 def dense_scores(queries: jnp.ndarray, corpus: jnp.ndarray) -> jnp.ndarray:
     """Full score matrix [P, N] (used for PPR passage priors, where every

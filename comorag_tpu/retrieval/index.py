@@ -32,9 +32,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from comorag_tpu.ops.topk import (
     dense_scores,
+    int8_scores as _int8_scores,
+    make_packed_int8_topk,
     make_packed_topk,
     make_sharded_scores,
     make_sharded_topk,
+    quantize_int8,
 )
 from comorag_tpu.utils.logging import get_logger
 
@@ -85,12 +88,13 @@ class MipsIndex:
         mesh: Optional[Mesh] = None,
         axis: str = "corpus",
         min_rows_per_shard: int = 256,
-        dtype: str = "float32",  # "float32" | "bfloat16" storage/scoring
+        dtype: str = "float32",  # "float32" | "bfloat16" | "int8" storage/scoring
         method: str = "xla",  # "xla" | "pallas" (fused streaming kernel)
     ):
         self.n = int(matrix.shape[0])
         self.dim = int(matrix.shape[1]) if matrix.ndim == 2 and matrix.shape[1] else 1
         self.axis = axis
+        self.int8 = dtype == "int8"  # 4x corpus capacity; approximate scores
         self.dtype = jnp.bfloat16 if dtype in ("bfloat16", "bf16") else jnp.float32
 
         n_shards = mesh.shape.get(axis, 1) if mesh is not None else 1
@@ -110,6 +114,12 @@ class MipsIndex:
         if self.n:
             padded[: self.n] = matrix
 
+        if self.int8 and self.mesh is None:
+            self.corpus, self.scales = quantize_int8(padded)
+            self._packed_topk_cache: Dict[Tuple[int, bool], object] = {}
+            self.n_valid = jnp.asarray(self.n, jnp.int32)
+            return
+        self.int8 = False  # int8 is single-device only (for now)
         host = padded.astype(self.dtype) if self.dtype == jnp.bfloat16 else padded
         if self.mesh is not None:
             sharding = NamedSharding(self.mesh, P(axis, None))
@@ -150,6 +160,12 @@ class MipsIndex:
                 fn = make_sharded_topk(self.mesh, k_pad, self.axis, exact=exact, packed=True)
                 self._sharded_topk_cache[(k_pad, exact)] = fn
             packed = fn(q_dev, self.corpus, self.n_valid)
+        elif self.int8:
+            fn = self._packed_topk_cache.get(("int8", k_pad, exact))
+            if fn is None:
+                fn = make_packed_int8_topk(k_pad, exact=exact)
+                self._packed_topk_cache[("int8", k_pad, exact)] = fn
+            packed = fn(q_dev, self.corpus, self.scales, self.n_valid)
         elif self.method == "pallas":
             fn = self._packed_topk_cache.get(("pallas", k_pad))
             if fn is None:
@@ -194,6 +210,8 @@ class MipsIndex:
         q_dev, p = self._prep_queries(queries)
         if self.mesh is not None:
             s = self._sharded_scores(q_dev, self.corpus)
+        elif self.int8:
+            s = _int8_scores(q_dev, self.corpus, self.scales)
         else:
             s = dense_scores(q_dev, self.corpus)
         return ScoresHandle(s, p, self.n)
