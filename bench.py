@@ -112,6 +112,7 @@ def main() -> None:
     corpus, queries = make_data()
     tpu_qps, tpu_qps_block, tpu_idx = bench_tpu(corpus, queries, dtype="float32", exact=True)
     bf16_qps, _, bf16_idx = bench_tpu(corpus, queries, dtype="bfloat16", exact=True)
+    int8_qps, _, int8_idx = bench_tpu(corpus, queries, dtype="int8", exact=True)
     cpu_qps, cpu_idx = bench_cpu_reference(corpus, queries)
     result = {
         "metric": "retrieval_qps_per_chip",
@@ -126,8 +127,10 @@ def main() -> None:
             "cpu_reference_qps": round(cpu_qps, 2),
             "tpu_blocking_qps": round(tpu_qps_block, 2),
             "tpu_bf16_pipelined_qps": round(bf16_qps, 2),
+            "tpu_int8_pipelined_qps": round(int8_qps, 2),
             "topk_overlap_vs_cpu": round(overlap(tpu_idx, cpu_idx), 4),
             "topk_overlap_bf16_vs_cpu": round(overlap(bf16_idx, cpu_idx), 4),
+            "topk_overlap_int8_vs_cpu": round(overlap(int8_idx, cpu_idx), 4),
         },
     }
     print(json.dumps(result))
