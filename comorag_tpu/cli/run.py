@@ -87,6 +87,10 @@ def main() -> None:
     parser.add_argument("--max_tokens_ver", type=int, default=2000)
     parser.add_argument("--max_tokens_sem", type=int, default=2000)
     parser.add_argument("--max_tokens_epi", type=int, default=2000)
+    parser.add_argument("--embedding_dtype", default="float32", choices=["float32", "bfloat16", "int8"],
+                        help="retrieval index storage/scoring dtype (bf16: 2x HBM saving; int8: 4x)")
+    parser.add_argument("--topk_method", default="xla", choices=["xla", "pallas"],
+                        help="'pallas' uses the fused streaming MIPS kernel")
     args = parser.parse_args()
 
     config = ComoConfig(
@@ -103,6 +107,8 @@ def main() -> None:
         max_tokens_ver=args.max_tokens_ver,
         max_tokens_sem=args.max_tokens_sem,
         max_tokens_epi=args.max_tokens_epi,
+        embedding_dtype=args.embedding_dtype,
+        topk_method=args.topk_method,
     )
 
     base = args.base_path

@@ -166,9 +166,23 @@ class ComoRAG:
         self.epi_store = timeline.load_or_generate()
 
     def _build_semantic_tree(self) -> None:
+        # Reuse only a tree built over the SAME corpus (the reference's
+        # flag_cluster probe reuses any existing summaries, silently stale
+        # after the corpus grows — ComoRAG.py:110-116).
+        meta_path = os.path.join(self.config.working_dir, "semantic_tree_meta.json")
+        n_chunks = len(self.ver_store)
         if len(self.sem_store):
-            logger.info("Semantic tree already built (%d summaries)", len(self.sem_store))
-            return
+            built_over = -1
+            if os.path.exists(meta_path):
+                with open(meta_path, encoding="utf-8") as f:
+                    built_over = json.load(f).get("n_chunks", -1)
+            if built_over == n_chunks:
+                logger.info("Semantic tree already built (%d summaries)", len(self.sem_store))
+                return
+            logger.info(
+                "Semantic tree stale (built over %d chunks, now %d) — rebuilding", built_over, n_chunks
+            )
+            self.sem_store.clear()
         tree = SemanticTree(
             self.encoder,
             self.summarizer,
@@ -185,6 +199,8 @@ class ComoRAG:
         if final_summary:
             with open(os.path.join(self.config.working_dir, "final_summary.txt"), "w", encoding="utf-8") as f:
                 f.write(final_summary[0])
+        with open(meta_path, "w", encoding="utf-8") as f:
+            json.dump({"n_chunks": n_chunks}, f)
 
     def _run_openie(self) -> Tuple[Dict[str, List[str]], Dict[str, List[List[str]]]]:
         """Resumable OpenIE: existing results load from the JSON artifact;

@@ -51,7 +51,7 @@ class ComoConfig:
     embedding_return_as_normalized: bool = True
     embedding_max_seq_len: int = 2048
     embedding_dim: int = 512  # used by the hermetic hash encoder
-    embedding_dtype: Literal["float32", "bfloat16"] = "float32"
+    embedding_dtype: Literal["float32", "bfloat16", "int8"] = "float32"  # index storage/scoring
 
     # ------------------------------------------------------------ retrieval
     # (reference: config_utils.py:175-187)

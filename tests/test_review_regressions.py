@@ -104,3 +104,40 @@ class TestGoldAnswers:
         }
         golds = gold_answers_of(sample)
         assert "Paris" in golds and "Ville Lumiere" in golds and len(golds) == 4
+
+
+class TestSemanticTreeStaleness:
+    def test_grown_corpus_rebuilds_tree(self, tmp_path):
+        from comorag_tpu.comorag import ComoRAG
+        from comorag_tpu.config import ComoConfig
+
+        config = ComoConfig(
+            llm_name="fake",
+            embedding_model_name="hash",
+            embedding_dim=64,
+            need_cluster=True,
+            skip_graph=True,
+            save_dir=str(tmp_path / "o"),
+            output_dir=str(tmp_path / "r"),
+            gmm_max_clusters=3,
+            gmm_em_iterations=10,
+        )
+        docs = [f"Chapter {i}: the caravan crossed dune {i} at dawn." for i in range(4)]
+        rag = ComoRAG(config)
+        rag.index(docs)
+        n_before = len(rag.sem_store)
+        assert n_before > 0
+
+        # same corpus -> reuse (no rebuild)
+        rag2 = ComoRAG(config)
+        rag2.index(docs)
+        assert len(rag2.sem_store) == n_before
+
+        # grown corpus -> rebuild over all chunks
+        more = docs + [f"Chapter {i}: a storm scattered caravan {i} at dusk." for i in range(4, 16)]
+        rag3 = ComoRAG(config)
+        rag3.index(more)
+        assert len(rag3.ver_store) == 16
+        import json, os
+        meta = json.load(open(os.path.join(config.working_dir, "semantic_tree_meta.json")))
+        assert meta["n_chunks"] == 16
