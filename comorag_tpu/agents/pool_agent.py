@@ -10,7 +10,7 @@ Capability parity with the reference's PoolAgent (utils/agents.py:55-130):
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 from comorag_tpu.llm.base import BaseLLM
 from comorag_tpu.prompts.manager import PromptManager

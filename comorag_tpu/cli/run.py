@@ -11,7 +11,7 @@ import argparse
 import copy
 import json
 import os
-from typing import List, Optional, Sequence, Set
+from typing import List, Set
 
 from comorag_tpu.comorag import ComoRAG
 from comorag_tpu.config import ComoConfig

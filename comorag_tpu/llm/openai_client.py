@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 import random
 import time
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 import httpx
 

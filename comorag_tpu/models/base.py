@@ -8,7 +8,7 @@ vectors, with an optional instruction prefix (prompts/linking.py semantics).
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
-from typing import List, Optional, Union
+from typing import List, Union
 
 import numpy as np
 

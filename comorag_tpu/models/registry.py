@@ -14,8 +14,6 @@ Name scheme:
 
 from __future__ import annotations
 
-from typing import Optional
-
 from comorag_tpu.config import ComoConfig
 from comorag_tpu.models.base import BaseEncoder
 from comorag_tpu.models.hash_encoder import HashEncoder

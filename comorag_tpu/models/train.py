@@ -8,8 +8,7 @@ surface the driver dry-runs (dp x tp mesh; XLA inserts the collectives).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,8 +21,6 @@ compiled program (XLA static shapes).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

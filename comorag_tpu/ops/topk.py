@@ -20,7 +20,7 @@ per-shard scorer.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +43,14 @@ def _score_dot(queries: jnp.ndarray, corpus_t: jnp.ndarray) -> jnp.ndarray:
 
 
 
+
+def _select_topk(scores: jnp.ndarray, k: int, exact: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact lax.top_k or the hardware PartialReduce approximation with
+    exact re-ranking of the candidate set."""
+    if exact:
+        return jax.lax.top_k(scores, k)
+    return jax.lax.approx_max_k(scores, k, recall_target=0.95, aggregate_to_topk=True)
+
 def _mask_padded(scores: jnp.ndarray, n_valid: jnp.ndarray, offset: int | jnp.ndarray = 0) -> jnp.ndarray:
     """Set columns whose *global* row id >= n_valid to -inf."""
     n_cols = scores.shape[-1]
@@ -62,9 +70,7 @@ def dense_topk(
     (scores [P, k], indices [P, k]) sorted descending."""
     scores = _score_dot(queries, corpus.T)
     scores = _mask_padded(scores, n_valid)
-    if exact:
-        return jax.lax.top_k(scores, k)
-    return jax.lax.approx_max_k(scores, k, recall_target=0.95, aggregate_to_topk=True)
+    return _select_topk(scores, k, exact)
 
 
 def _pack(scores: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -115,9 +121,7 @@ def int8_topk(
     scores = jnp.dot(queries, corpus_q.T.astype(queries.dtype), preferred_element_type=jnp.float32)
     scores = scores * scales[None, :]
     scores = _mask_padded(scores, n_valid)
-    if exact:
-        return jax.lax.top_k(scores, k)
-    return jax.lax.approx_max_k(scores, k, recall_target=0.95, aggregate_to_topk=True)
+    return _select_topk(scores, k, exact)
 
 
 @jax.jit
@@ -163,12 +167,7 @@ def make_sharded_topk(mesh: Mesh, k: int, axis: str = "corpus", exact: bool = Tr
         # small shards): each shard contributes ALL its rows then, and the
         # global merge still sees every global top-k candidate.
         local_k = min(k, shard_rows)
-        if exact:
-            local_scores, local_idx = jax.lax.top_k(scores, local_k)
-        else:
-            local_scores, local_idx = jax.lax.approx_max_k(
-                scores, local_k, recall_target=0.95, aggregate_to_topk=True
-            )
+        local_scores, local_idx = _select_topk(scores, local_k, exact)
         local_idx = local_idx + offset
         # Candidates ride ICI: [P, n_shards * local_k] on every device.
         all_scores = jax.lax.all_gather(local_scores, axis, axis=1, tiled=True)

@@ -28,7 +28,7 @@ import numpy as np
 from comorag_tpu.config import ComoConfig
 from comorag_tpu.graph.builder import GraphData
 from comorag_tpu.ops.ppr import PPRGraph
-from comorag_tpu.ops.similarity import min_max_normalize_np, min_max_normalize_rows_np
+from comorag_tpu.ops.similarity import min_max_normalize_rows_np
 from comorag_tpu.prompts.linking import get_query_instruction
 from comorag_tpu.retrieval.index import MipsIndex
 from comorag_tpu.store.embedding_store import EmbeddingStore
@@ -162,7 +162,10 @@ class RetrievalEngine:
     # ------------------------------------------------------------ fact rerank
     def rerank_facts(self, query: str, scores: np.ndarray) -> Tuple[List[int], List[Tuple[str, str, str]], dict]:
         link_top_k = self.config.linking_top_k
-        candidate_idx = np.argsort(scores)[-link_top_k:][::-1].tolist()
+        k = min(link_top_k, len(scores))
+        # partial selection: a full argsort over |facts| per probe is wasted
+        part = np.argpartition(-scores, k - 1)[:k] if k else np.array([], np.int64)
+        candidate_idx = part[np.argsort(-scores[part], kind="stable")].tolist()
         candidate_keys = [self.fact_node_keys[i] for i in candidate_idx]
         candidates = []
         for key in candidate_keys:

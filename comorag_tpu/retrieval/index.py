@@ -57,6 +57,13 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _start_host_copy(arr) -> None:
+    try:
+        arr.copy_to_host_async()
+    except Exception:  # pragma: no cover - platform without async copies
+        pass
+
+
 class TopkHandle:
     """An in-flight top-k query: device work + host copy already started.
 
@@ -68,10 +75,7 @@ class TopkHandle:
         self._packed = packed
         self._p = p
         self._k = k
-        try:
-            packed.copy_to_host_async()
-        except Exception:  # pragma: no cover - platform without async copies
-            pass
+        _start_host_copy(packed)
 
     def result(self) -> Tuple[np.ndarray, np.ndarray]:
         packed = np.asarray(self._packed)  # int32 [P, 2*k_pad]
@@ -119,6 +123,8 @@ class MipsIndex:
             self._packed_topk_cache: Dict[Tuple[int, bool], object] = {}
             self.n_valid = jnp.asarray(self.n, jnp.int32)
             return
+        if self.int8:
+            logger.warning("int8 index is single-device only; falling back to %s for the sharded index", self.dtype)
         self.int8 = False  # int8 is single-device only (for now)
         host = padded.astype(self.dtype) if self.dtype == jnp.bfloat16 else padded
         if self.mesh is not None:
@@ -229,10 +235,7 @@ class ScoresHandle:
         self._p = p
         self._n = n
         if dev is not None:
-            try:
-                dev.copy_to_host_async()
-            except Exception:  # pragma: no cover
-                pass
+            _start_host_copy(dev)
 
     def result(self) -> np.ndarray:
         if self._dev is None:

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import math
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional
 
 from comorag_tpu.llm.summarize import Summarizer
 from comorag_tpu.store.embedding_store import EmbeddingStore
