@@ -28,11 +28,14 @@ def get_encoder(config: ComoConfig, mesh=None) -> BaseEncoder:
         from comorag_tpu.models.bge import BGEJaxEncoder
 
         hf_name = name.split(":", 1)[1] if ":" in name else name
+        import jax.numpy as jnp
+
         return BGEJaxEncoder(
             hf_name,
             max_seq_len=config.embedding_max_seq_len,
             batch_size=config.embedding_batch_size,
             mesh=mesh,
+            compute_dtype=jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32,
         )
     if name.startswith("openai:") or name.startswith("text-embedding"):
         from comorag_tpu.models.remote import RemoteEncoder
