@@ -1,0 +1,24 @@
+.PHONY: test bench bench-e2e dryrun smoke eval-smoke
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+bench-e2e:
+	python scripts/bench_e2e.py --chunks 10000 --queries 64
+
+dryrun:
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 python -c "\
+	import os; os.environ['JAX_PLATFORMS']='cpu'; import jax; \
+	jax.config.update('jax_platforms','cpu'); \
+	import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+smoke:
+	python -m comorag_tpu.cli.run --base_path dataset/moonlantern \
+	  --llm_name fake --embedding_model_name hash \
+	  --output_dir result/moonlantern --save_dir outputs/moonlantern
+
+eval-smoke:
+	python -m comorag_tpu.eval.qa_eval result/moonlantern
