@@ -44,7 +44,7 @@ def gold_answers_of(sample: dict) -> List[str]:
     return list(gold_set)
 
 
-def process_dataset(dataset_path: str, config: ComoConfig, mesh=None) -> List[dict]:
+def process_dataset(dataset_path: str, config: ComoConfig, mesh=None, retrieval_only: bool = False) -> List[dict]:
     corpus = load_jsonl(os.path.join(dataset_path, "corpus.jsonl"))
     samples = load_jsonl(os.path.join(dataset_path, "qas.jsonl"))
     docs = [doc["contents"] for doc in corpus]
@@ -53,6 +53,30 @@ def process_dataset(dataset_path: str, config: ComoConfig, mesh=None) -> List[di
 
     rag = ComoRAG(config, mesh=mesh)
     rag.index(docs)
+
+    if retrieval_only:
+        # no LLM loop: dump each query's tri-layer retrieval (recall
+        # studies, index debugging). Gold chunks in the top-k -> "output"
+        # carries them so the eval CLI scores containment-style.
+        golds = [gold_answers_of(s) for s in samples]
+        results = []
+        retrieved = rag.engine.tri_retrieve_batch(queries)
+        for idx, (query, res) in enumerate(zip(queries, retrieved)):
+            results.append(
+                {
+                    "idx": idx,
+                    "question": query,
+                    "golden_answers": golds[idx],
+                    "output": "### Final Answer\n" + "\n".join(res.veridical[:10]),
+                    "retrieved": res.as_docs(),
+                }
+            )
+        os.makedirs(config.output_dir, exist_ok=True)
+        with open(os.path.join(config.output_dir, "results.json"), "w", encoding="utf-8") as f:
+            json.dump(results, f, ensure_ascii=False, indent=2)
+        logger.info("Wrote %d retrieval-only results to %s", len(results), config.output_dir)
+        return results
+
     solutions = rag.try_answer(queries)
 
     golds = [gold_answers_of(s) for s in samples]
@@ -91,6 +115,8 @@ def main() -> None:
                         help="retrieval index storage/scoring dtype (bf16: 2x HBM saving; int8: 4x)")
     parser.add_argument("--topk_method", default="xla", choices=["xla", "pallas"],
                         help="'pallas' uses the fused streaming MIPS kernel")
+    parser.add_argument("--retrieval_only", action="store_true",
+                        help="skip the LLM answer loop; dump tri-layer retrieval per question")
     args = parser.parse_args()
 
     config = ComoConfig(
@@ -122,7 +148,7 @@ def main() -> None:
         sub = copy.deepcopy(config)
         sub.output_dir = os.path.join(config.output_dir, os.path.basename(path))
         sub.save_dir = os.path.join(config.save_dir, os.path.basename(path))
-        process_dataset(path, sub)
+        process_dataset(path, sub, retrieval_only=args.retrieval_only)
 
 
 if __name__ == "__main__":
