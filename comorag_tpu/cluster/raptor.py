@@ -123,12 +123,19 @@ class SemanticTree:
         summaries = self.summarizer.batch_summarize(contexts)
         return [s for s in summaries if s]
 
-    def build(self, texts: Sequence[str], max_levels: int = 5) -> Tuple[List[str], List[str]]:
+    def build(
+        self,
+        texts: Sequence[str],
+        max_levels: int = 5,
+        embeddings: "np.ndarray | None" = None,
+    ) -> Tuple[List[str], List[str]]:
         """Returns (all_summaries_across_levels, [root_summary]).
 
         Level semantics match ComoRAG._recursive_clustering: cluster ->
         summarize -> recurse on summaries until one remains or the level cap
-        hits (then the first text stands in as root).
+        hits (then the first text stands in as root). ``embeddings`` (the
+        level-0 matrix, e.g. straight from the veridical store) skips
+        re-encoding the whole corpus.
         """
         texts = list(texts)
         if len(texts) <= 1:
@@ -136,8 +143,10 @@ class SemanticTree:
 
         all_summaries: List[str] = []
         level_texts = texts
+        level_embeddings = embeddings if embeddings is not None and len(embeddings) == len(texts) else None
         for level in range(max_levels):
-            embeddings = self._encode(level_texts)
+            embeddings = level_embeddings if level_embeddings is not None else self._encode(level_texts)
+            level_embeddings = None  # only level 0 is precomputed
             clusters = two_level_soft_cluster(
                 embeddings,
                 threshold=self.threshold,

@@ -193,7 +193,9 @@ class ComoRAG:
             em_iters=self.config.gmm_em_iterations,
             batch_size=self.config.embedding_batch_size,
         )
-        all_summaries, final_summary = tree.build(self.ver_store.get_all_texts(), max_levels=5)
+        all_summaries, final_summary = tree.build(
+            self.ver_store.get_all_texts(), max_levels=5, embeddings=self.ver_store.matrix
+        )
         if all_summaries:
             self.sem_store.insert_strings(all_summaries)
         if final_summary:
