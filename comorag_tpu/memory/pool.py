@@ -131,14 +131,12 @@ class MemoryPool:
         if self.agent is None:
             raise ValueError("MemoryPool has no fusion agent")
         similar = self.retrieve_similar_nodes(probe, top_k_percent)
-        if not similar:
+        blocks = [
+            f"Node {i}:\nNote: {node.cue}"
+            for i, node in enumerate((n for n in similar if n.cue), 1)
+        ]
+        if not blocks:
             return "No relevant memory nodes found for the given probe."
-        blocks = []
-        for i, node in enumerate(similar, 1):
-            lines = []
-            if node.cue:
-                lines.append(f"Note: {node.cue}")
-            blocks.append(f"Node {i}:\n" + "\n".join(lines))
         content = "\n\n".join(blocks)
         return self.agent.fuse_memory_nodes(query=probe, content=content, max_completion_tokens=1000)
 
