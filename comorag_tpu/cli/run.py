@@ -55,26 +55,34 @@ def process_dataset(dataset_path: str, config: ComoConfig, mesh=None, retrieval_
     rag.index(docs)
 
     if retrieval_only:
-        # no LLM loop: dump each query's tri-layer retrieval (recall
-        # studies, index debugging). Gold chunks in the top-k -> "output"
-        # carries them so the eval CLI scores containment-style.
+        # no LLM loop: dump each query's tri-layer retrieval and a
+        # gold-containment recall summary (recall studies, index
+        # debugging). EM/F1 from the QA eval CLI are NOT meaningful on
+        # these outputs — read retrieval_summary.json instead.
         golds = [gold_answers_of(s) for s in samples]
         results = []
         retrieved = rag.engine.tri_retrieve_batch(queries)
+        hits_at = {1: 0, 5: 0, 10: 0}
         for idx, (query, res) in enumerate(zip(queries, retrieved)):
+            contains = [any(g.lower() in d.lower() for g in golds[idx]) for d in res.veridical[:10]]
+            for k in hits_at:
+                hits_at[k] += int(any(contains[:k]))
             results.append(
                 {
                     "idx": idx,
                     "question": query,
                     "golden_answers": golds[idx],
-                    "output": "### Final Answer\n" + "\n".join(res.veridical[:10]),
+                    "gold_in_top": [k for k in (1, 5, 10) if any(contains[:k])],
                     "retrieved": res.as_docs(),
                 }
             )
         os.makedirs(config.output_dir, exist_ok=True)
-        with open(os.path.join(config.output_dir, "results.json"), "w", encoding="utf-8") as f:
+        with open(os.path.join(config.output_dir, "retrieval_results.json"), "w", encoding="utf-8") as f:
             json.dump(results, f, ensure_ascii=False, indent=2)
-        logger.info("Wrote %d retrieval-only results to %s", len(results), config.output_dir)
+        summary = {f"gold_containment@{k}": round(v / max(len(queries), 1), 4) for k, v in hits_at.items()}
+        with open(os.path.join(config.output_dir, "retrieval_summary.json"), "w", encoding="utf-8") as f:
+            json.dump(summary, f, indent=2)
+        logger.info("Retrieval-only summary %s -> %s", summary, config.output_dir)
         return results
 
     solutions = rag.try_answer(queries)

@@ -40,7 +40,7 @@ from comorag_tpu.graph.builder import GraphBuilder, GraphData
 from comorag_tpu.ie.openie import OpenIE
 from comorag_tpu.llm import get_llm
 from comorag_tpu.llm.summarize import Summarizer
-from comorag_tpu.memory.pool import MemoryNode, MemoryPool, NodeType
+from comorag_tpu.memory.pool import NO_MEMORY_SENTINEL, MemoryNode, MemoryPool, NodeType
 from comorag_tpu.models.registry import get_encoder
 from comorag_tpu.prompts.manager import PromptManager
 from comorag_tpu.rerank import FactFilter
@@ -173,9 +173,12 @@ class ComoRAG:
         n_chunks = len(self.ver_store)
         if len(self.sem_store):
             built_over = -1
-            if os.path.exists(meta_path):
+            try:
                 with open(meta_path, encoding="utf-8") as f:
-                    built_over = json.load(f).get("n_chunks", -1)
+                    meta = json.load(f)
+                built_over = meta.get("n_chunks", -1) if isinstance(meta, dict) else -1
+            except (OSError, json.JSONDecodeError):
+                built_over = -1  # absent/corrupt meta just means "rebuild"
             if built_over == n_chunks:
                 logger.info("Semantic tree already built (%d summaries)", len(self.sem_store))
                 return
@@ -201,8 +204,10 @@ class ComoRAG:
         if final_summary:
             with open(os.path.join(self.config.working_dir, "final_summary.txt"), "w", encoding="utf-8") as f:
                 f.write(final_summary[0])
-        with open(meta_path, "w", encoding="utf-8") as f:
+        tmp_meta = meta_path + ".tmp"
+        with open(tmp_meta, "w", encoding="utf-8") as f:
             json.dump({"n_chunks": n_chunks}, f)
+        os.replace(tmp_meta, meta_path)  # atomic: no torn meta on crash
 
     def _run_openie(self) -> Tuple[Dict[str, List[str]], Dict[str, List[List[str]]]]:
         """Resumable OpenIE: existing results load from the JSON artifact;
@@ -385,7 +390,8 @@ class ComoRAG:
                 self.mem_encode(query + " " + probe, retrieved_probe.as_docs(), pool, probe=probe)
 
             fused = pool.create_fusion_content(probe=query, top_k_percent=0.5)
-            pool.add_fused_node(probe=query, fused_content=fused)
+            if fused and fused != NO_MEMORY_SENTINEL:
+                pool.add_fused_node(probe=query, fused_content=fused)
 
             ver_context = "\n".join(n.cue or "" for n in pool.get_temp_nodes_by_type(NodeType.VER))
             sem_context = "\n".join(n.cue or "" for n in pool.get_temp_nodes_by_type(NodeType.SEM))

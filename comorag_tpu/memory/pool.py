@@ -24,6 +24,9 @@ from comorag_tpu.utils.logging import get_logger
 logger = get_logger(__name__)
 
 
+NO_MEMORY_SENTINEL = "No relevant memory nodes found for the given probe."
+
+
 class NodeType:
     VER = "veridical"
     SEM = "semantical"
@@ -136,7 +139,7 @@ class MemoryPool:
             for i, node in enumerate((n for n in similar if n.cue), 1)
         ]
         if not blocks:
-            return "No relevant memory nodes found for the given probe."
+            return NO_MEMORY_SENTINEL
         content = "\n\n".join(blocks)
         return self.agent.fuse_memory_nodes(query=probe, content=content, max_completion_tokens=1000)
 

@@ -36,6 +36,34 @@ def _bucket(n: int, buckets) -> int:
     return ((n + buckets[-1] - 1) // buckets[-1]) * buckets[-1]
 
 
+def _ppr_vmap(src, dst, rate, is_dangling, resets, alpha, tol, n_nodes: int, max_iters: int, axis=None):
+    """Batched power iteration; the single shared body for the local and
+    the edge-sharded (psum over ``axis``) solvers. Edges must be
+    pre-sorted by dst (PPRGraph.__init__) so segment_sum lowers to a
+    segmented reduction instead of random scatter-adds."""
+
+    def one(reset):
+        def cond(state):
+            _, prev_err, it = state
+            return jnp.logical_and(it < max_iters, prev_err > tol)
+
+        def body(state):
+            x, _, it = state
+            contrib = x[src] * rate
+            flowed = jax.ops.segment_sum(contrib, dst, num_segments=n_nodes, indices_are_sorted=True)
+            if axis is not None:
+                flowed = jax.lax.psum(flowed, axis)  # merge shard partials
+            dangling_mass = jnp.sum(x * is_dangling)
+            new_x = (1.0 - alpha) * reset + alpha * (flowed + dangling_mass * reset)
+            err = jnp.sum(jnp.abs(new_x - x))
+            return new_x, err, it + 1
+
+        x, _, _ = jax.lax.while_loop(cond, body, (reset, jnp.asarray(jnp.inf, jnp.float32), 0))
+        return x
+
+    return jax.vmap(one)(resets)
+
+
 @functools.partial(jax.jit, static_argnames=("n_nodes", "max_iters"))
 def _ppr_batch(
     src: jnp.ndarray,        # [E_pad] int32 (padded edges point at node n_nodes-1 w/ weight 0)
@@ -48,27 +76,7 @@ def _ppr_batch(
     n_nodes: int,
     max_iters: int,
 ) -> jnp.ndarray:
-    def one(reset):
-        def cond(state):
-            x, prev_err, it = state
-            return jnp.logical_and(it < max_iters, prev_err > tol)
-
-        def body(state):
-            x, _, it = state
-            contrib = x[src] * rate
-            # edges are pre-sorted by dst (PPRGraph.__init__): the scatter
-            # lowers to a segmented reduction instead of random scatter-adds
-            flowed = jax.ops.segment_sum(contrib, dst, num_segments=n_nodes, indices_are_sorted=True)
-            dangling_mass = jnp.sum(x * is_dangling)
-            new_x = (1.0 - alpha) * reset + alpha * (flowed + dangling_mass * reset)
-            err = jnp.sum(jnp.abs(new_x - x))
-            return new_x, err, it + 1
-
-        x0 = reset
-        x, _, _ = jax.lax.while_loop(cond, body, (x0, jnp.asarray(jnp.inf, jnp.float32), 0))
-        return x
-
-    return jax.vmap(one)(resets)
+    return _ppr_vmap(src, dst, rate, is_dangling, resets, alpha, tol, n_nodes, max_iters)
 
 
 def make_sharded_ppr(mesh, n_nodes: int, max_iters: int, axis: str = "corpus"):
@@ -85,27 +93,8 @@ def make_sharded_ppr(mesh, n_nodes: int, max_iters: int, axis: str = "corpus"):
     from jax import shard_map
 
     def _local(src, dst, rate, is_dangling, resets, alpha, tol):
-        def one(reset):
-            def cond(state):
-                _, prev_err, it = state
-                return jnp.logical_and(it < max_iters, prev_err > tol)
-
-            def body(state):
-                x, _, it = state
-                contrib = x[src] * rate
-                # each shard's slice of the globally dst-sorted arc list
-                # stays sorted
-                partial = jax.ops.segment_sum(contrib, dst, num_segments=n_nodes, indices_are_sorted=True)
-                flowed = jax.lax.psum(partial, axis)  # merge shard partials
-                dangling_mass = jnp.sum(x * is_dangling)
-                new_x = (1.0 - alpha) * reset + alpha * (flowed + dangling_mass * reset)
-                err = jnp.sum(jnp.abs(new_x - x))
-                return new_x, err, it + 1
-
-            x, _, _ = jax.lax.while_loop(cond, body, (reset, jnp.asarray(jnp.inf, jnp.float32), 0))
-            return x
-
-        return jax.vmap(one)(resets)
+        # each shard's slice of the globally dst-sorted arc list stays sorted
+        return _ppr_vmap(src, dst, rate, is_dangling, resets, alpha, tol, n_nodes, max_iters, axis=axis)
 
     sharded = shard_map(
         _local,

@@ -117,8 +117,9 @@ def int8_topk(
     """Top-k over a quantized corpus: int8 rows upcast on the fly (HBM
     reads 1/4 of fp32), per-row scales folded into the score columns."""
     # the int8->query-dtype convert fuses into the dot's operand read, so
-    # HBM traffic stays 1 byte/element
-    scores = jnp.dot(queries, corpus_q.T.astype(queries.dtype), preferred_element_type=jnp.float32)
+    # HBM traffic stays 1 byte/element; _score_dot keeps fp32 operands on
+    # true fp32 MXU passes
+    scores = _score_dot(queries, corpus_q.T.astype(queries.dtype))
     scores = scores * scales[None, :]
     scores = _mask_padded(scores, n_valid)
     return _select_topk(scores, k, exact)
@@ -127,7 +128,7 @@ def int8_topk(
 @jax.jit
 def int8_scores(queries: jnp.ndarray, corpus_q: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     """Full [P, N] score matrix over a quantized corpus."""
-    scores = jnp.dot(queries, corpus_q.T.astype(queries.dtype), preferred_element_type=jnp.float32)
+    scores = _score_dot(queries, corpus_q.T.astype(queries.dtype))
     return scores * scales[None, :]
 
 

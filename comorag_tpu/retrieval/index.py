@@ -108,6 +108,9 @@ class MipsIndex:
         # The Pallas kernel needs tile-aligned rows, a single device, and a
         # real TPU backend (tests run on CPU where only interpret mode works).
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        if method == "pallas" and self.int8:
+            logger.warning("topk_method='pallas' has no int8 variant; int8 uses the XLA path")
+            method = "xla"
         self.method = method if (method == "pallas" and self.mesh is None and self.n >= 512 and on_tpu) else "xla"
 
         pad_to = max(8, self.n_shards * 8)
@@ -198,12 +201,20 @@ class MipsIndex:
         return self.topk_async(queries, k, exact).result()
 
     def topk_many(
-        self, query_batches: Sequence[np.ndarray], k: int, exact: bool = True
+        self, query_batches: Sequence[np.ndarray], k: int, exact: bool = True, window: int = 64
     ) -> List[Tuple[np.ndarray, np.ndarray]]:
-        """Pipelined fan-out: dispatch every batch before draining any —
-        one pipeline drain instead of len(batches) blocking round-trips."""
-        handles = [self.topk_async(q, k, exact) for q in query_batches]
-        return [h.result() for h in handles]
+        """Pipelined fan-out with bounded in-flight results: up to
+        ``window`` packed buffers live on device at once (unbounded
+        dispatch would hold O(batches * k) HBM for huge sweeps), while
+        dispatch/compute/transfer still overlap within the window."""
+        results: List[Tuple[np.ndarray, np.ndarray]] = []
+        handles: List[TopkHandle] = []
+        for q in query_batches:
+            handles.append(self.topk_async(q, k, exact))
+            if len(handles) >= window:
+                results.append(handles.pop(0).result())
+        results.extend(h.result() for h in handles)
+        return results
 
     # ----------------------------------------------------------- full scores
     def scores_async(self, queries: np.ndarray) -> "ScoresHandle":

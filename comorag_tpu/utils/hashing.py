@@ -12,9 +12,16 @@ import hashlib
 
 
 @functools.lru_cache(maxsize=1 << 20)
+def _cached_hash(content: str, prefix: str) -> str:
+    return prefix + hashlib.md5(content.encode()).hexdigest()
+
+
 def content_hash(content: str, prefix: str = "") -> str:
     """Return ``prefix + md5(content)`` for content-addressed storage.
 
-    Memoized: graph construction and pool dedup hash the same entity
-    strings millions of times at 50k+ chunk scale."""
+    Short strings (entity names — hashed millions of times during graph
+    construction) are memoized; long chunk texts are hashed directly so
+    the cache never pins whole corpora in RAM."""
+    if len(content) <= 256:
+        return _cached_hash(content, prefix)
     return prefix + hashlib.md5(content.encode()).hexdigest()
