@@ -52,11 +52,15 @@ def bench_tpu(corpus, queries, dtype="float32", exact=True):
     # warmup + compile
     idx_out = index.topk(queries, k=K)[1]
 
-    # pipelined: dispatch everything, then drain
-    start = time.perf_counter()
-    results = index.topk_many([queries] * TPU_ITERS, k=K, exact=exact)
-    elapsed = time.perf_counter() - start
-    qps_pipe = P * TPU_ITERS / elapsed
+    # pipelined: dispatch everything, then drain; best-of-3 passes (the
+    # remote tunnel adds run-to-run noise; CPU baseline gets the same
+    # best-of treatment)
+    qps_pipe = 0.0
+    for _ in range(3):
+        start = time.perf_counter()
+        results = index.topk_many([queries] * TPU_ITERS, k=K, exact=exact)
+        elapsed = time.perf_counter() - start
+        qps_pipe = max(qps_pipe, P * TPU_ITERS / elapsed)
     idx_out = results[-1][1]
 
     # sequential blocking (one sync per call) for reference
