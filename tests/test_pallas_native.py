@@ -128,3 +128,33 @@ class TestPPRGraphBackends:
         assert np.abs(out_n - out_d).max() < 1e-5
         # rankings identical (what retrieval consumes)
         assert (np.argsort(-out_n, axis=1) == np.argsort(-out_d, axis=1)).all()
+
+
+class TestNativeUnavailableFallback:
+    def test_ppr_auto_falls_back_to_device(self, monkeypatch):
+        """With no C++ library, backend='auto' must solve on device."""
+        import comorag_tpu.native as native_mod
+        from comorag_tpu.ops.ppr import PPRGraph
+
+        monkeypatch.setattr(native_mod, "_get", lambda: None)
+        monkeypatch.setattr(native_mod, "_LIB", None)
+        rng = np.random.default_rng(11)
+        src, dst, w, n = _random_graph(rng)
+        g = PPRGraph(src, dst, w, n, backend="auto", tol=1e-12, max_iters=400)
+        assert g._native is None or not native_mod.available()
+        out = g.query(np.eye(1, n, 3, dtype=np.float32))
+        ref = ppr_dense_reference(src, dst, w, n, np.eye(1, n, 3, dtype=np.float32)[0], 0.5, 800)
+        assert (np.argsort(-out[0])[:10] == np.argsort(-ref)[:10]).all()
+
+    def test_build_csr_numpy_fallback(self, monkeypatch):
+        import comorag_tpu.native as native_mod
+
+        monkeypatch.setattr(native_mod, "_get", lambda: None)
+        rng = np.random.default_rng(12)
+        src, dst, w, n = _random_graph(rng)
+        indptr, indices, data = native_mod.build_csr(src, dst, w, n)
+        assert indptr[-1] == len(src)
+        for u in (0, n // 2, n - 1):
+            mine = sorted(zip(indices[indptr[u] : indptr[u + 1]].tolist(), data[indptr[u] : indptr[u + 1]].tolist()))
+            ref = sorted(zip(dst[src == u].tolist(), w[src == u].tolist()))
+            assert mine == ref
