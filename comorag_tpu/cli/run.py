@@ -45,6 +45,11 @@ def gold_answers_of(sample: dict) -> List[str]:
 
 
 def process_dataset(dataset_path: str, config: ComoConfig, mesh=None, retrieval_only: bool = False) -> List[dict]:
+    # Per-dataset trace: without a reset, every later subset's trace.json
+    # silently accumulates all earlier subsets' timings.
+    from comorag_tpu.utils import trace
+
+    trace.reset()
     corpus = load_jsonl(os.path.join(dataset_path, "corpus.jsonl"))
     samples = load_jsonl(os.path.join(dataset_path, "qas.jsonl"))
     docs = [doc["contents"] for doc in corpus]
@@ -82,6 +87,7 @@ def process_dataset(dataset_path: str, config: ComoConfig, mesh=None, retrieval_
         summary = {f"gold_containment@{k}": round(v / max(len(queries), 1), 4) for k, v in hits_at.items()}
         with open(os.path.join(config.output_dir, "retrieval_summary.json"), "w", encoding="utf-8") as f:
             json.dump(summary, f, indent=2)
+        trace.dump(os.path.join(config.output_dir, "trace.json"))
         logger.info("Retrieval-only summary %s -> %s", summary, config.output_dir)
         return results
 
@@ -125,7 +131,20 @@ def main() -> None:
                         help="'pallas' uses the fused streaming MIPS kernel")
     parser.add_argument("--retrieval_only", action="store_true",
                         help="skip the LLM answer loop; dump tri-layer retrieval per question")
+    parser.add_argument("--mesh_shape", default=None,
+                        help="device mesh for sharded retrieval, e.g. 'corpus=8' or 'data=2,corpus=4'; "
+                             "axis sizes must multiply to the device count")
     args = parser.parse_args()
+
+    mesh_shape = None
+    if args.mesh_shape:
+        try:
+            mesh_shape = {
+                axis.strip(): int(size)
+                for axis, size in (part.split("=") for part in args.mesh_shape.split(","))
+            }
+        except ValueError as e:
+            parser.error(f"--mesh_shape must look like 'corpus=8' or 'data=2,corpus=4': {e}")
 
     config = ComoConfig(
         llm_name=args.llm_name,
@@ -143,6 +162,7 @@ def main() -> None:
         max_tokens_epi=args.max_tokens_epi,
         embedding_dtype=args.embedding_dtype,
         topk_method=args.topk_method,
+        mesh_shape=mesh_shape,
     )
 
     base = args.base_path

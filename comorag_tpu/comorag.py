@@ -80,13 +80,17 @@ class ComoRAG:
         tokenizer=None,
     ):
         self.config = config or ComoConfig()
+        if mesh is None and self.config.mesh_shape:
+            from comorag_tpu.parallel.mesh import build_mesh
+
+            mesh = build_mesh(dict(self.config.mesh_shape))
         self.mesh = mesh
         os.makedirs(self.config.working_dir, exist_ok=True)
 
         self.llm = llm if llm is not None else get_llm(self.config)
         self.encoder = encoder if encoder is not None else get_encoder(self.config, mesh=mesh)
         self.prompts = PromptManager()
-        self.openie = OpenIE(self.llm, self.prompts)
+        self.openie = OpenIE(self.llm, self.prompts, response_format=self.config.response_format)
         self.summarizer = Summarizer(self.llm)
         self.fact_filter = FactFilter(self.llm, self.config.llm_name, self.config.rerank_dspy_file_path)
         self.tokens = TokenCounter(tokenizer)
@@ -257,11 +261,12 @@ class ComoRAG:
                 topk=self.config.synonymy_edge_topk,
                 sim_threshold=self.config.synonymy_edge_sim_threshold,
                 query_batch_size=self.config.synonymy_edge_query_batch_size,
+                key_batch_size=self.config.synonymy_edge_key_batch_size,
             )
         node_names = list(entity_keys) + list(chunk_ids)
         if self.config.need_cluster and self.sem_store is not None:
             node_names += list(self.sem_store.get_all_ids())
-        self.graph = builder.finalize(node_names)
+        self.graph = builder.finalize(node_names, directed=self.config.is_directed_graph)
         self.graph.save(self._graph_prefix)
         logger.info("Graph: %s", self.graph.info())
 

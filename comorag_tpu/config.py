@@ -5,6 +5,11 @@ Capability parity with the reference's ``BaseConfig``
 defaults where the reference's defaults are the ones actually exercised —
 plus TPU-specific fields (mesh shape, dtype, kernel tile sizes) that have no
 reference counterpart.
+
+Knobs the reference declares but never reads anywhere in its source
+(``retrieval_top_k``, ``qa_top_k``, ``record_steps`` — verified by grep over
+/root/reference/src) are intentionally NOT reproduced: dead surface is
+documented here instead of carried.
 """
 
 from __future__ import annotations
@@ -56,13 +61,11 @@ class ComoConfig:
     # ------------------------------------------------------------ retrieval
     # (reference: config_utils.py:175-187)
     linking_top_k: int = 5
-    retrieval_top_k: int = 200
     damping: float = 0.5
 
     # ------------------------------------------------------------------- QA
     # (reference: config_utils.py:190-257)
     max_meta_loop_iterations: int = 5
-    qa_top_k: int = 50
     qa_ver_top_k: int = 50
     qa_sem_top_k: int = 50
     qa_epi_top_k: int = 50
@@ -73,7 +76,6 @@ class ComoConfig:
     max_tokens_ver: int = 3000
     max_tokens_sem: int = 1000
     max_tokens_epi: int = 1000
-    record_steps: bool = False
 
     # ------------------------------------------------------------ IO / dirs
     # (reference: config_utils.py:258-298)

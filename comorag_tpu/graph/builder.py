@@ -90,6 +90,40 @@ class GraphData:
         return {"num_nodes": self.n_nodes, "num_arcs": self.n_arcs}
 
 
+def _key_blocked_topk(
+    embs: np.ndarray,
+    query_batches: Sequence[np.ndarray],
+    k: int,
+    key_batch_size: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Two-level top-k with the key matrix streamed through the device in
+    blocks of ``key_batch_size`` rows (reference retrieve_knn semantics,
+    embed_utils.py:23-95): only one block is device-resident at a time, a
+    running host-side merge keeps the global best-k per query."""
+    n = embs.shape[0]
+    run_s: Optional[np.ndarray] = None
+    run_i: Optional[np.ndarray] = None
+    for start in range(0, n, key_batch_size):
+        block = embs[start : start + key_batch_size]
+        index = MipsIndex(block)
+        outs = index.topk_many(list(query_batches), k=min(k, block.shape[0]))
+        s = np.concatenate([np.asarray(o[0]) for o in outs], axis=0)
+        i = np.concatenate([np.asarray(o[1]) for o in outs], axis=0).astype(np.int64) + start
+        if run_s is None:
+            run_s, run_i = s, i
+        else:
+            cs = np.concatenate([run_s, s], axis=1)
+            ci = np.concatenate([run_i, i], axis=1)
+            kk = min(k, cs.shape[1])
+            part = np.argpartition(-cs, kk - 1, axis=1)[:, :kk]
+            rows = np.arange(cs.shape[0])[:, None]
+            run_s, run_i = cs[rows, part], ci[rows, part]
+    assert run_s is not None and run_i is not None
+    order = np.argsort(-run_s, axis=1, kind="stable")
+    rows = np.arange(run_s.shape[0])[:, None]
+    return run_s[rows, order], run_i[rows, order]
+
+
 class GraphBuilder:
     def __init__(self):
         # stats entry (u, v) -> weight; each entry becomes a symmetric arc pair.
@@ -133,21 +167,33 @@ class GraphBuilder:
         sim_threshold: float = 0.8,
         max_neighbors: int = 100,
         query_batch_size: int = 1000,
+        key_batch_size: int = 10000,
+        key_bytes_budget: int = 2 << 30,
     ) -> int:
         """Device KNN over all entities with pipelined query batches
         (one giant call would materialize an [n, n] score matrix beyond
         HBM at 100k+ entities; the reference batches at 1000 too,
-        config_utils.py:156-159), then host thresholding."""
+        config_utils.py:156-159), then host thresholding.
+
+        ``key_batch_size`` (reference key batching, embed_utils.py:23-95)
+        engages only when the key matrix exceeds ``key_bytes_budget``: the
+        reference streams keys unconditionally because torch materializes
+        the block on one GPU, whereas here the index is device-resident
+        (and mesh-sharded when large), so streaming below the HBM budget
+        would only cost throughput."""
         n = len(entity_keys)
         if n < 2:
             return 0
         embs = np.asarray(entity_embeddings, np.float32)
-        index = MipsIndex(embs, mesh=mesh)
         k = min(topk, n)
         batches = [embs[i : i + query_batch_size] for i in range(0, n, query_batch_size)]
-        outs = index.topk_many(batches, k=k)
-        scores = np.concatenate([s for s, _ in outs], axis=0)
-        idx = np.concatenate([i for _, i in outs], axis=0)
+        if embs.nbytes > key_bytes_budget and key_batch_size < n:
+            scores, idx = _key_blocked_topk(embs, batches, k, key_batch_size)
+        else:
+            index = MipsIndex(embs, mesh=mesh)
+            outs = index.topk_many(batches, k=k)
+            scores = np.concatenate([s for s, _ in outs], axis=0)
+            idx = np.concatenate([i for _, i in outs], axis=0)
 
         num_added = 0
         for qi in range(n):
@@ -167,10 +213,15 @@ class GraphBuilder:
         return num_added
 
     # -------------------------------------------------------------- finalize
-    def finalize(self, node_names: Sequence[str]) -> GraphData:
+    def finalize(self, node_names: Sequence[str], directed: bool = False) -> GraphData:
         """Materialize arcs over the given node universe; stats entries whose
         endpoints are unknown are dropped (with a warning), self-loops skipped
-        (ComoRAG.py:812 semantics)."""
+        (ComoRAG.py:812 semantics).
+
+        ``directed`` mirrors ``ig.Graph(directed=is_directed_graph)``
+        (reference ComoRAG.py:173): each stats entry becomes ONE arc
+        instead of a symmetric pair, so passage/synonymy edges point one
+        way while fact edges stay bidirectional (double-entry stats)."""
         name_to_idx = {n: i for i, n in enumerate(node_names)}
         src, dst, weights = [], [], []
         dropped = 0
@@ -182,10 +233,15 @@ class GraphBuilder:
             if ui is None or vi is None:
                 dropped += 1
                 continue
-            # one stats entry == one undirected edge == two arcs
-            src.extend((ui, vi))
-            dst.extend((vi, ui))
-            weights.extend((w, w))
+            if directed:
+                src.append(ui)
+                dst.append(vi)
+                weights.append(w)
+            else:
+                # one stats entry == one undirected edge == two arcs
+                src.extend((ui, vi))
+                dst.extend((vi, ui))
+                weights.extend((w, w))
         if dropped:
             logger.warning("Dropped %d edges with unknown endpoints", dropped)
         return GraphData(

@@ -68,15 +68,24 @@ def _parse_triples(text: str) -> List[List[str]]:
 
 
 class OpenIE:
-    def __init__(self, llm: BaseLLM, prompts: PromptManager | None = None):
+    def __init__(
+        self,
+        llm: BaseLLM,
+        prompts: PromptManager | None = None,
+        response_format: dict | None = None,
+    ):
         self.llm = llm
         self.prompts = prompts or PromptManager()
+        # Guided-JSON decoding applies ONLY to the extraction calls below
+        # (per-call gen_kwargs), never client-wide — a schema here must not
+        # force JSON output on narrative QA answers.
+        self._gen_kwargs = {"response_format": response_format} if response_format else {}
 
     # -------------------------------------------------------------- stages
     def ner(self, chunk_id: str, passage: str) -> NerResult:
         messages = self.prompts.render("ner", passage=passage)
         try:
-            resp = self.llm.infer(messages)
+            resp = self.llm.infer(messages, **self._gen_kwargs)
         except Exception as e:  # noqa: BLE001
             logger.warning("NER failed for %s: %s", chunk_id, e)
             return NerResult(chunk_id, "", [], {"error": str(e)})
@@ -95,7 +104,7 @@ class OpenIE:
             named_entity_json=json.dumps({"named_entities": list(entities)}),
         )
         try:
-            resp = self.llm.infer(messages)
+            resp = self.llm.infer(messages, **self._gen_kwargs)
         except Exception as e:  # noqa: BLE001
             logger.warning("Triple extraction failed for %s: %s", chunk_id, e)
             return TripleResult(chunk_id, "", [], {"error": str(e)})
@@ -115,7 +124,7 @@ class OpenIE:
         ids = list(chunks.keys())
 
         ner_batch = [self.prompts.render("ner", passage=chunks[cid]) for cid in ids]
-        ner_raw = self.llm.batch_infer(ner_batch)
+        ner_raw = self.llm.batch_infer(ner_batch, **self._gen_kwargs)
         ner_results: Dict[str, NerResult] = {}
         for cid, resp in zip(ids, ner_raw):
             text = repair_json(resp.text) if resp.metadata.get("finish_reason") == "length" else resp.text
@@ -130,7 +139,7 @@ class OpenIE:
             )
             for cid in ids
         ]
-        triple_raw = self.llm.batch_infer(triple_batch)
+        triple_raw = self.llm.batch_infer(triple_batch, **self._gen_kwargs)
         triple_results: Dict[str, TripleResult] = {}
         for cid, resp in zip(ids, triple_raw):
             text = repair_json(resp.text) if resp.metadata.get("finish_reason") == "length" else resp.text

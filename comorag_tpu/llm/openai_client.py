@@ -36,7 +36,7 @@ class OpenAIChatLLM(BaseLLM):
         max_retries: int = 5,
         timeout: float = 300.0,
         max_workers: int = 16,
-        response_format: Optional[Dict[str, Any]] = None,
+        n_choices: int = 1,
     ):
         self.model = model
         self.base_url = (base_url or "https://api.openai.com/v1").rstrip("/")
@@ -46,7 +46,7 @@ class OpenAIChatLLM(BaseLLM):
         self.max_new_tokens = max_new_tokens
         self.max_retries = max_retries
         self.max_workers = max_workers
-        self.response_format = response_format
+        self.n_choices = n_choices
         self.cache = ResponseCache(cache_path) if cache_path else None
         limits = httpx.Limits(max_connections=max(64, max_workers * 4), max_keepalive_connections=32)
         self._client = httpx.Client(limits=limits, timeout=httpx.Timeout(timeout, read=timeout))
@@ -66,7 +66,7 @@ class OpenAIChatLLM(BaseLLM):
             max_new_tokens=config.max_new_tokens or 2048,
             max_retries=config.max_retry_attempts,
             max_workers=config.max_concurrent_llm,
-            response_format=config.response_format,
+            n_choices=config.num_gen_choices,
         )
 
     def infer(self, messages: Messages, **gen_kwargs) -> LLMResponse:
@@ -87,8 +87,12 @@ class OpenAIChatLLM(BaseLLM):
         }
         if self.seed is not None:
             payload["seed"] = self.seed
-        if self.response_format is not None and "response_format" not in gen_kwargs:
-            payload["response_format"] = self.response_format
+        # n (reference openai_gpt.py:161); the first choice is the answer
+        # (reference :188). response_format is NOT injected client-wide:
+        # call sites that want guided JSON pass it via gen_kwargs, so a
+        # schema set for extraction never breaks narrative QA parsing.
+        if self.n_choices != 1:
+            payload["n"] = self.n_choices
         payload.update(gen_kwargs)
 
         last_err: Optional[Exception] = None

@@ -1,0 +1,197 @@
+"""Every declared config knob drives behavior (VERDICT round 1, Weak #2):
+mesh_shape builds the mesh end-to-end, is_directed_graph changes arc
+materialization, synonymy_edge_key_batch_size streams keys, num_gen_choices
+reaches the chat payload, response_format stays scoped to OpenIE."""
+
+import json
+
+import numpy as np
+import pytest
+
+from comorag_tpu.comorag import ComoRAG
+from comorag_tpu.config import ComoConfig
+from comorag_tpu.graph.builder import GraphBuilder, _key_blocked_topk
+from comorag_tpu.retrieval.index import MipsIndex
+
+
+# ------------------------------------------------------------- mesh_shape
+def test_mesh_shape_builds_mesh_and_shards_index(tmp_path):
+    config = ComoConfig(
+        llm_name="fake",
+        embedding_model_name="hash",
+        embedding_dim=64,
+        need_cluster=False,
+        skip_graph=True,
+        save_dir=str(tmp_path / "outputs"),
+        output_dir=str(tmp_path / "results"),
+        mesh_shape={"corpus": 8},
+    )
+    rag = ComoRAG(config)  # no explicit mesh: must come from config
+    assert rag.mesh is not None and rag.mesh.shape == {"corpus": 8}
+    rag.index([f"Record {i}: entry number {i} of the ledger." for i in range(2100)])
+    rag.engine.prepare()
+    assert rag.engine.ver_index.n_shards == 8
+
+
+def test_cli_passes_mesh_shape_through(tmp_path, monkeypatch):
+    import comorag_tpu.cli.run as run_mod
+
+    ds = tmp_path / "ds"
+    ds.mkdir()
+    with open(ds / "corpus.jsonl", "w") as f:
+        f.write(json.dumps({"contents": "The lark sang at dawn."}) + "\n")
+    with open(ds / "qas.jsonl", "w") as f:
+        f.write(json.dumps({"question": "Who sang?", "answer": "the lark"}) + "\n")
+
+    seen = {}
+
+    def spy(dataset_path, config, mesh=None, retrieval_only=False):
+        seen["mesh_shape"] = config.mesh_shape
+        return []
+
+    monkeypatch.setattr(run_mod, "process_dataset", spy)
+    monkeypatch.setattr(
+        "sys.argv",
+        ["prog", "--base_path", str(ds), "--llm_name", "fake",
+         "--mesh_shape", "data=2,corpus=4", "--output_dir", str(tmp_path / "o"),
+         "--save_dir", str(tmp_path / "s")],
+    )
+    run_mod.main()
+    assert seen["mesh_shape"] == {"data": 2, "corpus": 4}
+
+
+def test_cli_rejects_malformed_mesh_shape(tmp_path, monkeypatch):
+    import comorag_tpu.cli.run as run_mod
+
+    monkeypatch.setattr(
+        "sys.argv",
+        ["prog", "--base_path", str(tmp_path), "--mesh_shape", "corpus:eight"],
+    )
+    with pytest.raises(SystemExit):
+        run_mod.main()
+
+
+# ------------------------------------------------------- is_directed_graph
+def test_finalize_directed_vs_undirected():
+    nodes = ["a", "b", "c"]
+    builder = GraphBuilder()
+    builder.stats[("a", "b")] = 2.0  # one-way entry (passage/synonymy style)
+    builder.stats[("b", "c")] = 1.0
+    builder.stats[("c", "b")] = 1.0  # double-entry (fact style)
+
+    undirected = builder.finalize(nodes, directed=False)
+    assert undirected.n_arcs == 6  # every stats entry -> symmetric pair
+
+    directed = builder.finalize(nodes, directed=True)
+    assert directed.n_arcs == 3  # one arc per stats entry
+    arcs = set(zip(directed.src.tolist(), directed.dst.tolist()))
+    assert (0, 1) in arcs and (1, 0) not in arcs
+    assert (1, 2) in arcs and (2, 1) in arcs  # fact double-entry survives
+
+
+# --------------------------------------- synonymy_edge_key_batch_size
+def test_key_blocked_topk_matches_single_index():
+    rng = np.random.default_rng(7)
+    embs = rng.standard_normal((500, 32)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    batches = [embs[i : i + 128] for i in range(0, 500, 128)]
+
+    blocked_s, blocked_i = _key_blocked_topk(embs, batches, k=10, key_batch_size=150)
+    ref_outs = MipsIndex(embs).topk_many(batches, k=10)
+    ref_s = np.concatenate([np.asarray(o[0]) for o in ref_outs], axis=0)
+    ref_i = np.concatenate([np.asarray(o[1]) for o in ref_outs], axis=0)
+
+    assert np.allclose(blocked_s, ref_s, atol=1e-5)
+    # score ties can permute indices; compare per-row sets at equal scores
+    for row in range(500):
+        assert set(blocked_i[row].tolist()) == set(ref_i[row].tolist())
+
+
+def test_synonymy_edges_blocked_path_matches_unblocked():
+    rng = np.random.default_rng(3)
+    n = 120
+    embs = rng.standard_normal((n, 16)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    keys = [f"entity-{i}" for i in range(n)]
+    texts = [f"entity name {i}" for i in range(n)]
+
+    plain = GraphBuilder()
+    plain.add_synonymy_edges(keys, texts, embs, topk=20, sim_threshold=0.1, query_batch_size=50)
+    blocked = GraphBuilder()
+    blocked.add_synonymy_edges(
+        keys, texts, embs, topk=20, sim_threshold=0.1, query_batch_size=50,
+        key_batch_size=37, key_bytes_budget=1,  # force streaming
+    )
+    assert set(plain.stats) == set(blocked.stats)
+    for k in plain.stats:
+        assert abs(plain.stats[k] - blocked.stats[k]) < 1e-4
+
+
+# ----------------------------------------- num_gen_choices / response_format
+class _SpyClient:
+    def __init__(self):
+        self.payloads = []
+
+    def post(self, url, json=None, headers=None):
+        self.payloads.append(json)
+
+        class R:
+            def raise_for_status(self):
+                pass
+
+            @staticmethod
+            def json():
+                return {
+                    "choices": [{"message": {"content": "first"}, "finish_reason": "stop"},
+                                {"message": {"content": "second"}, "finish_reason": "stop"}],
+                    "usage": {},
+                }
+
+        return R()
+
+
+def test_num_gen_choices_reaches_payload():
+    from comorag_tpu.llm.openai_client import OpenAIChatLLM
+
+    llm = OpenAIChatLLM(model="m", n_choices=3)
+    spy = _SpyClient()
+    llm._client = spy
+    out = llm.infer([{"role": "user", "content": "hi"}])
+    assert spy.payloads[0]["n"] == 3
+    assert out.text == "first"  # reference takes choices[0] (openai_gpt.py:188)
+
+    llm1 = OpenAIChatLLM(model="m")  # default n=1 -> no n key at all
+    llm1._client = spy
+    llm1.infer([{"role": "user", "content": "hi"}])
+    assert "n" not in spy.payloads[1]
+
+
+def test_response_format_scoped_to_openie_calls():
+    from comorag_tpu.llm.openai_client import OpenAIChatLLM
+
+    llm = OpenAIChatLLM(model="m")
+    spy = _SpyClient()
+    llm._client = spy
+    llm.infer([{"role": "user", "content": "qa question"}])
+    assert "response_format" not in spy.payloads[0]  # narrative QA untouched
+    llm.infer([{"role": "user", "content": "extract"}],
+              response_format={"type": "json_object"})
+    assert spy.payloads[1]["response_format"] == {"type": "json_object"}
+
+
+def test_openie_passes_response_format(monkeypatch):
+    from comorag_tpu.ie.openie import OpenIE
+    from comorag_tpu.llm.fake import FakeLLM
+
+    llm = FakeLLM()
+    seen = {}
+    orig = llm.infer
+
+    def spy_infer(messages, **kw):
+        seen.update(kw)
+        return orig(messages)
+
+    monkeypatch.setattr(llm, "infer", spy_infer)
+    ie = OpenIE(llm, response_format={"type": "json_object"})
+    ie.ner("c1", "Mara visited the lighthouse.")
+    assert seen.get("response_format") == {"type": "json_object"}
