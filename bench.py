@@ -1,16 +1,19 @@
 """Retrieval throughput benchmark (the BASELINE.json north star).
 
 Measures batched MIPS top-k retrieval QPS on one chip — a probe fan-out of
-P queries against an N x d chunk-embedding corpus, fused matmul + top-k —
-and compares against the reference's retrieval path (torch-CPU ``mm`` +
-``topk`` with batched key tiles, embed_utils.py:8-97 semantics) on the
-same data.
+P queries against an N x d chunk-embedding corpus — and compares against
+the reference's retrieval path (torch-CPU ``mm`` + ``topk`` with batched
+key tiles, embed_utils.py:8-97 semantics) on the same data.
 
-The TPU path is *pipelined*, matching how the meta loop actually issues
-work (many concurrent probes per iteration, ComoRAG.py:356-358): all
-query batches are dispatched async, host copies start eagerly, and the
-pipeline is drained once — instead of paying a blocking host↔device
-round-trip per call.
+Headline = the **two-pass** serving path: int8 scan (1/4 the HBM reads of
+fp32 — retrieval is bandwidth-bound) -> top-candidates -> exact fp32
+gather+rescore. The result set is verified EXACT against the CPU reference
+on every run (topk_overlap_vs_cpu); if a run ever measured < 1.0 the
+headline falls back to the fp32 single-pass number.
+
+All TPU variants are measured in interleaved rounds (round-robin,
+best-of): the remote-tunnel throughput drifts minute-to-minute, and
+sequential sections would hand different variants different tunnels.
 
 Prints ONE JSON line:
   {"metric": "retrieval_qps_per_chip", "value": ..., "unit": "qps",
@@ -30,9 +33,10 @@ import numpy as np
 N = int(os.environ.get("BENCH_N", 100_000))
 DIM = int(os.environ.get("BENCH_DIM", 1024))
 P = int(os.environ.get("BENCH_P", 16))  # probe fan-out per meta iteration
-K = int(os.environ.get("BENCH_K", 50))  # qa_top_k default
+K = int(os.environ.get("BENCH_K", 50))  # qa_ver_top_k default
 TPU_ITERS = int(os.environ.get("BENCH_ITERS", 100))
 CPU_ITERS = int(os.environ.get("BENCH_CPU_ITERS", 3))
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", 4))
 
 
 def make_data():
@@ -44,32 +48,35 @@ def make_data():
     return corpus, queries
 
 
-def bench_tpu(corpus, queries, dtype="float32", exact=True):
-    """Pipelined QPS + last result; also returns blocking per-call QPS."""
+def bench_tpu_variants(corpus, queries):
+    """Interleaved pipelined QPS for each index variant: {name: (qps, idx)}."""
     from comorag_tpu.retrieval.index import MipsIndex
 
-    index = MipsIndex(corpus, dtype=dtype)
-    # warmup + compile
-    idx_out = index.topk(queries, k=K)[1]
+    indexes = {
+        "fp32": MipsIndex(corpus),
+        "two_pass_int8": MipsIndex(corpus, scan_dtype="int8"),
+        "bf16": MipsIndex(corpus, dtype="bfloat16"),
+        "int8": MipsIndex(corpus, dtype="int8"),
+    }
+    out_idx = {}
+    for name, index in indexes.items():
+        out_idx[name] = index.topk(queries, k=K)[1]  # warmup + compile
 
-    # pipelined: dispatch everything, then drain; best-of-3 passes (the
-    # remote tunnel adds run-to-run noise; CPU baseline gets the same
-    # best-of treatment)
-    qps_pipe = 0.0
-    for _ in range(3):
-        start = time.perf_counter()
-        results = index.topk_many([queries] * TPU_ITERS, k=K, exact=exact)
-        elapsed = time.perf_counter() - start
-        qps_pipe = max(qps_pipe, P * TPU_ITERS / elapsed)
-    idx_out = results[-1][1]
+    best = {name: 0.0 for name in indexes}
+    for _ in range(ROUNDS):
+        for name, index in indexes.items():
+            start = time.perf_counter()
+            index.topk_many([queries] * TPU_ITERS, k=K)
+            elapsed = time.perf_counter() - start
+            best[name] = max(best[name], P * TPU_ITERS / elapsed)
 
-    # sequential blocking (one sync per call) for reference
+    # sequential blocking (one sync per call) for reference, fp32 path
     n_block = max(3, TPU_ITERS // 10)
     start = time.perf_counter()
     for _ in range(n_block):
-        _, idx_out_b = index.topk(queries, k=K, exact=exact)
+        indexes["fp32"].topk(queries, k=K)
     qps_block = P * n_block / (time.perf_counter() - start)
-    return qps_pipe, qps_block, idx_out
+    return best, out_idx, qps_block
 
 
 def bench_cpu_reference(corpus, queries):
@@ -114,27 +121,34 @@ def overlap(a: np.ndarray, b: np.ndarray) -> float:
 
 def main() -> None:
     corpus, queries = make_data()
-    tpu_qps, tpu_qps_block, tpu_idx = bench_tpu(corpus, queries, dtype="float32", exact=True)
-    bf16_qps, _, bf16_idx = bench_tpu(corpus, queries, dtype="bfloat16", exact=True)
-    int8_qps, _, int8_idx = bench_tpu(corpus, queries, dtype="int8", exact=True)
+    qps, idx, qps_block = bench_tpu_variants(corpus, queries)
     cpu_qps, cpu_idx = bench_cpu_reference(corpus, queries)
+
+    ov = {name: overlap(idx[name], cpu_idx) for name in idx}
+    # headline: exact two-pass, unless this run's output disagrees with the
+    # CPU oracle — then fall back to the always-exact fp32 path.
+    headline = "two_pass_int8" if ov["two_pass_int8"] >= 1.0 else "fp32"
     result = {
         "metric": "retrieval_qps_per_chip",
-        "value": round(tpu_qps, 2),
+        "value": round(qps[headline], 2),
         "unit": "qps",
-        "vs_baseline": round(tpu_qps / cpu_qps, 2),
+        "vs_baseline": round(qps[headline] / cpu_qps, 2),
         "detail": {
             "corpus": N,
             "dim": DIM,
             "query_batch": P,
             "k": K,
+            "headline_path": headline,
             "cpu_reference_qps": round(cpu_qps, 2),
-            "tpu_blocking_qps": round(tpu_qps_block, 2),
-            "tpu_bf16_pipelined_qps": round(bf16_qps, 2),
-            "tpu_int8_pipelined_qps": round(int8_qps, 2),
-            "topk_overlap_vs_cpu": round(overlap(tpu_idx, cpu_idx), 4),
-            "topk_overlap_bf16_vs_cpu": round(overlap(bf16_idx, cpu_idx), 4),
-            "topk_overlap_int8_vs_cpu": round(overlap(int8_idx, cpu_idx), 4),
+            "tpu_blocking_qps": round(qps_block, 2),
+            "tpu_fp32_pipelined_qps": round(qps["fp32"], 2),
+            "tpu_two_pass_int8_pipelined_qps": round(qps["two_pass_int8"], 2),
+            "tpu_bf16_pipelined_qps": round(qps["bf16"], 2),
+            "tpu_int8_pipelined_qps": round(qps["int8"], 2),
+            "topk_overlap_vs_cpu": round(ov[headline], 4),
+            "topk_overlap_two_pass_vs_cpu": round(ov["two_pass_int8"], 4),
+            "topk_overlap_bf16_vs_cpu": round(ov["bf16"], 4),
+            "topk_overlap_int8_vs_cpu": round(ov["int8"], 4),
         },
     }
     print(json.dumps(result))

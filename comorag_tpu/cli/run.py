@@ -129,6 +129,8 @@ def main() -> None:
                         help="retrieval index storage/scoring dtype (bf16: 2x HBM saving; int8: 4x)")
     parser.add_argument("--topk_method", default="xla", choices=["xla", "pallas"],
                         help="'pallas' uses the fused streaming MIPS kernel")
+    parser.add_argument("--scan_dtype", default=None, choices=["int8", "bfloat16"],
+                        help="two-pass retrieval: compressed scan + exact fp32 rescore (exact results, bf16/int8-class speed)")
     parser.add_argument("--retrieval_only", action="store_true",
                         help="skip the LLM answer loop; dump tri-layer retrieval per question")
     parser.add_argument("--mesh_shape", default=None,
@@ -162,6 +164,7 @@ def main() -> None:
         max_tokens_epi=args.max_tokens_epi,
         embedding_dtype=args.embedding_dtype,
         topk_method=args.topk_method,
+        scan_dtype=args.scan_dtype,
         mesh_shape=mesh_shape,
     )
 

@@ -82,7 +82,8 @@ class RetrievalEngine:
         graph arrays (reference prepare_retrieval_objects, ComoRAG.py:876-907)."""
         if self._ready:
             return
-        kw = dict(mesh=self.mesh, dtype=self.config.embedding_dtype, method=self.config.topk_method)
+        kw = dict(mesh=self.mesh, dtype=self.config.embedding_dtype, method=self.config.topk_method,
+                  scan_dtype=self.config.scan_dtype)
         self.ver_index = MipsIndex(self.ver_store.matrix, **kw)
         self.passage_node_keys = self.ver_store.get_all_ids()
 

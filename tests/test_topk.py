@@ -98,3 +98,42 @@ def test_int8_index_recall_and_memory():
     full = quant.scores(q)
     assert full.shape == (8, 4096)
     assert np.abs(full - q @ corpus.T).max() < 0.05
+
+
+@pytest.mark.parametrize("scan", ["int8", "bfloat16"])
+def test_two_pass_matches_exact_fp32(scan):
+    """Compressed scan + exact fp32 rescore must return the SAME set as the
+    exact fp32 single-pass path (overlap 1.0 — the serving guarantee)."""
+    rng = np.random.default_rng(5)
+    corpus = rng.standard_normal((3000, 128)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = rng.standard_normal((7, 128)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    exact = MipsIndex(corpus)
+    two_pass = MipsIndex(corpus, scan_dtype=scan)
+    assert two_pass.scan_dtype == ("bfloat16" if scan != "int8" else "int8")
+
+    s_ref, i_ref = exact.topk(queries, k=20)
+    s_tp, i_tp = two_pass.topk(queries, k=20)
+    np.testing.assert_allclose(s_tp, s_ref, rtol=1e-5, atol=1e-5)
+    for row in range(7):
+        assert set(i_tp[row].tolist()) == set(i_ref[row].tolist())
+
+
+def test_two_pass_k_larger_than_corpus_and_padding():
+    rng = np.random.default_rng(6)
+    corpus = rng.standard_normal((13, 32)).astype(np.float32)
+    index = MipsIndex(corpus, scan_dtype="int8")
+    scores, idx = index.topk(rng.standard_normal((2, 32)).astype(np.float32), k=50)
+    assert scores.shape == (2, 13)
+    assert idx.max() < 13  # padded rows never surface
+
+
+def test_two_pass_disabled_with_mesh_or_nonf32(cpu_mesh):
+    rng = np.random.default_rng(7)
+    corpus = rng.standard_normal((8 * 300, 16)).astype(np.float32)
+    sharded = MipsIndex(corpus, mesh=cpu_mesh, scan_dtype="int8")
+    assert sharded.scan_dtype is None  # falls back with a warning
+    bf16 = MipsIndex(corpus, dtype="bfloat16", scan_dtype="int8")
+    assert bf16.scan_dtype is None  # scan only composes with fp32 storage
