@@ -166,6 +166,97 @@ def pallas_mips_topk(
     return out_s[:, :k], out_i[:, :k]
 
 
+def _mips_kernel_int8(
+    n_valid_ref, q_ref, c_ref, s_ref, out_s_ref, out_i_ref, best_s, best_i, *, k: int, tile_n: int
+):
+    """int8-corpus variant: rows dequantize via per-row scales AFTER the
+    bf16 MXU dot (int8 values convert to bf16 exactly), so HBM reads stay
+    1 byte/element."""
+    t = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        best_s[:] = jnp.full_like(best_s, NEG_INF)
+        best_i[:] = jnp.zeros_like(best_i)
+
+    q = q_ref[:].astype(jnp.bfloat16)
+    c = c_ref[:].astype(jnp.bfloat16)
+    dn = (((1,), (1,)), ((), ()))
+    scores = jax.lax.dot_general(q, c, dn, preferred_element_type=jnp.float32)
+    scores = scores * s_ref[:]  # [1, T] broadcasts over the query block
+    p_blk = scores.shape[0]
+    offset = t * tile_n
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (p_blk, tile_n), 1) + offset
+    scores = jnp.where(col_ids < n_valid_ref[0], scores, NEG_INF)
+
+    cand_s = jnp.concatenate([best_s[:], scores], axis=1)
+    cand_i = jnp.concatenate([best_i[:], col_ids], axis=1)
+    top_s, top_i = _extract_topk(cand_s, cand_i, k)
+    best_s[:] = top_s
+    best_i[:] = top_i
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        out_s_ref[:] = best_s[:]
+        out_i_ref[:] = best_i[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "block_p", "interpret"))
+def pallas_mips_topk_int8(
+    queries: jnp.ndarray,   # [P, d] fp32/bf16 (P multiple of 8)
+    corpus_q: jnp.ndarray,  # [N_pad, d] int8 (N_pad multiple of tile_n)
+    scales: jnp.ndarray,    # [1, N_pad] fp32 per-row dequant scales
+    n_valid: jnp.ndarray,
+    k: int,
+    tile_n: int = 512,
+    block_p: int = 128,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused streaming top-k over an int8-quantized corpus (1/4 the HBM
+    reads of fp32). Scores match the XLA int8 path (ops/topk.int8_topk)."""
+    p, d = queries.shape
+    n_pad = corpus_q.shape[0]
+    assert n_pad % tile_n == 0, (n_pad, tile_n)
+    assert scales.shape == (1, n_pad), (scales.shape, n_pad)
+    k_pad = _round_up(k, 8)
+    block_p = min(block_p, 128)
+    while block_p > 8 and p % block_p:
+        block_p //= 2
+    assert p % block_p == 0, (p, block_p)
+
+    grid = (p // block_p, n_pad // tile_n)
+    out_s, out_i = pl.pallas_call(
+        functools.partial(_mips_kernel_int8, k=k_pad, tile_n=tile_n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_p, d), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i, t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, t: (0, t), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_p, k_pad), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_p, k_pad), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((p, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((p, k_pad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_p, k_pad), jnp.float32),
+            pltpu.VMEM((block_p, k_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * p * n_pad * d,
+            bytes_accessed=n_pad * d + p * d * 4 + n_pad * 4 + 2 * p * k_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(n_valid, jnp.int32).reshape(1), queries, corpus_q, scales)
+    return out_s[:, :k], out_i[:, :k]
+
+
 def mips_topk_host(queries: np.ndarray, corpus_padded: jnp.ndarray, n: int, k: int) -> Tuple[np.ndarray, np.ndarray]:
     """Convenience host wrapper: pads queries to sublane multiples, clips k."""
     queries = np.atleast_2d(np.asarray(queries, np.float32))

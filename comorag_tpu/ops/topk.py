@@ -14,7 +14,9 @@ This replaces the reference's torch ``mm`` + ``topk`` loop
 
 The Pallas fused kernel (matmul + streaming top-k without materializing the
 score matrix in HBM) lives in ``ops/pallas_topk.py`` and plugs in as the
-per-shard scorer.
+per-shard scorer via ``make_sharded_topk(..., method="pallas")``; int8
+corpora are supported on every path (sharded XLA, sharded Pallas,
+single-device Pallas).
 """
 
 from __future__ import annotations
@@ -116,10 +118,15 @@ def int8_topk(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k over a quantized corpus: int8 rows upcast on the fly (HBM
     reads 1/4 of fp32), per-row scales folded into the score columns."""
-    # the int8->query-dtype convert fuses into the dot's operand read, so
-    # HBM traffic stays 1 byte/element; _score_dot keeps fp32 operands on
-    # true fp32 MXU passes
-    scores = _score_dot(queries, corpus_q.T.astype(queries.dtype))
+    # int8 -> bf16 converts exactly (|q| <= 127 fits bf16's 8-bit
+    # mantissa) and fuses into the dot's operand read, so HBM traffic
+    # stays 1 byte/element and the MXU runs single-pass bf16 — the same
+    # scan numerics as the Pallas int8 kernel and the sharded path.
+    scores = jnp.dot(
+        queries.astype(jnp.bfloat16),
+        corpus_q.T.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
     scores = scores * scales[None, :]
     scores = _mask_padded(scores, n_valid)
     return _select_topk(scores, k, exact)
@@ -127,8 +134,13 @@ def int8_topk(
 
 @jax.jit
 def int8_scores(queries: jnp.ndarray, corpus_q: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
-    """Full [P, N] score matrix over a quantized corpus."""
-    scores = _score_dot(queries, corpus_q.T.astype(queries.dtype))
+    """Full [P, N] score matrix over a quantized corpus (bf16 MXU dot —
+    same numerics as int8_topk and the sharded int8 path)."""
+    scores = jnp.dot(
+        queries.astype(jnp.bfloat16),
+        corpus_q.T.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
     return scores * scales[None, :]
 
 
@@ -213,27 +225,68 @@ def dense_scores(queries: jnp.ndarray, corpus: jnp.ndarray) -> jnp.ndarray:
     return _score_dot(queries, corpus.T)
 
 
-def make_sharded_topk(mesh: Mesh, k: int, axis: str = "corpus", exact: bool = True, packed: bool = False):
+def make_sharded_topk(
+    mesh: Mesh,
+    k: int,
+    axis: str = "corpus",
+    exact: bool = True,
+    packed: bool = False,
+    method: str = "xla",
+    int8: bool = False,
+    interpret: bool = False,
+):
     """Build a jitted sharded top-k: corpus sharded row-wise on ``axis``,
     queries replicated, output replicated.
 
-    The returned fn takes (queries [P, d], corpus [N_pad, d], n_valid) with
-    N_pad divisible by the axis size and N_pad/axis_size >= k.
-    """
-    n_shards = mesh.shape[axis]
+    The returned fn takes (queries [P, d], corpus [N_pad, d], n_valid) —
+    or (queries, corpus_q int8, scales [N_pad], n_valid) when ``int8`` —
+    with N_pad divisible by the axis size.
 
-    def _local(queries, corpus_shard, n_valid):
+    ``method="pallas"`` runs the fused streaming kernel
+    (ops/pallas_topk.py) as the per-shard scorer: the [P, rows] score
+    block never hits HBM on any shard; per-shard candidates still ride
+    ICI via ``all_gather`` into the global merge. Pallas shards need
+    tile-aligned rows (512). ``interpret=True`` evaluates the kernel on
+    CPU for mesh tests without a TPU.
+    """
+
+    def _local_topk(queries, corpus_shard, scales_shard, n_valid):
         # corpus_shard: [N_pad / n_shards, d] — this device's rows.
         shard_rows = corpus_shard.shape[0]
         my_shard = jax.lax.axis_index(axis)
         offset = my_shard * shard_rows
-        scores = _score_dot(queries, corpus_shard.T)
-        scores = _mask_padded(scores, n_valid, offset=offset)
         # k may exceed a shard's rows (e.g. synonymy_edge_topk=2047 over
         # small shards): each shard contributes ALL its rows then, and the
         # global merge still sees every global top-k candidate.
         local_k = min(k, shard_rows)
-        local_scores, local_idx = _select_topk(scores, local_k, exact)
+        if method == "pallas":
+            from comorag_tpu.ops.pallas_topk import (
+                pallas_mips_topk,
+                pallas_mips_topk_int8,
+            )
+
+            n_local = jnp.clip(n_valid - offset, 0, shard_rows)
+            if int8:
+                local_scores, local_idx = pallas_mips_topk_int8(
+                    queries, corpus_shard, scales_shard.reshape(1, -1),
+                    n_local, local_k, interpret=interpret,
+                )
+            else:
+                local_scores, local_idx = pallas_mips_topk(
+                    queries, corpus_shard, n_local, local_k, interpret=interpret
+                )
+        else:
+            if int8:
+                scores = jnp.dot(
+                    queries.astype(jnp.bfloat16),
+                    corpus_shard.T.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                scores = scores * scales_shard[None, :]
+            else:
+                scores = _score_dot(queries, corpus_shard.T)
+            scores = _mask_padded(scores, n_valid, offset=offset)
+            local_scores, local_idx = _select_topk(scores, local_k, exact)
         local_idx = local_idx + offset
         # Candidates ride ICI: [P, n_shards * local_k] on every device.
         all_scores = jax.lax.all_gather(local_scores, axis, axis=1, tiled=True)
@@ -242,27 +295,57 @@ def make_sharded_topk(mesh: Mesh, k: int, axis: str = "corpus", exact: bool = Tr
         merged_idx = jnp.take_along_axis(all_idx, merged_pos, axis=1)
         return merged_scores, merged_idx
 
-    sharded = shard_map(
-        _local,
-        mesh=mesh,
-        in_specs=(P(), P(axis, None), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
+    if int8:
+        sharded = shard_map(
+            _local_topk,
+            mesh=mesh,
+            in_specs=(P(), P(axis, None), P(axis), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    else:
+        def _local3(queries, corpus_shard, n_valid):
+            return _local_topk(queries, corpus_shard, None, n_valid)
+
+        sharded = shard_map(
+            _local3,
+            mesh=mesh,
+            in_specs=(P(), P(axis, None), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
     if not packed:
         return jax.jit(sharded)
 
     @jax.jit
-    def fn(queries, corpus, n_valid):
-        scores, idx = sharded(queries, corpus, n_valid)
+    def fn(*args):
+        scores, idx = sharded(*args)
         return _pack(scores, idx)
 
     return fn
 
 
-def make_sharded_scores(mesh: Mesh, axis: str = "corpus"):
+def make_sharded_scores(mesh: Mesh, axis: str = "corpus", int8: bool = False):
     """Full [P, N_pad] score matrix with corpus sharded on ``axis``; output
     sharded on its column axis (gathered to host by the caller if needed)."""
+
+    if int8:
+        def _local_q(queries, corpus_shard, scales_shard):
+            s = jnp.dot(
+                queries.astype(jnp.bfloat16),
+                corpus_shard.T.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            return s * scales_shard[None, :]
+
+        sharded = shard_map(
+            _local_q,
+            mesh=mesh,
+            in_specs=(P(), P(axis, None), P(axis)),
+            out_specs=P(None, axis),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
 
     def _local(queries, corpus_shard):
         return _score_dot(queries, corpus_shard.T)

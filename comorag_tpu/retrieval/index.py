@@ -110,40 +110,41 @@ class MipsIndex:
         # Sharding tiny layers wastes ICI latency; keep them single-device.
         self.mesh = mesh if (mesh is not None and self.n >= n_shards * min_rows_per_shard) else None
         self.n_shards = mesh.shape[axis] if self.mesh is not None else 1
-        # The Pallas kernel needs tile-aligned rows, a single device, and a
-        # real TPU backend (tests run on CPU where only interpret mode works).
+        # The Pallas kernel composes with meshes (per-shard scorer) and
+        # int8 (pallas_mips_topk_int8), but needs a real TPU backend —
+        # tests exercise it via interpret mode / make_sharded_topk directly.
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        if method == "pallas" and self.int8:
-            logger.warning("topk_method='pallas' has no int8 variant; int8 uses the XLA path")
-            method = "xla"
-        self.method = method if (method == "pallas" and self.mesh is None and self.n >= 512 and on_tpu) else "xla"
+        self.method = method if (method == "pallas" and self.n >= 512 and on_tpu) else "xla"
 
         pad_to = max(8, self.n_shards * 8)
         if self.method == "pallas":
-            pad_to = 512
+            # every shard's rows must be tile-aligned for the kernel grid
+            pad_to = 512 * max(1, self.n_shards)
         self.n_pad = max(_round_up(max(self.n, 1), pad_to), self.n_shards * 8)
         padded = np.zeros((self.n_pad, self.dim), dtype=np.float32)
         if self.n:
             padded[: self.n] = matrix
 
-        if self.int8 and self.mesh is None:
-            self.corpus, self.scales = quantize_int8(padded)
-            self._packed_topk_cache: Dict[Tuple[int, bool], object] = {}
-            self.n_valid = jnp.asarray(self.n, jnp.int32)
-            return
-        if self.int8:
-            logger.warning("int8 index is single-device only; falling back to %s for the sharded index", self.dtype)
-        self.int8 = False  # int8 is single-device only (for now)
-        host = padded.astype(self.dtype) if self.dtype == jnp.bfloat16 else padded
-        if self.mesh is not None:
-            sharding = NamedSharding(self.mesh, P(axis, None))
-            self.corpus = jax.device_put(host, sharding)
-            self._sharded_topk_cache: Dict[Tuple[int, bool], object] = {}
-            self._sharded_scores = make_sharded_scores(self.mesh, axis)
-        else:
-            self.corpus = jax.device_put(host)
-            self._packed_topk_cache: Dict[Tuple[int, bool], object] = {}
+        self._packed_topk_cache: Dict[Tuple, object] = {}
+        self._sharded_topk_cache: Dict[Tuple, object] = {}
         self.n_valid = jnp.asarray(self.n, jnp.int32)
+
+        if self.int8:
+            corpus_q, scales = quantize_int8(padded)
+            if self.mesh is not None:
+                self.corpus = jax.device_put(corpus_q, NamedSharding(self.mesh, P(axis, None)))
+                self.scales = jax.device_put(scales, NamedSharding(self.mesh, P(axis)))
+                self._sharded_scores = make_sharded_scores(self.mesh, axis, int8=True)
+            else:
+                self.corpus, self.scales = corpus_q, scales
+        else:
+            host = padded.astype(self.dtype) if self.dtype == jnp.bfloat16 else padded
+            if self.mesh is not None:
+                sharding = NamedSharding(self.mesh, P(axis, None))
+                self.corpus = jax.device_put(host, sharding)
+                self._sharded_scores = make_sharded_scores(self.mesh, axis)
+            else:
+                self.corpus = jax.device_put(host)
 
         # Two-pass serving path (single-device fp32 + XLA method): a
         # compressed scan copy rides next to the exact fp32 matrix
@@ -184,11 +185,31 @@ class MipsIndex:
         k_pad = max(k_pad, k_eff)
 
         if self.mesh is not None:
-            fn = self._sharded_topk_cache.get((k_pad, exact))
+            key = (k_pad, exact, self.method, self.int8)
+            fn = self._sharded_topk_cache.get(key)
             if fn is None:
-                fn = make_sharded_topk(self.mesh, k_pad, self.axis, exact=exact, packed=True)
-                self._sharded_topk_cache[(k_pad, exact)] = fn
-            packed = fn(q_dev, self.corpus, self.n_valid)
+                fn = make_sharded_topk(
+                    self.mesh, k_pad, self.axis, exact=exact, packed=True,
+                    method=self.method, int8=self.int8,
+                )
+                self._sharded_topk_cache[key] = fn
+            if self.int8:
+                packed = fn(q_dev, self.corpus, self.scales, self.n_valid)
+            else:
+                packed = fn(q_dev, self.corpus, self.n_valid)
+        elif self.method == "pallas" and self.int8:
+            fn = self._packed_topk_cache.get(("pallas_int8", k_pad))
+            if fn is None:
+                from comorag_tpu.ops.pallas_topk import pallas_mips_topk_int8
+                from comorag_tpu.ops.topk import _pack
+
+                @jax.jit
+                def fn(q, c, sc, nv, _k=k_pad):
+                    s, i = pallas_mips_topk_int8(q, c, sc.reshape(1, -1), nv, _k)
+                    return _pack(s, i)
+
+                self._packed_topk_cache[("pallas_int8", k_pad)] = fn
+            packed = fn(q_dev, self.corpus, self.scales, self.n_valid)
         elif self.scan_dtype:
             # Candidate margin: top_k cost grows steeply with k (measured:
             # C=64 -> 23.5k qps, C=128 -> 13.7k, C=256 -> 8.7k at 100k x
@@ -273,7 +294,10 @@ class MipsIndex:
             return ScoresHandle(None, p, 0)
         q_dev, p = self._prep_queries(queries)
         if self.mesh is not None:
-            s = self._sharded_scores(q_dev, self.corpus)
+            if self.int8:
+                s = self._sharded_scores(q_dev, self.corpus, self.scales)
+            else:
+                s = self._sharded_scores(q_dev, self.corpus)
         elif self.int8:
             s = _int8_scores(q_dev, self.corpus, self.scales)
         else:

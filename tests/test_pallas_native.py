@@ -158,3 +158,97 @@ class TestNativeUnavailableFallback:
             mine = sorted(zip(indices[indptr[u] : indptr[u + 1]].tolist(), data[indptr[u] : indptr[u + 1]].tolist()))
             ref = sorted(zip(dst[src == u].tolist(), w[src == u].tolist()))
             assert mine == ref
+
+
+class TestPallasInt8:
+    def test_int8_kernel_matches_xla_int8(self):
+        from comorag_tpu.ops.pallas_topk import pallas_mips_topk_int8
+        from comorag_tpu.ops.topk import int8_topk, quantize_int8
+
+        rng = np.random.default_rng(3)
+        n, d, p, k = 1024, 128, 8, 16
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        q = rng.standard_normal((p, d)).astype(np.float32)
+        cq, scales = quantize_int8(c)
+        s_pl, i_pl = pallas_mips_topk_int8(
+            jnp.asarray(q), cq, scales.reshape(1, -1), jnp.asarray(n, jnp.int32),
+            k, interpret=True,
+        )
+        s_x, i_x = int8_topk(jnp.asarray(q), cq, scales, jnp.asarray(n, jnp.int32), k)
+        assert (np.asarray(i_pl) == np.asarray(i_x)).all()
+        np.testing.assert_allclose(np.asarray(s_pl), np.asarray(s_x), rtol=2e-2, atol=2e-2)
+
+    def test_int8_kernel_padding_mask(self):
+        from comorag_tpu.ops.pallas_topk import pallas_mips_topk_int8
+        from comorag_tpu.ops.topk import quantize_int8
+
+        rng = np.random.default_rng(4)
+        c = rng.standard_normal((1024, 64)).astype(np.float32)
+        cq, scales = quantize_int8(c)
+        _, i = pallas_mips_topk_int8(
+            jnp.asarray(rng.standard_normal((8, 64)).astype(np.float32)),
+            cq, scales.reshape(1, -1), jnp.asarray(700, jnp.int32), 10, interpret=True,
+        )
+        assert (np.asarray(i) < 700).all()
+
+
+class TestShardedPallas:
+    """The Pallas kernel as the per-shard scorer (VERDICT round 1 item 4):
+    interpret mode on the CPU mesh; the compiled path is covered by the
+    COMORAG_TEST_TPU-gated tests below."""
+
+    def test_sharded_pallas_matches_sharded_xla(self, cpu_mesh):
+        from comorag_tpu.ops.topk import make_sharded_topk
+
+        rng = np.random.default_rng(5)
+        n, d, p, k = 8 * 512, 64, 8, 12
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        q = rng.standard_normal((p, d)).astype(np.float32)
+        nv = jnp.asarray(n - 100, jnp.int32)  # padding inside the last shard
+        xla_fn = make_sharded_topk(cpu_mesh, k)
+        pl_fn = make_sharded_topk(cpu_mesh, k, method="pallas", interpret=True)
+        s_x, i_x = xla_fn(jnp.asarray(q), jnp.asarray(c), nv)
+        s_p, i_p = pl_fn(jnp.asarray(q), jnp.asarray(c), nv)
+        assert (np.asarray(i_p) == np.asarray(i_x)).all()
+        np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), rtol=1e-3, atol=1e-3)
+        assert (np.asarray(i_p) < n - 100).all()
+
+    def test_sharded_pallas_int8_matches_sharded_xla_int8(self, cpu_mesh):
+        from comorag_tpu.ops.topk import make_sharded_topk, quantize_int8
+
+        rng = np.random.default_rng(6)
+        n, d, p, k = 8 * 512, 64, 8, 12
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        q = rng.standard_normal((p, d)).astype(np.float32)
+        cq, scales = quantize_int8(c)
+        nv = jnp.asarray(n, jnp.int32)
+        xla_fn = make_sharded_topk(cpu_mesh, k, int8=True)
+        pl_fn = make_sharded_topk(cpu_mesh, k, method="pallas", int8=True, interpret=True)
+        s_x, i_x = xla_fn(jnp.asarray(q), cq, scales, nv)
+        s_p, i_p = pl_fn(jnp.asarray(q), cq, scales, nv)
+        assert (np.asarray(i_p) == np.asarray(i_x)).all()
+        np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), rtol=2e-2, atol=2e-2)
+
+
+class TestShardedInt8Index:
+    def test_int8_index_shards_over_mesh(self, cpu_mesh):
+        """int8 was single-device-only in round 1; the sharded index now
+        quantizes per shard and merges over ICI like fp32."""
+        from comorag_tpu.retrieval.index import MipsIndex
+
+        rng = np.random.default_rng(7)
+        n, d = 8 * 300, 32
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        q = rng.standard_normal((4, d)).astype(np.float32)
+        sharded = MipsIndex(c, mesh=cpu_mesh, dtype="int8")
+        assert sharded.mesh is not None and sharded.int8
+        single = MipsIndex(c, dtype="int8")
+        s_m, i_m = sharded.topk(q, k=15)
+        s_1, i_1 = single.topk(q, k=15)
+        assert (i_m == i_1).all()
+        np.testing.assert_allclose(s_m, s_1, rtol=1e-4, atol=1e-4)
+        # full scores path too
+        np.testing.assert_allclose(sharded.scores(q), single.scores(q), rtol=1e-3, atol=1e-3)
