@@ -168,6 +168,10 @@ class ComoRAG:
             batch_size=self.config.embedding_batch_size,
         )
         self.epi_store = timeline.load_or_generate()
+        # per-run statistics artifacts (timeline_utils.py:73-188 parity)
+        timeline.save_statistics(
+            os.path.join(self.config.working_dir, "summary_statistics"), self.tokens
+        )
 
     def _build_semantic_tree(self) -> None:
         # Reuse only a tree built over the SAME corpus (the reference's

@@ -32,6 +32,10 @@ import numpy as np
 from comorag_tpu.models.base import BaseEncoder
 from comorag_tpu.utils.logging import get_logger
 
+from comorag_tpu.utils.jaxcache import ensure_compile_cache
+
+ensure_compile_cache()
+
 logger = get_logger(__name__)
 
 
@@ -394,10 +398,21 @@ class BGEJaxEncoder(BaseEncoder):
             return np.zeros((0, self.dim), np.float32)
         if instruction:
             texts = [instruction + t for t in texts]
-        # Pipelined: dispatch every batch before draining any — device
-        # compute and host copies overlap instead of paying one blocking
-        # round-trip per batch (the dominant cost on remote-attached chips).
+        # Pipelined with a bounded window: dispatch ahead so device
+        # compute and host copies overlap (one blocking round-trip per
+        # batch is the dominant cost on remote-attached chips), but drain
+        # the oldest batch once `window` are in flight — an unbounded
+        # pipeline holds every input and output buffer on device at once,
+        # which exhausts HBM on 100k-chunk corpus encodes (same bound as
+        # MipsIndex.topk_many).
+        window = 64
         pending = []
+        out = []
+
+        def drain_one():
+            pooled, valid = pending.pop(0)
+            out.append(np.asarray(pooled)[:valid])
+
         for i in range(0, len(texts), self.batch_size):
             ids, mask = self._tokenize(texts[i : i + self.batch_size])
             ids_j, mask_j = jnp.asarray(ids), jnp.asarray(mask)
@@ -410,4 +425,8 @@ class BGEJaxEncoder(BaseEncoder):
             except Exception:  # pragma: no cover - platform without async copies
                 pass
             pending.append((pooled, min(self.batch_size, len(texts) - i)))
-        return np.concatenate([np.asarray(p)[:valid] for p, valid in pending], axis=0)
+            if len(pending) >= window:
+                drain_one()
+        while pending:
+            drain_one()
+        return np.concatenate(out, axis=0)

@@ -27,6 +27,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from comorag_tpu.utils.jaxcache import ensure_compile_cache
+
+ensure_compile_cache()
+
 _REG = 1e-6
 _POINT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
 

@@ -35,6 +35,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from comorag_tpu.utils.jaxcache import ensure_compile_cache
+
+ensure_compile_cache()
+
 NEG_INF = -1e30
 _BIG_I = 2**30  # plain int: a jnp scalar would be a captured device constant
 

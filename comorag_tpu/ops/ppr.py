@@ -25,6 +25,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from comorag_tpu.utils.jaxcache import ensure_compile_cache
+
+ensure_compile_cache()
+
 _EDGE_BUCKETS = (1024, 4096, 16384, 65536, 262144, 1048576)
 _NODE_BUCKETS = (128, 512, 2048, 8192, 32768, 131072)
 

@@ -29,6 +29,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from comorag_tpu.utils.jaxcache import ensure_compile_cache
+
+ensure_compile_cache()
+
 NEG_INF = -1e30
 
 def _score_dot(queries: jnp.ndarray, corpus_t: jnp.ndarray) -> jnp.ndarray:

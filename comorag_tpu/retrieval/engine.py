@@ -20,6 +20,8 @@ path multiplies passage priors by 0.005 regardless of the config default
 from __future__ import annotations
 
 import json
+import threading
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -74,7 +76,12 @@ class RetrievalEngine:
         self.fact_filter = fact_filter
         self.mesh = mesh
         self._ready = False
-        self._query_cache: Dict[Tuple[str, str], np.ndarray] = {}
+        # LRU query-embedding cache behind a lock: the QA loop reads and
+        # writes it from up to 16 threads, and a long multi-dataset run
+        # would otherwise grow it without bound.
+        self._query_cache: "OrderedDict[Tuple[str, str], np.ndarray]" = OrderedDict()
+        self._query_cache_lock = threading.Lock()
+        self._query_cache_max = 4096
 
     # ---------------------------------------------------------------- prepare
     def prepare(self) -> None:
@@ -131,12 +138,25 @@ class RetrievalEngine:
         out = {"fact": [], "passage": []}
         for space, mode in (("fact", "query_to_fact"), ("passage", "query_to_passage")):
             instruction = get_query_instruction(mode)
-            missing = [q for q in queries if (space, q) not in self._query_cache]
+            with self._query_cache_lock:
+                hits = {}
+                for q in queries:
+                    cached = self._query_cache.get((space, q))
+                    if cached is not None:
+                        hits[q] = cached
+                        self._query_cache.move_to_end((space, q))
+            missing = list(dict.fromkeys(q for q in queries if q not in hits))
             if missing:
                 embs = self.encoder.encode(missing, instruction=instruction, norm=True)
-                for q, e in zip(missing, embs):
-                    self._query_cache[(space, q)] = np.asarray(e, np.float32)
-            out[space] = np.stack([self._query_cache[(space, q)] for q in queries])
+                with self._query_cache_lock:
+                    for q, e in zip(missing, embs):
+                        arr = np.asarray(e, np.float32)
+                        hits[q] = arr
+                        self._query_cache[(space, q)] = arr
+                        self._query_cache.move_to_end((space, q))
+                    while len(self._query_cache) > self._query_cache_max:
+                        self._query_cache.popitem(last=False)
+            out[space] = np.stack([hits[q] for q in queries])
         return out
 
     # ------------------------------------------------------------ primitives

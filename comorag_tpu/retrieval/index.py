@@ -42,6 +42,10 @@ from comorag_tpu.ops.topk import (
 )
 from comorag_tpu.utils.logging import get_logger
 
+from comorag_tpu.utils.jaxcache import ensure_compile_cache
+
+ensure_compile_cache()
+
 logger = get_logger(__name__)
 
 _QUERY_BUCKETS = (1, 4, 8, 16, 32, 64, 128, 256)

@@ -3,19 +3,28 @@
 Capability parity with the reference's TimelineSummarizer
 (utils/timeline_utils.py:14-515): adaptive window size by corpus scale
 (:42-58), one summary level persisted under the ``level_0`` namespace
-(:337-343), load-or-regenerate validation (:392-491). Windows are
-summarized in one batched LLM call (replacing the 8-thread pool, :312).
+(:337-343), load-or-regenerate validation (:392-491), and the summary
+statistics artifact (:73-188). Windows are summarized in one batched LLM
+call (replacing the 8-thread pool, :312).
+
+Validation uses an explicit ``timeline_meta.json`` recording the corpus
+the timeline was built over — inferring coverage from the store length is
+wrong when the LLM fails a window ('' filtered) or two windows summarize
+identically (content-hash dedup): the count mismatch would force a full
+re-summarization on EVERY load.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
-from typing import List, Optional
+from typing import Any, Dict, List, Optional
 
 from comorag_tpu.llm.summarize import Summarizer
 from comorag_tpu.store.embedding_store import EmbeddingStore
 from comorag_tpu.utils.logging import get_logger
+from comorag_tpu.utils.text import TokenCounter
 
 logger = get_logger(__name__)
 
@@ -88,19 +97,56 @@ class TimelineSummarizer:
         store = self.level_store(0)
         store.clear()  # regeneration replaces any stale windows wholesale
         store.insert_strings(summaries)
+        self._write_meta()
         return summaries
 
     def expected_summaries(self, total_chunks: int) -> int:
         return (total_chunks + self.window_size - 1) // self.window_size
 
+    # ------------------------------------------------------------------ meta
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.directory, "timeline_meta.json")
+
+    def _write_meta(self) -> None:
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(
+                {"n_chunks": len(self.chunk_store), "window_size": self.window_size}, f
+            )
+        os.replace(tmp, self._meta_path)  # atomic: no torn meta on crash
+
     def validate(self) -> bool:
-        """A reusable timeline must cover the CURRENT corpus: the stored
-        summary count has to match the expected window count (a grown
-        corpus otherwise silently reuses a stale timeline —
-        timeline_utils.py:392-491 validate-or-regenerate semantics)."""
+        """A reusable timeline must have been built over the CURRENT
+        corpus (a grown corpus otherwise silently reuses a stale timeline
+        — timeline_utils.py:392-491 validate-or-regenerate semantics).
+        Coverage is recorded in timeline_meta.json at generation time;
+        comparing the deduped store length against the window count would
+        permanently invalidate any timeline with a failed or duplicate
+        window summary."""
         store = self.level_store(0)
         if len(store) == 0:
             return False
+        meta: Dict[str, Any] = {}
+        try:
+            with open(self._meta_path, encoding="utf-8") as f:
+                meta = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            meta = {}
+        if meta:
+            ok = (
+                meta.get("n_chunks") == len(self.chunk_store)
+                and meta.get("window_size") == self.window_size
+            )
+            if not ok:
+                logger.info(
+                    "Timeline stale (built over %s chunks @ window %s, now %d @ %d) — regenerating",
+                    meta.get("n_chunks"), meta.get("window_size"),
+                    len(self.chunk_store), self.window_size,
+                )
+            return ok
+        # Legacy stores without meta: the count check can only
+        # false-negative (re-summarize), never reuse a stale timeline.
         expected = self.expected_summaries(len(self.chunk_store))
         if len(store) != expected:
             logger.info(
@@ -109,6 +155,7 @@ class TimelineSummarizer:
                 expected,
             )
             return False
+        self._write_meta()  # upgrade the artifact in place
         return True
 
     def load_or_generate(self) -> EmbeddingStore:
@@ -119,3 +166,86 @@ class TimelineSummarizer:
             logger.info("Generating timeline summaries")
             self.generate()
         return self.level_store(0)
+
+    # ------------------------------------------------------------ statistics
+    def statistics(self, tokens: Optional[TokenCounter] = None) -> Dict[str, Any]:
+        """Per-level summary statistics (reference get_summary_statistics,
+        timeline_utils.py:72-119 fields; one level in practice)."""
+        tokens = tokens or TokenCounter()
+        stats: Dict[str, Any] = {
+            "total_levels": 0,
+            "levels": [],
+            "total_tokens": 0,
+            "total_nodes": 0,
+            "model_info": {
+                "window_size": self.window_size,
+                "total_chunks": len(self.chunk_store),
+            },
+        }
+        level = 0
+        while True:
+            store = self.level_store(level)
+            summaries = store.get_all_texts()
+            if not summaries:
+                break
+            tok_counts = [tokens.count(s) for s in summaries]
+            char_counts = [len(s) for s in summaries]
+            stats["levels"].append(
+                {
+                    "level": level,
+                    "node_count": len(summaries),
+                    "total_tokens": sum(tok_counts),
+                    "avg_tokens_per_node": sum(tok_counts) / len(summaries),
+                    "min_tokens": min(tok_counts),
+                    "max_tokens": max(tok_counts),
+                    "total_chars": sum(char_counts),
+                    "avg_chars_per_node": sum(char_counts) / len(summaries),
+                }
+            )
+            stats["total_tokens"] += sum(tok_counts)
+            stats["total_nodes"] += len(summaries)
+            level += 1
+        stats["total_levels"] = level
+        stats["avg_tokens_per_level"] = stats["total_tokens"] / level if level else 0.0
+        stats["avg_nodes_per_level"] = stats["total_nodes"] / level if level else 0.0
+        return stats
+
+    def save_statistics(self, output_dir: str, tokens: Optional[TokenCounter] = None) -> str:
+        """Write the JSON + human-readable TXT statistics artifacts
+        (reference save_summary_statistics, timeline_utils.py:121-188;
+        deterministic filenames instead of timestamps so reruns are
+        idempotent artifacts, not an unbounded pile)."""
+        stats = self.statistics(tokens)
+        os.makedirs(output_dir, exist_ok=True)
+        json_path = os.path.join(output_dir, "timeline_stats.json")
+        with open(json_path, "w", encoding="utf-8") as f:
+            json.dump(stats, f, ensure_ascii=False, indent=2)
+        lines = [
+            "=== Summary Statistics ===",
+            f"Total Levels: {stats['total_levels']}",
+            f"Total Nodes: {stats['total_nodes']}",
+            f"Total Tokens: {stats['total_tokens']}",
+            f"Average Tokens per Level: {stats['avg_tokens_per_level']:.2f}",
+            f"Average Nodes per Level: {stats['avg_nodes_per_level']:.2f}",
+            "",
+            "=== Model Configuration ===",
+            f"Window Size: {stats['model_info']['window_size']}",
+            f"Initial Text Chunks: {stats['model_info']['total_chunks']}",
+            "",
+            "=== Level Details ===",
+        ]
+        for lv in stats["levels"]:
+            lines += [
+                f"",
+                f"Level {lv['level']}:",
+                f"  Node Count: {lv['node_count']}",
+                f"  Total Tokens: {lv['total_tokens']}",
+                f"  Average Tokens per Node: {lv['avg_tokens_per_node']:.2f}",
+                f"  Min Tokens: {lv['min_tokens']}",
+                f"  Max Tokens: {lv['max_tokens']}",
+                f"  Total Characters: {lv['total_chars']}",
+                f"  Average Characters per Node: {lv['avg_chars_per_node']:.2f}",
+            ]
+        with open(os.path.join(output_dir, "timeline_stats.txt"), "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+        return json_path
