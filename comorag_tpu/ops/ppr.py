@@ -207,9 +207,16 @@ class PPRGraph:
         sums[sums == 0] = 1.0
         resets = resets / sums
 
+        # Measured crossover (scripts/bench_ppr_crossover.py on the real
+        # chip, PERF.md "PPR host/device crossover"): the device wins once
+        # batch x arcs >= ~16M (B=16 @ 1M arcs: 432ms vs 527ms; B=64 @ 10M
+        # arcs: 1.8s vs 8.4s = 4.7x), while single resets always favor the
+        # host solver (fixed ~30ms tunnel round-trip dominates; B=1 @ 10M
+        # arcs: 344ms native vs 1571ms device). All 12 sweep points agree
+        # with this rule at top-50 ranking agreement 1.0.
         use_native = self._native is not None and (
             self.backend == "native"
-            or (self.backend == "auto" and self.n_nodes * max(len(self._src_host), 1) < 50_000_000)
+            or (self.backend == "auto" and b * max(len(self._src_host), 1) < 16_000_000)
         )
         if use_native:
             out = self._native.ppr(

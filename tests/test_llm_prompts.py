@@ -99,3 +99,57 @@ def test_qa_protocol_fake_llm():
     assert "### Final Answer" in out
     answer = out.split("### Final Answer")[1].strip()
     assert "Cinderella" in answer or answer == "*"
+
+
+def test_fact_filter_loads_dspy_prompt_file(tmp_path):
+    """Golden test of the tuned-prompt loader against a fixture with the
+    reference's on-disk shape ({"prog": {"system", "demos": [{question,
+    fact_before_filter, fact_after_filter}]}} — rerank.py:100-122,
+    prompts/dspy_prompts/filter_llama3.3-70B-Instruct.json)."""
+    import json
+
+    fixture = {
+        "prog": {
+            "lm": None,
+            "traces": [],
+            "train": [],
+            "demos": [
+                {
+                    "augmented": True,
+                    "question": "Did the Orion Ferry and the Kestrel Line both serve Port Alden?",
+                    "fact_before_filter": json.dumps(
+                        {"fact": [["orion ferry", "served", "port alden"],
+                                   ["kestrel line", "served", "cape morrow"],
+                                   ["port alden", "is a", "harbor town"]]}
+                    ),
+                    "fact_after_filter": json.dumps(
+                        {"fact": [["orion ferry", "served", "port alden"],
+                                   ["kestrel line", "served", "cape morrow"]]}
+                    ),
+                }
+            ],
+            "signature": {"instructions": "ignored by the loader", "fields": []},
+            "system": "You filter candidate facts down to the ones relevant to the question.",
+        }
+    }
+    path = tmp_path / "tuned.json"
+    path.write_text(json.dumps(fixture))
+
+    from comorag_tpu.llm.fake import FakeLLM
+
+    filt = FactFilter(FakeLLM(), prompt_file=str(path))
+    # system message taken from the file
+    assert filt.message_template[0] == {
+        "role": "system",
+        "content": fixture["prog"]["system"],
+    }
+    # each demo expands to a user/assistant pair carrying its fields
+    assert len(filt.message_template) == 3
+    assert "Orion Ferry" in filt.message_template[1]["content"]
+    assert "orion ferry" in filt.message_template[2]["content"]
+    assert filt.message_template[2]["role"] == "assistant"
+
+    # the loaded template still drives a full rerank round-trip
+    candidates = [("orion ferry", "served", "port alden"), ("moss", "grew on", "stones")]
+    idxs, items, log = filt.rerank("Which ferry served Port Alden?", candidates, [0, 1])
+    assert isinstance(idxs, list) and isinstance(items, list)
