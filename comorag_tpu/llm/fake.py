@@ -20,14 +20,43 @@ def _words(text: str) -> List[str]:
     return re.findall(r"[A-Za-z][A-Za-z0-9']+", text)
 
 
+# A real LLM attends to content, not function words or prompt scaffolding;
+# overlap scoring that counts "the"/"what"/"Key Finding" picks whichever
+# sentence shares the most boilerplate. Score on content words only.
+_SCORE_STOPWORDS = frozenset(
+    "the a an and or but of in on at to was were is are be been by with for "
+    "as while after before that this it its from into over under not no so "
+    "than then there here when where who whom which what how why does did do "
+    "key finding findings record summary synthesis node note probe question "
+    "thought context detail chunks information historical timeline".split()
+)
+
+
+def _content_words(text: str) -> set:
+    return {w.lower() for w in _words(text)} - _SCORE_STOPWORDS
+
+
 def _cap_entities(text: str, limit: int = 12) -> List[str]:
-    """Deterministic pseudo-NER: capitalized non-initial words + leading
-    words of sentences, deduped, order-preserving."""
+    """Deterministic pseudo-NER, deduped and order-preserving.
+
+    Mid-sentence capitalized words are entity-like; a sentence-INITIAL
+    capitalized word is ordinary prose ("Traders argued...", "Record 7:")
+    unless the same word also appears capitalized mid-sentence elsewhere,
+    or it heads a multi-word proper noun ("Glasswing Tower rises..."). A
+    real NER makes exactly this distinction; treating every sentence
+    starter as an entity turns shared boilerplate into graph mega-hubs.
+    """
+    non_entity = {"the", "a", "an", "it", "he", "she", "they", "when", "then", "and", "but"}
+    starts = {m.start(1) for m in re.finditer(r"(?:^|[.!?:]\s+|\n\s*)([A-Z])", text)}
+    matches = list(re.finditer(r"\b([A-Z][a-z]+(?:\s[A-Z][a-z]+)?)\b", text))
+    mid_forms = {m.group(1).split()[0] for m in matches if m.start(1) not in starts}
     ents: List[str] = []
     seen = set()
-    for m in re.finditer(r"\b([A-Z][a-z]+(?:\s[A-Z][a-z]+)?)\b", text):
+    for m in matches:
         e = m.group(1)
-        if e.lower() in {"the", "a", "an", "it", "he", "she", "they", "when", "then", "and", "but"}:
+        if e.lower() in non_entity:
+            continue
+        if m.start(1) in starts and " " not in e and e.split()[0] not in mid_forms:
             continue
         if e not in seen:
             seen.add(e)
@@ -71,10 +100,34 @@ class FakeLLM(BaseLLM):
                     pass
             return f"[[ ## fact_after_filter ## ]]\n{json.dumps(facts)}\n\n[[ ## completed ## ]]"
 
-        # Probe generation.
+        # Probe generation: like the real protocol, probes should explore
+        # NEW evidence angles — prefer RARE capitalized entities surfaced
+        # by the retrieved context that the query and previous probes did
+        # not cover (rare = most likely to be a discriminative lead, not
+        # boilerplate like per-chunk headers).
         if "retrieval probe" in sys_lower or "probe_1" in system:
-            q = self._field(user, "Original Query")
-            ents = _cap_entities(q or user, limit=3) or _words(q or user)[:3]
+            q = self._field(user, "Original Query") or ""
+            ctx = self._field(user, "Context") or ""
+            prev = self._field(user, "Previous probes") or ""
+            q_words = _content_words(q)
+            seen = (q_words | {w.lower() for w in _words(prev)} | _SCORE_STOPWORDS)
+            # rank evidence sentences by overlap with the query, then pull
+            # entities in that order — probe the leads the evidence offers
+            # for THIS question, not whatever is alphabetically first
+            scored = sorted(
+                _sentences(ctx),
+                key=lambda s: -len(q_words & _content_words(s)),
+            )
+            fresh: List[str] = []
+            for s in scored:
+                for e in re.findall(r"\b([A-Z][a-z]+(?:\s[A-Z][a-z]+)?)\b", s):
+                    if e in fresh or e.lower() in seen:
+                        continue
+                    if any(w.lower() in seen for w in e.split()):
+                        continue
+                    fresh.append(e)
+            ents = (fresh + [e for e in _cap_entities(q, limit=3) if e not in fresh])[:3]
+            ents = ents or _words(q or user)[:3]
             probes = {f"probe_{i+1}": f"Find passages about {e}" for i, e in enumerate(ents[:3])}
             return json.dumps(probes)
 
@@ -94,21 +147,32 @@ class FakeLLM(BaseLLM):
             for i in range(len(ents) - 1):
                 triples.append([ents[i], "relates to", ents[i + 1]])
             sents = _sentences(passage)
-            if ents and sents:
-                triples.append([ents[0], "appears in", sents[0][:40]])
+            # ground each entity in ITS OWN sentence — fact linking matches
+            # queries against triple text, so the text must carry the words
+            # that co-occur with the entity, not whatever sentence came first
+            for e in ents:
+                host = next((s for s in sents if e in s), None)
+                if host is not None:
+                    triples.append([e, "appears in", host[:60]])
             return json.dumps({"triples": triples})
 
-        # Memory fusion -> key findings.
+        # Memory fusion -> key findings: distill the sentences most
+        # relevant to the question (the protocol's actual job), not just
+        # the first five — with 50 retrieved docs the first five sentences
+        # are all one document.
         if "key finding" in sys_lower:
             content = self._field(user, "Content") or user
-            sents = _sentences(content)[:5]
+            query = self._field(user, "Questions") or ""
+            sents = self._rank_by_overlap(query, _sentences(content))[:5]
             lines = [f"- Key Finding: {s[:200]}" for s in sents] or ["- Key Finding: no content provided"]
             return "\n".join(lines)
 
-        # Node fusion -> synthesis paragraph.
+        # Node fusion -> synthesis paragraph, query-relevant sentences first.
         if "synthesis" in sys_lower or "previous analysis" in sys_lower:
             content = self._field(user, "Previous Analysis") or user
-            return "Synthesis: " + " ".join(_sentences(content)[:3])[:500]
+            query = self._field(user, "Current Query") or ""
+            sents = self._rank_by_overlap(query, _sentences(content))[:5]
+            return "Synthesis: " + " ".join(sents)[:600]
 
         # QA with the "### Final Answer" protocol.
         if "### final answer" in sys_lower or "final answer" in sys_lower:
@@ -128,11 +192,27 @@ class FakeLLM(BaseLLM):
                 f"### Final Answer\n{answer}"
             )
 
-        # Plain summarization.
+        # Plain summarization. The prompts ask to "preserve important names
+        # and details" — emulate that like a real summarizer would: dedupe
+        # repeated boilerplate sentences, then keep the most entity-dense
+        # ones (proper nouns = the names/details worth preserving), in
+        # original order. A blind prefix would summarize 200 chunks into
+        # whatever sentence happened to come first.
         if "summary" in sys_lower or "summar" in user.lower()[:200]:
             body = re.sub(r"^.*?:", "", user, count=1, flags=re.DOTALL) if ":" in user[:120] else user
-            sents = _sentences(body)
-            return "Summary: " + " ".join(sents[:2])[:400]
+            seen_s = set()
+            uniq: List[str] = []
+            for s in _sentences(body):
+                k = s.lower()
+                if k not in seen_s:
+                    seen_s.add(k)
+                    uniq.append(s)
+            # non-initial capitalized words ~ proper nouns
+            def _salience(s: str) -> int:
+                return len(re.findall(r"(?<!^)(?<![.!?]\s)\b[A-Z][a-z]", s))
+            top = sorted(range(len(uniq)), key=lambda i: (-_salience(uniq[i]), i))[:8]
+            sents = [uniq[i] for i in sorted(top)]
+            return "Summary: " + " ".join(sents)[:1200]
 
         return "OK"
 
@@ -148,15 +228,30 @@ class FakeLLM(BaseLLM):
         return m.group(1) if m else user
 
     @staticmethod
+    def _rank_by_overlap(query: str, sentences: List[str]) -> List[str]:
+        """Stable sort: sentences sharing the most words with the query
+        first (ties keep original order). Empty query keeps input order."""
+        if not query:
+            return sentences
+        q_words = _content_words(query)
+        return sorted(sentences, key=lambda s: -len(q_words & _content_words(s)))
+
+    @staticmethod
     def _overlap_answer(question: str, context: str) -> str:
         """Pick the context sentence with the highest word overlap with the
         question — a deterministic stand-in for extractive QA."""
-        q_words = {w.lower() for w in _words(question)}
+        q_words = _content_words(question)
         best, best_score = "*", 0
         for s in _sentences(context):
-            if s.startswith(("###", "-", "Question:")):
+            if s.startswith(("###", "Question:")):
                 continue
-            overlap = len(q_words & {w.lower() for w in _words(s)})
+            # cue lines arrive as "- Key Finding: <sentence>" — answer from
+            # the content, not the bullet scaffolding (iterations > 0 build
+            # their whole context from cues, ComoRAG.py:363-372 semantics)
+            s = re.sub(r"^[-*\s]*(?:Key Finding:\s*)?", "", s)
+            if not s or s.startswith("###"):
+                continue
+            overlap = len(q_words & _content_words(s))
             if overlap > best_score:
                 best, best_score = s[:120], overlap
         return best if best_score >= 2 else "*"

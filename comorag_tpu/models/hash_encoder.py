@@ -16,6 +16,17 @@ import numpy as np
 
 from comorag_tpu.models.base import BaseEncoder
 
+# Downweighted function words: a linear bag-of-words lets "the"-counts
+# dominate cosine similarity on long chunks (15 x "the" vs 1 x the
+# discriminative token), which no trained encoder does. Sublinear counts
+# + a stopword damp keep the hermetic instrument's rankings
+# content-driven, like the real encoders it stands in for.
+_STOPWORDS = frozenset(
+    "the a an and or but of in on at to was were is are be been by with for as "
+    "while after before that this it its from into over under not no so than "
+    "then there here when where who whom which what".split()
+)
+
 
 class HashEncoder(BaseEncoder):
     def __init__(self, dim: int = 512, seed: int = 0):
@@ -39,9 +50,13 @@ class HashEncoder(BaseEncoder):
             words = text.lower().split()
             if not words:
                 words = ["<empty>"]
-            vec = np.zeros(self.dim, dtype=np.float32)
+            counts: dict = {}
             for w in words:
-                vec += self._word_vec(w)
+                counts[w] = counts.get(w, 0) + 1
+            vec = np.zeros(self.dim, dtype=np.float32)
+            for w, c in counts.items():
+                weight = (0.1 if w in _STOPWORDS else 1.0) * float(np.sqrt(c))
+                vec += weight * self._word_vec(w)
             # tiny instruction-dependent rotation so query/passage spaces differ
             if instruction:
                 vec += 0.01 * self._word_vec(f"<instr>{instruction}")

@@ -28,9 +28,12 @@ def test_prompt_catalog_renders():
 def test_fake_llm_ner_and_triples():
     llm = FakeLLM()
     ie = OpenIE(llm)
-    chunks = {"c1": "Cinderella lived with her Stepmother in the Kingdom. The Prince held a Festival."}
+    # the pseudo-NER only treats sentence-INITIAL capitals as entities when
+    # they also appear capitalized mid-sentence (real-NER-like behavior)
+    chunks = {"c1": "Cinderella lived with her Stepmother in the Kingdom. The Prince invited Cinderella to a Festival."}
     ners, triples = ie.batch_openie(chunks)
     assert "Cinderella" in ners["c1"].unique_entities
+    assert "The" not in ners["c1"].unique_entities
     assert all(len(t) == 3 for t in triples["c1"].triples)
     assert len(triples["c1"].triples) > 0
 
