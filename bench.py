@@ -49,7 +49,16 @@ def make_data():
 
 
 def bench_tpu_variants(corpus, queries):
-    """Interleaved pipelined QPS for each index variant: {name: (qps, idx)}."""
+    """Interleaved pipelined QPS for each index variant: {name: (qps, idx)}.
+
+    Every iteration gets a DISTINCT query array: production never reuses a
+    batch object (each meta-loop iteration encodes fresh probes), so the
+    headline must pay the per-call host->device query upload. The
+    device-resident handoff (queries already on device, e.g. straight off
+    the JAX encoder) is measured separately as ``two_pass_device``.
+    """
+    import jax.numpy as jnp
+
     from comorag_tpu.retrieval.index import MipsIndex
 
     indexes = {
@@ -62,13 +71,23 @@ def bench_tpu_variants(corpus, queries):
     for name, index in indexes.items():
         out_idx[name] = index.topk(queries, k=K)[1]  # warmup + compile
 
+    # distinct host arrays (fresh upload each call) and their device twins
+    host_batches = [np.roll(queries, i % P, axis=0) for i in range(TPU_ITERS)]
+    device_batches = [jnp.asarray(q) for q in host_batches]
+    device_batches[0].block_until_ready()
+
     best = {name: 0.0 for name in indexes}
+    best["two_pass_device"] = 0.0
     for _ in range(ROUNDS):
         for name, index in indexes.items():
             start = time.perf_counter()
-            index.topk_many([queries] * TPU_ITERS, k=K)
+            index.topk_many(host_batches, k=K)
             elapsed = time.perf_counter() - start
             best[name] = max(best[name], P * TPU_ITERS / elapsed)
+        start = time.perf_counter()
+        indexes["two_pass_int8"].topk_many(device_batches, k=K)
+        elapsed = time.perf_counter() - start
+        best["two_pass_device"] = max(best["two_pass_device"], P * TPU_ITERS / elapsed)
 
     # sequential blocking (one sync per call) for reference, fp32 path
     n_block = max(3, TPU_ITERS // 10)
@@ -143,6 +162,7 @@ def main() -> None:
             "tpu_blocking_qps": round(qps_block, 2),
             "tpu_fp32_pipelined_qps": round(qps["fp32"], 2),
             "tpu_two_pass_int8_pipelined_qps": round(qps["two_pass_int8"], 2),
+            "tpu_two_pass_device_resident_qps": round(qps["two_pass_device"], 2),
             "tpu_bf16_pipelined_qps": round(qps["bf16"], 2),
             "tpu_int8_pipelined_qps": round(qps["int8"], 2),
             "topk_overlap_vs_cpu": round(ov[headline], 4),

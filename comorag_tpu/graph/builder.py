@@ -187,7 +187,10 @@ class GraphBuilder:
         embs = np.asarray(entity_embeddings, np.float32)
         k = min(topk, n)
         batches = [embs[i : i + query_batch_size] for i in range(0, n, query_batch_size)]
-        if embs.nbytes > key_bytes_budget and key_batch_size < n:
+        # a mesh shards the key matrix across devices, so the single-device
+        # HBM budget doesn't apply — key-blocking there would trade one
+        # sharded pass for per-block compiles and query re-uploads
+        if mesh is None and embs.nbytes > key_bytes_budget and key_batch_size < n:
             scores, idx = _key_blocked_topk(embs, batches, k, key_batch_size)
         else:
             index = MipsIndex(embs, mesh=mesh)

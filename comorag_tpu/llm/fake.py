@@ -199,7 +199,16 @@ class FakeLLM(BaseLLM):
         # original order. A blind prefix would summarize 200 chunks into
         # whatever sentence happened to come first.
         if "summary" in sys_lower or "summar" in user.lower()[:200]:
-            body = re.sub(r"^.*?:", "", user, count=1, flags=re.DOTALL) if ":" in user[:120] else user
+            # strip the instruction preamble (ends with ':' before the
+            # content block) — leaking it into the summary would let prompt
+            # words ("Keep chronological...", "key events") masquerade as
+            # evidence in downstream overlap answering
+            body = user
+            head, sep, rest = user.partition("\n\n")
+            if sep and head.rstrip().endswith(":"):
+                body = rest
+            elif ":" in user[:120]:
+                body = re.sub(r"^.*?:", "", user, count=1, flags=re.DOTALL)
             seen_s = set()
             uniq: List[str] = []
             for s in _sentences(body):

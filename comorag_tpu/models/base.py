@@ -19,6 +19,17 @@ class BaseEncoder(ABC):
     forward pass under jit and only surface host numpy at this boundary."""
 
     dim: int
+    #: bump in a subclass whenever its embedding function changes shape or
+    #: semantics — persisted stores validate against the fingerprint so a
+    #: changed encoder regenerates vectors instead of silently mixing old
+    #: corpus embeddings with new query embeddings
+    encoder_version: int = 1
+
+    @property
+    def fingerprint(self) -> str:
+        extra = getattr(self, "fingerprint_extra", "")
+        extra = f":{extra}" if extra else ""
+        return f"{type(self).__name__}{extra}:d{getattr(self, 'dim', 0)}:v{self.encoder_version}"
 
     @abstractmethod
     def encode(

@@ -23,6 +23,7 @@ import dataclasses
 import functools
 import hashlib
 import math
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -340,6 +341,12 @@ class BGEJaxEncoder(BaseEncoder):
             params, arch = load_hf_checkpoint(model_name_or_path)
         self.params = params
         self.arch = arch
+        # distinguishes checkpoints sharing an architecture in store validation
+        self.fingerprint_extra = (
+            os.path.basename(str(model_name_or_path).rstrip("/\\"))
+            if model_name_or_path
+            else f"L{arch.num_layers}h{arch.hidden_size}"
+        )
         self.max_seq_len = min(max_seq_len, arch.max_position - arch.position_offset)
         self.batch_size = batch_size
         self.mesh = mesh
@@ -430,3 +437,27 @@ class BGEJaxEncoder(BaseEncoder):
         while pending:
             drain_one()
         return np.concatenate(out, axis=0)
+
+    def encode_device(self, texts, instruction: str = "", norm: bool = True) -> jax.Array:
+        """Like :meth:`encode` but the result STAYS on device ([n, dim]
+        jax array): the retrieval indexes accept device queries directly
+        (MipsIndex._prep_queries), so query embeddings handed off this way
+        never pay the device->host->device round-trip through the tunnel.
+        Intended for query batches (a probe fan-out), not corpus encodes —
+        the concatenated output lives in HBM."""
+        texts = self._as_list(texts)
+        if not texts:
+            return jnp.zeros((0, self.dim), jnp.float32)
+        if instruction:
+            texts = [instruction + t for t in texts]
+        pooled_parts = []
+        for i in range(0, len(texts), self.batch_size):
+            ids, mask = self._tokenize(texts[i : i + self.batch_size])
+            ids_j, mask_j = jnp.asarray(ids), jnp.asarray(mask)
+            if self._batch_sharding is not None:
+                ids_j = jax.device_put(ids_j, self._batch_sharding)
+                mask_j = jax.device_put(mask_j, self._batch_sharding)
+            pooled = self._encode_fn(self.params, ids_j, mask_j, normalize=norm)
+            valid = min(self.batch_size, len(texts) - i)
+            pooled_parts.append(pooled[:valid])
+        return pooled_parts[0] if len(pooled_parts) == 1 else jnp.concatenate(pooled_parts, axis=0)

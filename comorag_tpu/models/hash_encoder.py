@@ -29,6 +29,9 @@ _STOPWORDS = frozenset(
 
 
 class HashEncoder(BaseEncoder):
+    # v2: sublinear counts + stopword damping changed every vector
+    encoder_version = 2
+
     def __init__(self, dim: int = 512, seed: int = 0):
         self.dim = dim
         self.seed = seed

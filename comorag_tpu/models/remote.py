@@ -35,6 +35,7 @@ class RemoteEncoder(BaseEncoder):
     ):
         self.model = model
         self.base_url = (base_url or os.environ.get("OPENAI_BASE_URL") or "https://api.openai.com/v1").rstrip("/")
+        self.fingerprint_extra = model  # store validation distinguishes models
         self.api_key = api_key or os.environ.get("OPENAI_API_KEY") or "EMPTY"
         self.batch_size = batch_size
         self.max_retries = max_retries

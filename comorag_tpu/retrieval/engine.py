@@ -134,7 +134,13 @@ class RetrievalEngine:
     # ------------------------------------------------------------- encodings
     def encode_queries(self, queries: Sequence[str]) -> Dict[str, np.ndarray]:
         """Two instruction-tuned encodings per query ('query_to_fact' and
-        'query_to_passage'), cached, batched across the whole fan-out."""
+        'query_to_passage'), cached, batched across the whole fan-out.
+
+        Device-side encoders (``encode_device``) keep the rows ON DEVICE:
+        the indexes accept device queries directly, so the fan-out skips
+        the device->host->device bounce through the tunnel entirely (the
+        bench's ``two_pass_device_resident`` vs fresh-upload gap is ~2x)."""
+        device_enc = getattr(self.encoder, "encode_device", None)
         out = {"fact": [], "passage": []}
         for space, mode in (("fact", "query_to_fact"), ("passage", "query_to_passage")):
             instruction = get_query_instruction(mode)
@@ -147,16 +153,25 @@ class RetrievalEngine:
                         self._query_cache.move_to_end((space, q))
             missing = list(dict.fromkeys(q for q in queries if q not in hits))
             if missing:
-                embs = self.encoder.encode(missing, instruction=instruction, norm=True)
+                if device_enc is not None:
+                    embs = device_enc(missing, instruction=instruction, norm=True)
+                else:
+                    embs = self.encoder.encode(missing, instruction=instruction, norm=True)
                 with self._query_cache_lock:
-                    for q, e in zip(missing, embs):
-                        arr = np.asarray(e, np.float32)
-                        hits[q] = arr
-                        self._query_cache[(space, q)] = arr
+                    for i, q in enumerate(missing):
+                        row = embs[i] if device_enc is not None else np.asarray(embs[i], np.float32)
+                        hits[q] = row
+                        self._query_cache[(space, q)] = row
                         self._query_cache.move_to_end((space, q))
                     while len(self._query_cache) > self._query_cache_max:
                         self._query_cache.popitem(last=False)
-            out[space] = np.stack([hits[q] for q in queries])
+            rows = [hits[q] for q in queries]
+            if any(not isinstance(r, np.ndarray) for r in rows):
+                import jax.numpy as jnp
+
+                out[space] = jnp.stack(rows)
+            else:
+                out[space] = np.stack(rows)
         return out
 
     # ------------------------------------------------------------ primitives

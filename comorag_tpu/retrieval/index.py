@@ -164,12 +164,24 @@ class MipsIndex:
             self.scan_corpus = jax.device_put(padded.astype(jnp.bfloat16))
 
     # ------------------------------------------------------------------ topk
-    def _prep_queries(self, queries: np.ndarray) -> Tuple[jnp.ndarray, int]:
+    def _prep_queries(self, queries) -> Tuple[jnp.ndarray, int]:
+        target = jnp.bfloat16 if self.dtype == jnp.bfloat16 else jnp.float32
+        p_min = 8 if self.method == "pallas" else 1  # sublane-aligned blocks
+        if isinstance(queries, jax.Array):
+            # device-resident queries (e.g. straight off the JAX encoder's
+            # pooled output) skip the host->device upload entirely — the
+            # TPU-first serving handoff; pad/cast dispatch asynchronously
+            q = jnp.atleast_2d(queries)
+            p = q.shape[0]
+            p_pad = max(_bucket(p), p_min)
+            if q.dtype != target:
+                q = q.astype(target)
+            if p_pad != p:
+                q = jnp.pad(q, ((0, p_pad - p), (0, 0)))
+            return q, p
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         p = queries.shape[0]
-        p_pad = _bucket(p)
-        if self.method == "pallas":
-            p_pad = max(p_pad, 8)  # kernel needs sublane-aligned query blocks
+        p_pad = max(_bucket(p), p_min)
         q_pad = np.zeros((p_pad, self.dim), np.float32)
         q_pad[:p] = queries
         return jnp.asarray(q_pad.astype(self.dtype) if self.dtype == jnp.bfloat16 else q_pad), p
@@ -221,7 +233,8 @@ class MipsIndex:
             # single-pass overlap@50 = 0.9825 => ~1 miss, near the
             # boundary). k+8 rounded up, floor 64, covers it; the bench
             # verifies overlap = 1.0 on every run.
-            c = min(self.scan_candidates or max(_round_up(k_pad + 8, 8), 64), self.n_pad)
+            # a candidate pool below k would silently truncate the result
+            c = min(max(self.scan_candidates or 0, _round_up(k_pad + 8, 8), 64), self.n_pad)
             key = ("2pass", self.scan_dtype, k_pad, c)
             fn = self._packed_topk_cache.get(key)
             if fn is None:
@@ -273,9 +286,12 @@ class MipsIndex:
         Repeated batch objects upload once: per-call host->device query
         transfers through the remote tunnel cost more than the top-k
         itself (measured 14.7k vs 8.4k qps at 100k x 1024)."""
+        # materialize first: a lazy iterable could free each array after its
+        # handle is queued, letting CPython reuse the id for a DIFFERENT
+        # later batch and silently serving it the wrong device buffer
+        query_batches = list(query_batches)
         results: List[Tuple[np.ndarray, np.ndarray]] = []
         handles: List[TopkHandle] = []
-        # ids are stable here: query_batches itself keeps every array alive
         prepped: Dict[int, Tuple[jnp.ndarray, int]] = {}
         for q in query_batches:
             pr = prepped.get(id(q))
@@ -292,8 +308,11 @@ class MipsIndex:
     def scores_async(self, queries: np.ndarray) -> "ScoresHandle":
         """Launch full [P, N] scoring and start the host copy; returns a
         handle whose .result() blocks only on its own transfer."""
-        queries = np.atleast_2d(np.asarray(queries, np.float32))
-        p = queries.shape[0]
+        # don't force device arrays through numpy — that's a blocking
+        # device->host fetch just to re-upload the same values
+        if not isinstance(queries, jax.Array):
+            queries = np.atleast_2d(np.asarray(queries, np.float32))
+        p = 1 if queries.ndim == 1 else queries.shape[0]
         if self.n == 0:
             return ScoresHandle(None, p, 0)
         q_dev, p = self._prep_queries(queries)

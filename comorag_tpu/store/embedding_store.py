@@ -42,6 +42,19 @@ class EmbeddingStore:
         import pyarrow.parquet as pq
 
         table = pq.read_table(self.path)
+        stored_fp = (table.schema.metadata or {}).get(b"encoder_fingerprint", b"").decode()
+        want_fp = getattr(self.encoder, "fingerprint", "")
+        if want_fp and stored_fp != want_fp:
+            # vectors were produced by a different (or older) embedding
+            # function; scoring new queries against them silently degrades
+            # every ranking — regenerate instead
+            logger.warning(
+                "%s: stored vectors have encoder fingerprint %r but the "
+                "active encoder is %r — discarding and re-encoding",
+                self.path, stored_fp or "<none>", want_fp,
+            )
+            os.remove(self.path)
+            return
         self.hash_ids = table.column("hash_id").to_pylist()
         self.texts = table.column("content").to_pylist()
         emb_rows = table.column("embedding").to_pylist()
@@ -62,6 +75,9 @@ class EmbeddingStore:
                 "embedding": [row for row in emb.tolist()],
             }
         )
+        fp = getattr(self.encoder, "fingerprint", "")
+        if fp:
+            table = table.replace_schema_metadata({b"encoder_fingerprint": fp.encode()})
         pq.write_table(table, self.path)
 
     def clear(self) -> None:

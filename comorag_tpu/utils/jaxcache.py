@@ -31,6 +31,13 @@ def ensure_compile_cache() -> None:
 
         if jax.config.jax_compilation_cache_dir is None:
             jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # like the dir: only lower the threshold if the user/env hasn't
+        # configured one (jax default is 1.0 — cache sub-second compiles
+        # too, they still cost a tunnel round-trip here)
+        if (
+            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS" not in os.environ
+            and jax.config.jax_persistent_cache_min_compile_time_secs == 1.0
+        ):
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:  # pragma: no cover — never break imports over a cache
         pass

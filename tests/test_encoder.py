@@ -179,3 +179,23 @@ def test_checkpoint_roundtrip(tmp_path):
     # resumes: one more step runs and advances
     resumed, loss = step(restored, batch)
     assert int(resumed.step) == 2 and np.isfinite(float(loss))
+
+
+def test_encode_device_matches_encode():
+    """The device-resident handoff must produce the same embeddings as the
+    host-facing encode (it is the same jitted forward, minus the drain)."""
+    import numpy as np
+
+    import jax
+
+    from comorag_tpu.models.bge import BGEJaxEncoder, EncoderArch, init_params
+
+    arch = EncoderArch(vocab_size=64, hidden_size=16, num_layers=1,
+                       num_heads=2, intermediate_size=32, max_position=32)
+    params = init_params(jax.random.PRNGKey(0), arch)
+    enc = BGEJaxEncoder(params=params, arch=arch, max_seq_len=16, batch_size=3)
+    texts = [f"text number {i} with some words" for i in range(7)]  # 3 batches
+    host = enc.encode(texts)
+    dev = np.asarray(enc.encode_device(texts))
+    assert dev.shape == host.shape
+    np.testing.assert_allclose(host, dev, atol=1e-6)

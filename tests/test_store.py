@@ -81,3 +81,25 @@ def test_token_budget_truncation():
     texts = ["one two three four five six seven eight"] * 10
     kept = tc.truncate_by_budget(texts, budget=25)
     assert 1 <= len(kept) < 10
+
+
+def test_store_regenerates_on_encoder_fingerprint_change(tmp_path):
+    """Vectors from a different/older embedding function must not be mixed
+    with new query encodings — the store discards and re-encodes when the
+    persisted fingerprint doesn't match the active encoder's."""
+    enc = HashEncoder(dim=32)
+    store = EmbeddingStore(enc, str(tmp_path), batch_size=2, namespace="chunk")
+    store.insert_strings(["a", "b"])
+
+    class ChangedEncoder(HashEncoder):
+        encoder_version = HashEncoder.encoder_version + 1
+
+    changed = ChangedEncoder(dim=32)
+    store2 = EmbeddingStore(changed, str(tmp_path), batch_size=2, namespace="chunk")
+    assert len(store2) == 0  # stale vectors discarded, not silently reused
+    store2.insert_strings(["a", "b"])
+    assert len(store2) == 2
+
+    # same fingerprint -> reload keeps everything
+    store3 = EmbeddingStore(changed, str(tmp_path), batch_size=2, namespace="chunk")
+    assert len(store3) == 2

@@ -137,3 +137,30 @@ def test_two_pass_disabled_with_mesh_or_nonf32(cpu_mesh):
     assert sharded.scan_dtype is None  # falls back with a warning
     bf16 = MipsIndex(corpus, dtype="bfloat16", scan_dtype="int8")
     assert bf16.scan_dtype is None  # scan only composes with fp32 storage
+
+
+def test_index_accepts_device_resident_queries():
+    """Device queries (encoder handoff) must match host-numpy results on
+    every index variant — including the padded-batch and two-pass paths."""
+    import jax.numpy as jnp
+
+    from comorag_tpu.retrieval.index import MipsIndex
+
+    rng = np.random.default_rng(3)
+    corpus = rng.standard_normal((300, 64)).astype(np.float32)
+    q_np = rng.standard_normal((5, 64)).astype(np.float32)
+    q_dev = jnp.asarray(q_np)
+
+    for kwargs in ({}, {"scan_dtype": "int8"}, {"dtype": "bfloat16"}):
+        index = MipsIndex(corpus, **kwargs)
+        s_np, i_np = index.topk(q_np, k=7)
+        s_dev, i_dev = index.topk(q_dev, k=7)
+        np.testing.assert_array_equal(i_np, i_dev)
+        np.testing.assert_allclose(s_np, s_dev, rtol=1e-6)
+        np.testing.assert_allclose(index.scores(q_np), index.scores(q_dev), rtol=1e-6)
+
+    # 1-D device query (single probe) pads like the numpy path
+    index = MipsIndex(corpus)
+    s1, i1 = index.topk(q_np[0], k=7)
+    s2, i2 = index.topk(q_dev[0], k=7)
+    np.testing.assert_array_equal(i1, i2)
