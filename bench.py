@@ -70,6 +70,10 @@ def bench_tpu_variants(corpus, queries):
     out_idx = {}
     for name, index in indexes.items():
         out_idx[name] = index.topk(queries, k=K)[1]  # warmup + compile
+    import jax.numpy as _jnp
+    out_idx["two_pass_device"] = np.asarray(
+        indexes["two_pass_int8"].topk(_jnp.asarray(queries), k=K)[1]
+    )
 
     # distinct host arrays (fresh upload each call) and their device twins
     host_batches = [np.roll(queries, i % P, axis=0) for i in range(TPU_ITERS)]
@@ -144,9 +148,18 @@ def main() -> None:
     cpu_qps, cpu_idx = bench_cpu_reference(corpus, queries)
 
     ov = {name: overlap(idx[name], cpu_idx) for name in idx}
-    # headline: exact two-pass, unless this run's output disagrees with the
-    # CPU oracle — then fall back to the always-exact fp32 path.
-    headline = "two_pass_int8" if ov["two_pass_int8"] >= 1.0 else "fp32"
+    # Headline: the SHIPPED serving path — the engine hands query
+    # embeddings to the index device-resident (encode_device, no host
+    # bounce), scored by the exact two-pass. Falls back to the host-upload
+    # two-pass, then fp32, if this run's output disagrees with the CPU
+    # oracle. The CPU reference likewise starts from in-memory embeddings,
+    # so both sides exclude encode cost.
+    if ov["two_pass_device"] >= 1.0:
+        headline = "two_pass_device"
+    elif ov["two_pass_int8"] >= 1.0:
+        headline = "two_pass_int8"
+    else:
+        headline = "fp32"
     result = {
         "metric": "retrieval_qps_per_chip",
         "value": round(qps[headline], 2),
@@ -161,12 +174,13 @@ def main() -> None:
             "cpu_reference_qps": round(cpu_qps, 2),
             "tpu_blocking_qps": round(qps_block, 2),
             "tpu_fp32_pipelined_qps": round(qps["fp32"], 2),
-            "tpu_two_pass_int8_pipelined_qps": round(qps["two_pass_int8"], 2),
+            "tpu_two_pass_host_upload_qps": round(qps["two_pass_int8"], 2),
             "tpu_two_pass_device_resident_qps": round(qps["two_pass_device"], 2),
             "tpu_bf16_pipelined_qps": round(qps["bf16"], 2),
             "tpu_int8_pipelined_qps": round(qps["int8"], 2),
             "topk_overlap_vs_cpu": round(ov[headline], 4),
             "topk_overlap_two_pass_vs_cpu": round(ov["two_pass_int8"], 4),
+            "topk_overlap_two_pass_device_vs_cpu": round(ov["two_pass_device"], 4),
             "topk_overlap_bf16_vs_cpu": round(ov["bf16"], 4),
             "topk_overlap_int8_vs_cpu": round(ov["int8"], 4),
         },
