@@ -149,3 +149,42 @@ class TestEncoderWindow:
         all_at_once = enc.encode(texts)
         one_by_one = np.concatenate([enc.encode([t]) for t in texts], axis=0)
         np.testing.assert_allclose(all_at_once, one_by_one, atol=1e-5)
+
+
+class TestDeviceResidentQueries:
+    def test_engine_keeps_device_rows_for_device_encoders(self, tmp_path):
+        """With a device-side encoder the fan-out's query embeddings never
+        bounce through the host: encode_queries returns jax arrays and the
+        indexes score them directly (same results as the host path)."""
+        import jax
+
+        from comorag_tpu.config import ComoConfig
+        from comorag_tpu.models.bge import BGEJaxEncoder, EncoderArch, init_params
+        from comorag_tpu.retrieval.engine import RetrievalEngine
+
+        arch = EncoderArch(vocab_size=64, hidden_size=16, num_layers=1,
+                           num_heads=2, intermediate_size=32, max_position=32)
+        encoder = BGEJaxEncoder(
+            params=init_params(jax.random.PRNGKey(0), arch), arch=arch,
+            max_seq_len=16, batch_size=4,
+        )
+        store = EmbeddingStore(encoder, str(tmp_path / "chunks"), 8, "chunk")
+        store.insert_strings(["alpha beta gamma", "delta epsilon zeta", "eta theta iota"])
+        config = ComoConfig(save_dir=str(tmp_path / "o"),
+                            embedding_model_name="bge", embedding_dim=16)
+        eng = RetrievalEngine(config, encoder, store)
+
+        embs = eng.encode_queries(["alpha beta?", "delta epsilon?"])
+        assert isinstance(embs["passage"], jax.Array)  # stayed on device
+        res = eng.tri_retrieve_batch(["alpha beta?", "delta epsilon?"])
+        assert len(res) == 2 and all(r.veridical for r in res)
+
+        # device rows score identically to the host-encoded rows
+        s_dev = eng.ver_index.scores(embs["passage"][:1])
+        # same query text, same instruction space as 'query_to_passage'
+        from comorag_tpu.prompts.linking import get_query_instruction
+        host_i = encoder.encode(["alpha beta?"],
+                                instruction=get_query_instruction("query_to_passage"),
+                                norm=True)
+        s_host = eng.ver_index.scores(host_i)
+        np.testing.assert_allclose(np.asarray(s_dev), s_host, atol=1e-5)
