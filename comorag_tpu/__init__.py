@@ -28,7 +28,7 @@ if not _os.environ.get("COMORAG_NO_COMPILE_CACHE") and not _os.environ.get("JAX_
         "JAX_COMPILATION_CACHE_DIR",
         _os.path.join(_os.path.expanduser("~"), ".cache", "jax_comorag"),
     )
-    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")  # remote compiles: cache aggressively
 
 from comorag_tpu.config import ComoConfig
 

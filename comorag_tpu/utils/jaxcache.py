@@ -31,13 +31,12 @@ def ensure_compile_cache() -> None:
 
         if jax.config.jax_compilation_cache_dir is None:
             jax.config.update("jax_compilation_cache_dir", path)
-        # like the dir: only lower the threshold if the user/env hasn't
-        # configured one (jax default is 1.0 — cache sub-second compiles
-        # too, they still cost a tunnel round-trip here)
-        if (
-            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS" not in os.environ
-            and jax.config.jax_persistent_cache_min_compile_time_secs == 1.0
-        ):
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # apply the env threshold programmatically too (the env var is
+        # ignored if jax was imported before it was set); the package
+        # __init__ defaults it to 0.5 — remote compiles are worth caching
+        # aggressively — and a user-exported value wins via setdefault
+        min_secs = os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS")
+        if min_secs is not None:
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", float(min_secs))
     except Exception:  # pragma: no cover — never break imports over a cache
         pass

@@ -103,6 +103,15 @@ def main() -> None:
             hits += 1
     recall = hits / len(golds)
 
+    # full meta-loop serving throughput: questions/s at the reference's
+    # concurrency envelope (<=16 threads, ComoRAG.py:436-437), each
+    # question running the complete attempt->impasse-free QA path
+    n_q = min(32, len(queries))
+    rag.try_answer(queries[:2])  # warmup (prompt/QA compile paths)
+    t0 = time.perf_counter()
+    rag.try_answer(queries[:n_q])
+    qa_s = time.perf_counter() - t0
+
     spans = trace.summary()["spans"]
     report = {
         "chunks": args.chunks,
@@ -112,6 +121,9 @@ def main() -> None:
         "retrieval_recall_at_10": round(recall, 4),
         "fanout_retrieve_s": round(retrieve_s, 3),
         "fanout_qps": round(len(queries) / retrieve_s, 2),
+        "qa_loop_questions": n_q,
+        "qa_loop_s": round(qa_s, 2),
+        "qa_loop_qps": round(n_q / qa_s, 2),
         "graph": rag.graph.info() if rag.graph else None,
         "stores": {
             "chunks": len(rag.ver_store),
