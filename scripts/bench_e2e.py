@@ -37,16 +37,30 @@ PLACES = ["mill", "harbor", "orchard", "quarry", "archive", "forge", "lighthouse
 ITEMS = ["ledger", "compass", "seedchest", "ironkey", "starchart", "bronzebell", "anvil", "lantern"]
 
 
+SURNAMES = [
+    "Veyl", "Marsh", "Okonkwo", "Ibarra", "Tanaka", "Lindqvist", "Moreau",
+    "Castellan", "Drummond", "Ferro", "Galloway", "Hartwell", "Ivers",
+    "Jansson", "Kovacs", "Larkspur", "Mendel", "Norcross", "Oakes", "Pryce",
+    "Quill", "Rothgar", "Severin", "Thistle", "Underhill", "Vance", "Walden",
+    "Xanthe", "Yarrow", "Zephyrin", "Ashdown", "Briarwood",
+]
+
+
 def make_corpus(n: int, n_gold: int, seed: int = 7):
+    """Synthetic narrative with a REAL entity graph: full names (first +
+    surname pool) give ~|NAMES|x|SURNAMES| distinct proper nouns, and each
+    record links two of them, so OpenIE produces a graph whose PPR work
+    scales with the corpus instead of collapsing onto 16 hub names."""
     rng = np.random.default_rng(seed)
     chunks = []
     for i in range(n):
-        a = NAMES[rng.integers(len(NAMES))]
+        a = f"{NAMES[rng.integers(len(NAMES))]} {SURNAMES[rng.integers(len(SURNAMES))]}"
+        a2 = f"{NAMES[rng.integers(len(NAMES))]} {SURNAMES[rng.integers(len(SURNAMES))]}"
         b = PLACES[rng.integers(len(PLACES))]
         c = ITEMS[rng.integers(len(ITEMS))]
         d = int(rng.integers(1, 365))
         chunks.append(
-            f"Record {i}: {a} visited the {b} on day {d} and catalogued the {c} "
+            f"Record {i}: {a} visited the {b} on day {d} with {a2} and catalogued the {c} "
             f"before returning along the river road at dusk."
         )
     golds = []
@@ -112,6 +126,27 @@ def main() -> None:
     rag.try_answer(queries[:n_q])
     qa_s = time.perf_counter() - t0
 
+    # impasse path: force ONE '*' per question so every question pays a
+    # probe fan-out + pool fusion round (the loop's expensive branch)
+    from comorag_tpu.llm.fake import FakeLLM
+
+    impassed = set()
+
+    def one_impasse(question, context):
+        key = question.strip()[:120]
+        if key not in impassed:
+            impassed.add(key)
+            return "*"
+        return None
+
+    rag_imp = ComoRAG(config, llm=FakeLLM(qa_answer_fn=one_impasse))
+    rag_imp.index(chunks)  # reloads persisted stores
+    rag_imp.try_answer(queries[:2])
+    impassed.clear()
+    t0 = time.perf_counter()
+    rag_imp.try_answer(queries[:n_q])
+    qa_imp_s = time.perf_counter() - t0
+
     spans = trace.summary()["spans"]
     report = {
         "chunks": args.chunks,
@@ -124,6 +159,7 @@ def main() -> None:
         "qa_loop_questions": n_q,
         "qa_loop_s": round(qa_s, 2),
         "qa_loop_qps": round(n_q / qa_s, 2),
+        "qa_loop_impasse_qps": round(n_q / qa_imp_s, 2),
         "graph": rag.graph.info() if rag.graph else None,
         "stores": {
             "chunks": len(rag.ver_store),
