@@ -83,6 +83,41 @@ def _ppr_batch(
     return _ppr_vmap(src, dst, rate, is_dangling, resets, alpha, tol, n_nodes, max_iters)
 
 
+@functools.partial(jax.jit, static_argnames=("n_nodes", "max_iters", "k"))
+def _ppr_seed_topk(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    rate: jnp.ndarray,
+    is_dangling: jnp.ndarray,
+    seed_idx: jnp.ndarray,   # [B, S] int32 node ids (padding: weight 0)
+    seed_w: jnp.ndarray,     # [B, S] f32 sparse phrase weights
+    prior_idx: jnp.ndarray,  # [n_sel] int32 nodes that receive the dense prior AND get ranked
+    prior_w: jnp.ndarray,    # [B, n_sel] f32 dense prior (e.g. 0.005 * minmax dpr row)
+    alpha: jnp.ndarray,
+    tol: jnp.ndarray,
+    n_nodes: int,
+    max_iters: int,
+    k: int,
+) -> tuple:
+    """Fused query-time graph ranking: build resets ON DEVICE from sparse
+    seeds + a device-resident dense prior, solve PPR, rank the prior nodes,
+    return their top-k. Uploads O(B*S) instead of a dense [B, N] reset
+    matrix; downloads O(B*k) instead of [B, N] ranks — at 100k-corpus
+    scale those two transfers dominate the whole fan-out on a
+    remote-attached chip."""
+    b = seed_w.shape[0]
+    rows = jnp.arange(b)[:, None]
+    resets = jnp.zeros((b, n_nodes), jnp.float32)
+    resets = resets.at[rows, seed_idx].add(seed_w)
+    resets = resets.at[:, prior_idx].add(prior_w)
+    resets = jnp.where(jnp.isnan(resets) | (resets < 0), 0.0, resets)
+    sums = resets.sum(axis=1, keepdims=True)
+    resets = resets / jnp.where(sums == 0, 1.0, sums)
+    ranks = _ppr_vmap(src, dst, rate, is_dangling, resets, alpha, tol, n_nodes, max_iters)
+    doc = ranks[:, prior_idx]
+    return jax.lax.top_k(doc, k)
+
+
 def make_sharded_ppr(mesh, n_nodes: int, max_iters: int, axis: str = "corpus"):
     """Edge-sharded batched PPR: the arc list is split across the mesh's
     ``axis``; every device holds the full (replicated) rank vector, does a
@@ -196,6 +231,49 @@ class PPRGraph:
             self._rate = jnp.asarray(rate)
             self._dangling = jnp.asarray(is_dangling)
 
+    def routes_device(self, b: int) -> bool:
+        """Whether a b-reset batch solves on device (vs the native host
+        solver) under the measured crossover rule — see query()."""
+        if self._native is None or self.backend == "device":
+            return True
+        if self.backend == "native":
+            return False
+        return b * max(len(self._src_host), 1) >= 16_000_000
+
+    def query_topk(
+        self,
+        seed_idx: np.ndarray,
+        seed_w: np.ndarray,
+        prior_idx: np.ndarray,
+        prior_w,
+        k: int,
+        damping: float = 0.5,
+    ):
+        """Device-fused seeds -> PPR -> top-k over ``prior_idx`` nodes
+        (see _ppr_seed_topk). ``prior_w`` may be a device array — the
+        intended use hands the min-maxed DPR scores over without a host
+        bounce. Single-device path only (callers fall back to query() for
+        meshes / host routing). Returns (scores [B, k], positions [B, k])
+        as host numpy, positions indexing into prior_idx order."""
+        device_tol = max(self.tol, 1e-7)
+        k = min(k, int(prior_idx.shape[0]))
+        scores, pos = _ppr_seed_topk(
+            self._src,
+            self._dst,
+            self._rate,
+            self._dangling,
+            jnp.asarray(np.asarray(seed_idx, np.int32)),
+            jnp.asarray(np.asarray(seed_w, np.float32)),
+            jnp.asarray(np.asarray(prior_idx, np.int32)),
+            prior_w if isinstance(prior_w, jax.Array) else jnp.asarray(np.asarray(prior_w, np.float32)),
+            jnp.asarray(damping, jnp.float32),
+            jnp.asarray(device_tol, jnp.float32),
+            self.n_pad,
+            self.max_iters,
+            k,
+        )
+        return np.asarray(scores), np.asarray(pos)
+
     def query(self, resets: np.ndarray, damping: float = 0.5) -> np.ndarray:
         """resets: [B, n_nodes] or [n_nodes] nonnegative; returns PPR scores
         with the same leading shape."""
@@ -214,10 +292,7 @@ class PPRGraph:
         # host solver (fixed ~30ms tunnel round-trip dominates; B=1 @ 10M
         # arcs: 344ms native vs 1571ms device). All 12 sweep points agree
         # with this rule at top-50 ranking agreement 1.0.
-        use_native = self._native is not None and (
-            self.backend == "native"
-            or (self.backend == "auto" and b * max(len(self._src_host), 1) < 16_000_000)
-        )
+        use_native = not self.routes_device(b)
         if use_native:
             out = self._native.ppr(
                 self._src_host,

@@ -148,6 +148,38 @@ def int8_scores(queries: jnp.ndarray, corpus_q: jnp.ndarray, scales: jnp.ndarray
     return scores * scales[None, :]
 
 
+def make_packed_topk_min(k: int, int8: bool = False):
+    """Top-k + per-row masked MIN in one packed [P, 2k+1] buffer.
+
+    The fact-linking path needs only the top ``linking_top_k`` candidates
+    plus the row min/max for min-max normalization (row max = the first
+    top-k score) — downloading the full [P, F] score matrix for that is
+    pure tunnel wire time at 100k+ facts."""
+
+    def _finish(s, n_valid):
+        masked = _mask_padded(s, n_valid)
+        scores, idx = _select_topk(masked, min(k, s.shape[1]), True)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
+        row_min = jnp.min(jnp.where(col_ids < n_valid, s, jnp.inf), axis=1, keepdims=True)
+        packed_scores = jnp.concatenate([scores, row_min], axis=1)
+        bits = jax.lax.bitcast_convert_type(packed_scores.astype(jnp.float32), jnp.int32)
+        return jnp.concatenate([bits, idx.astype(jnp.int32)], axis=1)
+
+    if int8:
+
+        @jax.jit
+        def fn(queries, corpus_q, scales, n_valid):
+            return _finish(int8_scores(queries, corpus_q, scales), n_valid)
+
+    else:
+
+        @jax.jit
+        def fn(queries, corpus, n_valid):
+            return _finish(_score_dot(queries, corpus.T), n_valid)
+
+    return fn
+
+
 def make_packed_int8_topk(k: int, exact: bool = True):
     @jax.jit
     def fn(queries, corpus_q, scales, n_valid):

@@ -19,18 +19,21 @@ path multiplies passage priors by 0.005 regardless of the config default
 
 from __future__ import annotations
 
+import functools
 import json
 import threading
 from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from comorag_tpu.config import ComoConfig
 from comorag_tpu.graph.builder import GraphData
 from comorag_tpu.ops.ppr import PPRGraph
-from comorag_tpu.ops.similarity import min_max_normalize_rows_np
+from comorag_tpu.ops.similarity import min_max_normalize, min_max_normalize_rows_np
 from comorag_tpu.prompts.linking import get_query_instruction
 from comorag_tpu.retrieval.index import MipsIndex
 from comorag_tpu.store.embedding_store import EmbeddingStore
@@ -39,6 +42,26 @@ from comorag_tpu.utils.logging import get_logger
 from comorag_tpu.utils import trace
 
 logger = get_logger(__name__)
+
+
+@functools.partial(jax.jit, static_argnames=("n_valid", "weight"))
+def _dpr_prior_rows(scores_dev, rows, n_valid: int, weight: float):
+    """Min-max normalize the selected rows of a (padded) device score
+    matrix over their first ``n_valid`` columns and scale by the passage
+    prior weight — the device-side twin of min_max_normalize_rows_np so
+    the fused PPR ranking can consume the DPR scores where they live."""
+    sel = scores_dev[rows][:, :n_valid]  # [bsz, n_valid]
+    return min_max_normalize(sel).astype(jnp.float32) * weight
+
+
+def _top_order(scores: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k scores, descending — argpartition + small sort
+    instead of a full argsort (O(N) vs O(N log N) per probe row)."""
+    k = min(k, scores.shape[0])
+    if k <= 0:
+        return np.zeros(0, np.int64)
+    cand = np.argpartition(-scores, k - 1)[:k]
+    return cand[np.argsort(-scores[cand], kind="stable")]
 
 
 @dataclass
@@ -82,6 +105,9 @@ class RetrievalEngine:
         self._query_cache: "OrderedDict[Tuple[str, str], np.ndarray]" = OrderedDict()
         self._query_cache_lock = threading.Lock()
         self._query_cache_max = 4096
+        # test hook: force the full [B, F] fact-score download instead of
+        # the fused top-k+min fetch (parity tests flip this)
+        self._use_fact_compact = True
 
     # ---------------------------------------------------------------- prepare
     def prepare(self) -> None:
@@ -196,12 +222,22 @@ class RetrievalEngine:
         return sorted_ids, sorted_scores
 
     # ------------------------------------------------------------ fact rerank
-    def rerank_facts(self, query: str, scores: np.ndarray) -> Tuple[List[int], List[Tuple[str, str, str]], dict]:
+    def rerank_facts(
+        self,
+        query: str,
+        scores: Optional[np.ndarray] = None,
+        candidates_pre: Optional[Tuple[Sequence[int], Sequence[float]]] = None,
+    ) -> Tuple[List[int], List[Tuple[str, str, str]], dict]:
+        """``candidates_pre`` = (fact indices desc, their normalized scores)
+        from a device-side top-k — skips downloading the full score row."""
         link_top_k = self.config.linking_top_k
-        k = min(link_top_k, len(scores))
-        # partial selection: a full argsort over |facts| per probe is wasted
-        part = np.argpartition(-scores, k - 1)[:k] if k else np.array([], np.int64)
-        candidate_idx = part[np.argsort(-scores[part], kind="stable")].tolist()
+        if candidates_pre is not None:
+            candidate_idx = [int(i) for i in candidates_pre[0]]
+        else:
+            k = min(link_top_k, len(scores))
+            # partial selection: a full argsort over |facts| per probe is wasted
+            part = np.argpartition(-scores, k - 1)[:k] if k else np.array([], np.int64)
+            candidate_idx = part[np.argsort(-scores[part], kind="stable")].tolist()
         candidate_keys = [self.fact_node_keys[i] for i in candidate_idx]
         candidates = []
         for key in candidate_keys:
@@ -225,10 +261,25 @@ class RetrievalEngine:
         top_k_facts: Sequence[Tuple[str, str, str]],
         top_k_fact_indices: Sequence[int],
     ) -> Tuple[np.ndarray, Dict[str, float]]:
-        """Seed entity-node weights from reranked facts
+        """Dense [n_nodes] seed vector built from the sparse pairs."""
+        pairs, used = self._phrase_seed_pairs(fact_score_row, top_k_facts, top_k_fact_indices)
+        phrase_weights = np.zeros(self.graph.n_nodes, np.float64)
+        for node_id, w in pairs:
+            phrase_weights[node_id] = w
+        return phrase_weights, used
+
+    def _phrase_seed_pairs(
+        self,
+        fact_score_row: np.ndarray,
+        top_k_facts: Sequence[Tuple[str, str, str]],
+        top_k_fact_indices: Sequence[int],
+    ) -> Tuple[List[Tuple[int, float]], Dict[str, float]]:
+        """Seed entity-node weights from reranked facts, as sparse
+        (node_id, weight) pairs — ≤ 2 x linking_top_k entries, so the
+        fused device path uploads O(B x S) instead of [B, n_nodes]
         (graph_search_with_fact_entities phrase side, ComoRAG.py:1005-1026)."""
         g = self.graph
-        phrase_weights = np.zeros(g.n_nodes, np.float64)
+        pairs: List[Tuple[int, float]] = []
         linking_score_map: Dict[str, float] = {}
         phrase_scores: Dict[str, List[float]] = {}
         used_phrases: Dict[str, float] = {}
@@ -259,10 +310,10 @@ class RetrievalEngine:
             num_chunks = g.ent_node_to_num_chunk.get(phrase_key, 0)
             if num_chunks:
                 weight /= num_chunks
-            phrase_weights[node_id] = weight
+            pairs.append((int(node_id), float(weight)))
             if weight > 0:
                 used_phrases[phrase] = weight
-        return phrase_weights, used_phrases
+        return pairs, used_phrases
 
     def _passage_priors(self, dpr_norm_row: np.ndarray, passage_node_weight: float) -> np.ndarray:
         """DPR passage priors for one probe's graph seeds
@@ -340,11 +391,20 @@ class RetrievalEngine:
         # round-trip dominates on remote-attached chips).
         with trace.span("retrieve.dispatch"):
             ver_handle = self.ver_index.scores_async(passage_embs)
-            fact_handle = (
-                self.fact_index.scores_async(fact_embs)
-                if self.fact_index is not None and self.ppr is not None
-                else None
+            # candidates + min-max stats in one tiny transfer instead of
+            # the full [B, F] fact-score matrix (72 MB at 282k facts)
+            fact_compact = (
+                self.fact_index is not None
+                and self.fact_index.mesh is None
+                and self._use_fact_compact
             )
+            if self.fact_index is not None and self.ppr is not None:
+                if fact_compact:
+                    fact_handle = self.fact_index.topk_min_async(fact_embs, k=cfg.linking_top_k)
+                else:
+                    fact_handle = self.fact_index.scores_async(fact_embs)
+            else:
+                fact_handle = None
             sem_handle = (
                 self.sem_index.topk_async(passage_embs, k=sem_top_k)
                 if self.sem_index is not None
@@ -363,32 +423,97 @@ class RetrievalEngine:
             dpr_norm = min_max_normalize_rows_np(ver_handle.result())
         sorted_doc_ids: List[Optional[np.ndarray]] = [None] * b
         if fact_handle is not None:
-            score_rows = min_max_normalize_rows_np(fact_handle.result())  # [B, F]
+            with trace.span("retrieve.fact_scores"):
+                if fact_compact:
+                    cand_vals, cand_idx, row_min = fact_handle.result()
+                    # min-max over the full row: max = best candidate,
+                    # min from the fused reduction; all-equal rows -> 1.0
+                    # (min_max_normalize_rows_np semantics)
+                    span = cand_vals[:, 0] - row_min
+                    safe = np.where(span == 0, 1.0, span)[:, None]
+                    cand_norm = np.where(
+                        span[:, None] == 0, 1.0, (cand_vals - row_min[:, None]) / safe
+                    )
+                    score_rows = [
+                        dict(zip(cand_idx[qi].tolist(), cand_norm[qi].tolist()))
+                        for qi in range(b)
+                    ]
+                else:
+                    score_rows = min_max_normalize_rows_np(fact_handle.result())  # [B, F]
+            # Fused device route (single device, batch large enough that
+            # PPR solves on device anyway): sparse seeds go UP, top-k comes
+            # DOWN, and the DPR prior never leaves the chip — at 100k docs
+            # the dense [B, n_nodes] reset upload + [B, n_nodes] rank
+            # download are most of the fan-out's wall time on a
+            # remote-attached chip.
+            use_fused = self.ppr is not None and self.ppr.mesh is None and self.ppr.routes_device(b)
             seeds: List[Tuple[int, np.ndarray]] = []
-            for qi, query in enumerate(queries):
-                top_idx, top_facts, rerank_log = self.rerank_facts(query, score_rows[qi])
-                results[qi].rerank_log = rerank_log
-                if not top_facts:
-                    continue
-                phrase_w, used = self._phrase_weights(score_rows[qi], top_facts, top_idx)
-                node_w = phrase_w + self._passage_priors(dpr_norm[qi], 0.005)
-                if node_w.sum() <= 0:
-                    continue
-                results[qi].linked_phrases = used
-                seeds.append((qi, node_w))
+            seeds_sparse: List[Tuple[int, List[Tuple[int, float]]]] = []
+            with trace.span("retrieve.fact_rerank"):
+                for qi, query in enumerate(queries):
+                    if fact_compact:
+                        row = score_rows[qi]  # dict: fact idx -> normalized score
+                        top_idx, top_facts, rerank_log = self.rerank_facts(
+                            query, candidates_pre=(cand_idx[qi], cand_norm[qi])
+                        )
+                    else:
+                        row = score_rows[qi]
+                        top_idx, top_facts, rerank_log = self.rerank_facts(query, row)
+                    results[qi].rerank_log = rerank_log
+                    if not top_facts:
+                        continue
+                    if use_fused:
+                        pairs, used = self._phrase_seed_pairs(row, top_facts, top_idx)
+                        total = sum(w for _, w in pairs) + float(dpr_norm[qi].sum()) * 0.005
+                        if total <= 0:
+                            continue
+                        results[qi].linked_phrases = used
+                        seeds_sparse.append((qi, pairs))
+                    else:
+                        phrase_w, used = self._phrase_weights(row, top_facts, top_idx)
+                        node_w = phrase_w + self._passage_priors(dpr_norm[qi], 0.005)
+                        if node_w.sum() <= 0:
+                            continue
+                        results[qi].linked_phrases = used
+                        seeds.append((qi, node_w))
+            if seeds_sparse:
+                s_pad = max(8, -(-max(len(p) for _, p in seeds_sparse) // 8) * 8)
+                bsz = len(seeds_sparse)
+                seed_idx = np.zeros((bsz, s_pad), np.int32)
+                seed_w = np.zeros((bsz, s_pad), np.float32)
+                for row, (qi, pairs) in enumerate(seeds_sparse):
+                    for j, (nid, w) in enumerate(pairs):
+                        seed_idx[row, j] = nid
+                        seed_w[row, j] = w
+                dev_scores, _, n_docs = ver_handle.device_scores()
+                rows = np.asarray([qi for qi, _ in seeds_sparse], np.int32)
+                prior = _dpr_prior_rows(dev_scores, rows, n_docs, 0.005)  # [bsz, n_docs] on device
+                with trace.span("retrieve.ppr"):
+                    _, pos = self.ppr.query_topk(
+                        seed_idx, seed_w, self.passage_node_idxs, prior,
+                        ver_top_k, damping=cfg.damping,
+                    )
+                for row, (qi, _) in enumerate(seeds_sparse):
+                    sorted_doc_ids[qi] = pos[row]
             if seeds:
-                resets = np.stack([w for _, w in seeds])
+                # fp32: the device solver computes in fp32 anyway, and the
+                # [B, n_nodes] reset upload is tunnel wire time at scale
+                resets = np.stack([w for _, w in seeds]).astype(np.float32)
                 with trace.span("retrieve.ppr"):
                     ppr_scores = self.ppr.query(resets, damping=cfg.damping)  # ONE batched solve
-                for row, (qi, _) in enumerate(seeds):
-                    doc_scores = ppr_scores[row][self.passage_node_idxs]
-                    sorted_doc_ids[qi] = np.argsort(-doc_scores)
+                with trace.span("retrieve.ppr_rank"):
+                    for row, (qi, _) in enumerate(seeds):
+                        doc_scores = ppr_scores[row][self.passage_node_idxs]
+                        sorted_doc_ids[qi] = _top_order(doc_scores, ver_top_k)
 
         ver_seen = set(pool_hashes.get("veridical", []))
         k_ver = min(ver_top_k, dpr_norm.shape[1]) if dpr_norm.size else 0
-        dpr_top = np.argsort(-dpr_norm, axis=1)[:, :k_ver] if k_ver else np.zeros((b, 0), np.int64)
+        # fallback rows only, partial selection: a full [B, N] argsort is
+        # seconds of host time at 100k chunks x 64 probes
+        dense_rows = [qi for qi in range(b) if sorted_doc_ids[qi] is None]
+        dpr_top = {qi: _top_order(dpr_norm[qi], k_ver) for qi in dense_rows} if k_ver else {}
         for qi in range(b):
-            doc_order = sorted_doc_ids[qi][:ver_top_k] if sorted_doc_ids[qi] is not None else dpr_top[qi]
+            doc_order = sorted_doc_ids[qi][:ver_top_k] if sorted_doc_ids[qi] is not None else dpr_top.get(qi, np.zeros(0, np.int64))
             top_docs = [self.ver_store.get_text(self.passage_node_keys[i]) for i in doc_order]
             # Pool dedup. NOTE: the reference compares store-namespace hashes
             # against node-type-prefixed pool hashes, which never match — its

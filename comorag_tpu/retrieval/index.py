@@ -90,6 +90,26 @@ class TopkHandle:
         return scores, idx
 
 
+class TopkMinHandle:
+    """In-flight top-k + row-min query ([P, 2k+1] packed buffer): the
+    fact-linking fetch (candidates + min-max stats) in ONE transfer."""
+
+    def __init__(self, packed: jax.Array, p: int, k: int):
+        self._packed = packed
+        self._p = p
+        self._k = k
+        _start_host_copy(packed)
+
+    def result(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(scores [P, k] desc, idx [P, k], row_min [P])."""
+        packed = np.asarray(self._packed)
+        k_pad = packed.shape[1] // 2  # layout: k_pad scores, 1 min, k_pad idx
+        scores = packed[:, :k_pad].view(np.float32)[: self._p, : self._k]
+        row_min = packed[:, k_pad : k_pad + 1].view(np.float32)[: self._p, 0]
+        idx = packed[: self._p, k_pad + 1 : k_pad + 1 + self._k].astype(np.int64)
+        return scores, idx, row_min
+
+
 class MipsIndex:
     def __init__(
         self,
@@ -304,6 +324,25 @@ class MipsIndex:
         results.extend(h.result() for h in handles)
         return results
 
+    def topk_min_async(self, queries, k: int) -> "TopkMinHandle":
+        """Top-k + per-row masked min in one packed transfer (fact-linking
+        fetch; see make_packed_topk_min). Single-device path — callers
+        fall back to scores_async when a mesh shards the matrix."""
+        from comorag_tpu.ops.topk import make_packed_topk_min
+
+        q_dev, p = self._prep_queries(queries)
+        k_eff = min(k, self.n)
+        key = ("topk_min", k_eff, self.int8)
+        fn = self._packed_topk_cache.get(key)
+        if fn is None:
+            fn = make_packed_topk_min(k_eff, int8=self.int8)
+            self._packed_topk_cache[key] = fn
+        if self.int8:
+            packed = fn(q_dev, self.corpus, self.scales, self.n_valid)
+        else:
+            packed = fn(q_dev, self.corpus, self.n_valid)
+        return TopkMinHandle(packed, p, k_eff)
+
     # ----------------------------------------------------------- full scores
     def scores_async(self, queries: np.ndarray) -> "ScoresHandle":
         """Launch full [P, N] scoring and start the host copy; returns a
@@ -346,6 +385,12 @@ class ScoresHandle:
         if self._dev is None:
             return np.zeros((self._p, 0), np.float32)
         return np.asarray(self._dev)[: self._p, : self._n]
+
+    def device_scores(self) -> Tuple[Optional[jax.Array], int, int]:
+        """(device buffer [P_pad, N_pad], p, n) WITHOUT forcing the host
+        copy — lets downstream device consumers (the fused PPR ranking)
+        chain off the scores where they already live."""
+        return self._dev, self._p, self._n
 
 
 class _EmptyHandle(TopkHandle):

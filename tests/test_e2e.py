@@ -171,3 +171,46 @@ def test_sixteen_concurrent_questions(rag):
         by_q.setdefault(q, set()).add(s.answer)
     # identical questions must produce identical answers across threads
     assert all(len(v) == 1 for v in by_q.values()), by_q
+
+
+def test_fused_device_route_matches_host_route(rag):
+    """Forcing the fused device PPR route (sparse seeds + device prior +
+    on-device top-k) must return the same veridical ranking as the
+    host/native route the small-graph crossover normally picks."""
+    probes = [
+        "Who did Mara pull from the freezing water?",
+        "What did Tomas forge in the village smithy?",
+    ]
+    baseline = rag.engine.tri_retrieve_batch(probes)
+    ppr = rag.engine.ppr
+    orig = ppr.routes_device
+    try:
+        ppr.routes_device = lambda b: True  # force the fused branch
+        fused = rag.engine.tri_retrieve_batch(probes)
+    finally:
+        ppr.routes_device = orig
+    for base, got in zip(baseline, fused):
+        assert got.veridical == base.veridical
+        assert got.linked_phrases.keys() == base.linked_phrases.keys()
+
+
+def test_compact_fact_fetch_matches_full_scores(rag):
+    """The fused top-k+min fact fetch (one tiny transfer) must produce the
+    same linking, ranking, and rerank logs as downloading the full
+    [B, F] fact-score matrix."""
+    probes = [
+        "Who did Mara pull from the freezing water?",
+        "What did the Harbor Guild offer Mara?",
+    ]
+    compact = rag.engine.tri_retrieve_batch(probes)
+    rag.engine._use_fact_compact = False
+    try:
+        full = rag.engine.tri_retrieve_batch(probes)
+    finally:
+        rag.engine._use_fact_compact = True
+    for c, f in zip(compact, full):
+        assert c.veridical == f.veridical
+        assert c.linked_phrases.keys() == f.linked_phrases.keys()
+        for k in c.linked_phrases:
+            assert abs(c.linked_phrases[k] - f.linked_phrases[k]) < 1e-5
+        assert c.rerank_log["facts_after_rerank"] == f.rerank_log["facts_after_rerank"]

@@ -119,3 +119,39 @@ def test_edge_sharded_ppr_matches_single_device(cpu_mesh):
     out_single = single.query(resets, damping=0.5)
     out_sharded = sharded.query(resets, damping=0.5)
     assert np.abs(out_single - out_sharded).max() < 1e-6
+
+
+def test_fused_query_topk_matches_dense_query():
+    """query_topk (sparse seeds + device prior -> top-k on device) must
+    rank exactly like the dense query() -> slice -> sort flow it fuses."""
+    rng = np.random.default_rng(11)
+    n, e, b, k = 500, 3000, 5, 10
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    w = rng.random(e).astype(np.float32)
+    passage_idxs = np.arange(200, dtype=np.int64)
+
+    g = PPRGraph(src, dst, w, n, max_iters=256, tol=1e-8, backend="device")
+
+    s_pad = 8
+    seed_idx = rng.integers(200, n, (b, s_pad)).astype(np.int32)
+    seed_w = (rng.random((b, s_pad)) * (rng.random((b, s_pad)) > 0.3)).astype(np.float32)
+    prior = (rng.random((b, len(passage_idxs)))).astype(np.float32) * 0.005
+
+    # dense reference flow (what the engine's unfused branch does)
+    resets = np.zeros((b, n), np.float32)
+    for row in range(b):
+        for j in range(s_pad):
+            resets[row, seed_idx[row, j]] += seed_w[row, j]
+    resets[:, passage_idxs] += prior
+    dense = g.query(resets)
+    doc = dense[:, passage_idxs]
+
+    scores, pos = g.query_topk(seed_idx, seed_w, passage_idxs, prior, k=k)
+    for row in range(b):
+        expect = np.sort(doc[row])[::-1][:k]
+        np.testing.assert_allclose(scores[row], expect, rtol=2e-4, atol=1e-9)
+        # positions agree wherever scores are distinct
+        want = set(np.argsort(-doc[row])[:k].tolist())
+        got = set(pos[row].tolist())
+        assert len(want & got) >= k - 1
