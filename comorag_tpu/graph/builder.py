@@ -100,13 +100,20 @@ def _key_blocked_topk(
     blocks of ``key_batch_size`` rows (reference retrieve_knn semantics,
     embed_utils.py:23-95): only one block is device-resident at a time, a
     running host-side merge keeps the global best-k per query."""
+    import jax.numpy as jnp
+
     n = embs.shape[0]
+    # upload the queries ONCE — they are the same multi-GB entity matrix
+    # the blocking exists for, and MipsIndex accepts device-resident
+    # query batches; re-uploading them per key block would multiply the
+    # tunnel wire time by the block count
+    query_batches = [jnp.asarray(q) for q in query_batches]
     run_s: Optional[np.ndarray] = None
     run_i: Optional[np.ndarray] = None
     for start in range(0, n, key_batch_size):
         block = embs[start : start + key_batch_size]
         index = MipsIndex(block)
-        outs = index.topk_many(list(query_batches), k=min(k, block.shape[0]))
+        outs = index.topk_many(query_batches, k=min(k, block.shape[0]))
         s = np.concatenate([np.asarray(o[0]) for o in outs], axis=0)
         i = np.concatenate([np.asarray(o[1]) for o in outs], axis=0).astype(np.int64) + start
         if run_s is None:

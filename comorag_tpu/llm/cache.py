@@ -35,12 +35,16 @@ class ResponseCache:
             )
 
     @staticmethod
-    def make_key(messages, model=None, seed=None, temperature=None) -> str:
-        payload = json.dumps(
-            {"messages": messages, "model": model, "seed": seed, "temperature": temperature},
-            sort_keys=True,
-            default=str,
-        )
+    def make_key(messages, model=None, seed=None, temperature=None, extra=None) -> str:
+        """``extra``: any additional generation parameters that change the
+        response (response_format, n, ...) — a guided-JSON call must never
+        be served a cached free-text response or vice versa."""
+        body = {"messages": messages, "model": model, "seed": seed, "temperature": temperature}
+        if extra:
+            # only when present, so plain-call keys (the overwhelmingly
+            # common case) stay compatible with existing cache files
+            body["extra"] = extra
+        payload = json.dumps(body, sort_keys=True, default=str)
         return hashlib.sha256(payload.encode()).hexdigest()
 
     def get(self, key: str) -> Optional[Tuple[str, Dict[str, Any]]]:

@@ -74,7 +74,10 @@ class OpenAIChatLLM(BaseLLM):
         max_tokens = gen_kwargs.pop("max_completion_tokens", gen_kwargs.pop("max_tokens", self.max_new_tokens))
         key = None
         if self.cache is not None:
-            key = ResponseCache.make_key(messages, self.model, self.seed, temperature)
+            extra = dict(gen_kwargs)
+            if self.n_choices != 1:
+                extra["n"] = self.n_choices
+            key = ResponseCache.make_key(messages, self.model, self.seed, temperature, extra=extra)
             hit = self.cache.get(key)
             if hit is not None:
                 return LLMResponse(text=hit[0], metadata=hit[1], cache_hit=True)

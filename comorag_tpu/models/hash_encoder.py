@@ -35,6 +35,9 @@ class HashEncoder(BaseEncoder):
     def __init__(self, dim: int = 512, seed: int = 0):
         self.dim = dim
         self.seed = seed
+        # a different seed is a different projection space — store
+        # validation must not accept cross-seed vectors
+        self.fingerprint_extra = f"s{seed}"
 
     def _word_vec(self, word: str) -> np.ndarray:
         digest = hashlib.sha256(f"{self.seed}:{word}".encode()).digest()

@@ -440,14 +440,11 @@ class RetrievalEngine:
                     ]
                 else:
                     score_rows = min_max_normalize_rows_np(fact_handle.result())  # [B, F]
-            # Fused device route (single device, batch large enough that
-            # PPR solves on device anyway): sparse seeds go UP, top-k comes
-            # DOWN, and the DPR prior never leaves the chip — at 100k docs
-            # the dense [B, n_nodes] reset upload + [B, n_nodes] rank
-            # download are most of the fan-out's wall time on a
-            # remote-attached chip.
-            use_fused = self.ppr is not None and self.ppr.mesh is None and self.ppr.routes_device(b)
-            seeds: List[Tuple[int, np.ndarray]] = []
+            # Seeds are collected SPARSE for every probe (cheap: <=
+            # 2 x linking_top_k pairs each); the host/device route is
+            # decided AFTERWARDS on the ACTUAL seed batch size — a fan-out
+            # where only one probe links facts must still use the native
+            # host solver the measured crossover picks for B=1.
             seeds_sparse: List[Tuple[int, List[Tuple[int, float]]]] = []
             with trace.span("retrieve.fact_rerank"):
                 for qi, query in enumerate(queries):
@@ -462,21 +459,24 @@ class RetrievalEngine:
                     results[qi].rerank_log = rerank_log
                     if not top_facts:
                         continue
-                    if use_fused:
-                        pairs, used = self._phrase_seed_pairs(row, top_facts, top_idx)
-                        total = sum(w for _, w in pairs) + float(dpr_norm[qi].sum()) * 0.005
-                        if total <= 0:
-                            continue
-                        results[qi].linked_phrases = used
-                        seeds_sparse.append((qi, pairs))
-                    else:
-                        phrase_w, used = self._phrase_weights(row, top_facts, top_idx)
-                        node_w = phrase_w + self._passage_priors(dpr_norm[qi], 0.005)
-                        if node_w.sum() <= 0:
-                            continue
-                        results[qi].linked_phrases = used
-                        seeds.append((qi, node_w))
-            if seeds_sparse:
+                    pairs, used = self._phrase_seed_pairs(row, top_facts, top_idx)
+                    total = sum(w for _, w in pairs) + float(dpr_norm[qi].sum()) * 0.005
+                    if total <= 0:
+                        continue
+                    results[qi].linked_phrases = used
+                    seeds_sparse.append((qi, pairs))
+            # Fused device route (single device, seed batch large enough
+            # that PPR solves on device anyway): sparse seeds go UP, top-k
+            # comes DOWN, and the DPR prior never leaves the chip — at
+            # 100k docs the dense [B, n_nodes] reset upload + [B, n_nodes]
+            # rank download are most of the fan-out's wall time on a
+            # remote-attached chip.
+            use_fused = (
+                seeds_sparse
+                and self.ppr.mesh is None
+                and self.ppr.routes_device(len(seeds_sparse))
+            )
+            if use_fused:
                 s_pad = max(8, -(-max(len(p) for _, p in seeds_sparse) // 8) * 8)
                 bsz = len(seeds_sparse)
                 seed_idx = np.zeros((bsz, s_pad), np.int32)
@@ -495,14 +495,19 @@ class RetrievalEngine:
                     )
                 for row, (qi, _) in enumerate(seeds_sparse):
                     sorted_doc_ids[qi] = pos[row]
-            if seeds:
-                # fp32: the device solver computes in fp32 anyway, and the
-                # [B, n_nodes] reset upload is tunnel wire time at scale
-                resets = np.stack([w for _, w in seeds]).astype(np.float32)
+            elif seeds_sparse:
+                # host/native route: materialize dense resets from the
+                # sparse pairs (fp32 — the device solver computes in fp32
+                # and the native one re-normalizes in float64 anyway)
+                resets = np.zeros((len(seeds_sparse), self.graph.n_nodes), np.float32)
+                for row, (qi, pairs) in enumerate(seeds_sparse):
+                    for nid, w in pairs:
+                        resets[row, nid] = w
+                    resets[row, self.passage_node_idxs] += dpr_norm[qi] * 0.005
                 with trace.span("retrieve.ppr"):
                     ppr_scores = self.ppr.query(resets, damping=cfg.damping)  # ONE batched solve
                 with trace.span("retrieve.ppr_rank"):
-                    for row, (qi, _) in enumerate(seeds):
+                    for row, (qi, _) in enumerate(seeds_sparse):
                         doc_scores = ppr_scores[row][self.passage_node_idxs]
                         sorted_doc_ids[qi] = _top_order(doc_scores, ver_top_k)
 

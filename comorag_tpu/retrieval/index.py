@@ -130,10 +130,16 @@ class MipsIndex:
         self.scan_dtype = scan_dtype if (scan_dtype and dtype == "float32") else None
         self.scan_candidates = scan_candidates
 
+        # a mesh without this index's axis (e.g. a pure data-parallel
+        # encode mesh) means "don't shard the corpus" — not an error
         n_shards = mesh.shape.get(axis, 1) if mesh is not None else 1
         # Sharding tiny layers wastes ICI latency; keep them single-device.
-        self.mesh = mesh if (mesh is not None and self.n >= n_shards * min_rows_per_shard) else None
-        self.n_shards = mesh.shape[axis] if self.mesh is not None else 1
+        self.mesh = (
+            mesh
+            if (mesh is not None and n_shards > 1 and self.n >= n_shards * min_rows_per_shard)
+            else None
+        )
+        self.n_shards = n_shards if self.mesh is not None else 1
         # The Pallas kernel composes with meshes (per-shard scorer) and
         # int8 (pallas_mips_topk_int8), but needs a real TPU backend —
         # tests exercise it via interpret mode / make_sharded_topk directly.

@@ -42,21 +42,27 @@ class EmbeddingStore:
         import pyarrow.parquet as pq
 
         table = pq.read_table(self.path)
-        stored_fp = (table.schema.metadata or {}).get(b"encoder_fingerprint", b"").decode()
-        want_fp = getattr(self.encoder, "fingerprint", "")
-        if want_fp and stored_fp != want_fp:
-            # vectors were produced by a different (or older) embedding
-            # function; scoring new queries against them silently degrades
-            # every ranking — regenerate instead
-            logger.warning(
-                "%s: stored vectors have encoder fingerprint %r but the "
-                "active encoder is %r — discarding and re-encoding",
-                self.path, stored_fp or "<none>", want_fp,
-            )
-            os.remove(self.path)
-            return
         self.hash_ids = table.column("hash_id").to_pylist()
         self.texts = table.column("content").to_pylist()
+        stored_fp = (table.schema.metadata or {}).get(b"encoder_fingerprint", b"").decode()
+        want_fp = getattr(self.encoder, "fingerprint", "")
+        if want_fp and stored_fp != want_fp and self.texts:
+            # vectors were produced by a different (or older) embedding
+            # function; scoring new queries against them silently degrades
+            # every ranking. The TEXTS may be expensive LLM artifacts
+            # (summaries, timeline windows) — keep them, re-encode only.
+            logger.warning(
+                "%s: stored vectors have encoder fingerprint %r but the "
+                "active encoder is %r — re-encoding %d texts",
+                self.path, stored_fp or "<none>", want_fp, len(self.texts),
+            )
+            embs = []
+            for i in range(0, len(self.texts), self.batch_size):
+                embs.append(self.encoder.encode(self.texts[i : i + self.batch_size]))
+            self._matrix = np.concatenate(embs, axis=0).astype(np.float32)
+            self._index = {h: i for i, h in enumerate(self.hash_ids)}
+            self._save()
+            return
         emb_rows = table.column("embedding").to_pylist()
         if emb_rows:
             self._matrix = np.asarray(emb_rows, dtype=np.float32)

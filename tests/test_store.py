@@ -83,23 +83,27 @@ def test_token_budget_truncation():
     assert 1 <= len(kept) < 10
 
 
-def test_store_regenerates_on_encoder_fingerprint_change(tmp_path):
+def test_store_reencodes_on_encoder_fingerprint_change(tmp_path):
     """Vectors from a different/older embedding function must not be mixed
-    with new query encodings — the store discards and re-encodes when the
-    persisted fingerprint doesn't match the active encoder's."""
-    enc = HashEncoder(dim=32)
+    with new query encodings — the store keeps the TEXTS (they may be
+    expensive LLM artifacts) but re-encodes them when the persisted
+    fingerprint doesn't match the active encoder's."""
+    enc = HashEncoder(dim=32, seed=0)
     store = EmbeddingStore(enc, str(tmp_path), batch_size=2, namespace="chunk")
-    store.insert_strings(["a", "b"])
+    store.insert_strings(["alpha beta", "gamma delta"])
+    old_matrix = store.matrix.copy()
 
-    class ChangedEncoder(HashEncoder):
-        encoder_version = HashEncoder.encoder_version + 1
-
-    changed = ChangedEncoder(dim=32)
+    # a different seed is a different projection space (covered by the
+    # fingerprint), so the reload must re-encode, not reuse
+    changed = HashEncoder(dim=32, seed=1)
     store2 = EmbeddingStore(changed, str(tmp_path), batch_size=2, namespace="chunk")
-    assert len(store2) == 0  # stale vectors discarded, not silently reused
-    store2.insert_strings(["a", "b"])
-    assert len(store2) == 2
+    assert store2.get_all_texts() == ["alpha beta", "gamma delta"]  # texts kept
+    assert not np.allclose(store2.matrix, old_matrix)  # vectors regenerated
+    np.testing.assert_allclose(
+        store2.matrix, changed.encode(["alpha beta", "gamma delta"]), atol=1e-6
+    )
 
-    # same fingerprint -> reload keeps everything
+    # matching fingerprint -> plain reload, vectors unchanged
     store3 = EmbeddingStore(changed, str(tmp_path), batch_size=2, namespace="chunk")
     assert len(store3) == 2
+    np.testing.assert_allclose(store3.matrix, store2.matrix, atol=1e-6)
