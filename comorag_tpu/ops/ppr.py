@@ -118,6 +118,38 @@ def _ppr_seed_topk(
     return jax.lax.top_k(doc, k)
 
 
+def make_sharded_ppr_seed_topk(mesh, n_nodes: int, max_iters: int, k: int, axis: str = "corpus"):
+    """Edge-sharded twin of ``_ppr_seed_topk``: arcs shard over ``axis``,
+    each device builds the (replicated) resets from the sparse seeds +
+    dense prior, iterates with one psum per step, and the replicated
+    passage top-k comes back — multi-chip serving keeps the same
+    O(B x S) up / O(B x k) down transfer profile as one chip."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def _local(src, dst, rate, is_dangling, seed_idx, seed_w, prior_idx, prior_w, alpha, tol):
+        b = seed_w.shape[0]
+        rows = jnp.arange(b)[:, None]
+        resets = jnp.zeros((b, n_nodes), jnp.float32)
+        resets = resets.at[rows, seed_idx].add(seed_w)
+        resets = resets.at[:, prior_idx].add(prior_w)
+        resets = jnp.where(jnp.isnan(resets) | (resets < 0), 0.0, resets)
+        sums = resets.sum(axis=1, keepdims=True)
+        resets = resets / jnp.where(sums == 0, 1.0, sums)
+        ranks = _ppr_vmap(src, dst, rate, is_dangling, resets, alpha, tol, n_nodes, max_iters, axis=axis)
+        vals, idx = jax.lax.top_k(ranks[:, prior_idx], k)
+        return vals, idx  # explicit tuple: top_k yields a list here, which trips out_specs
+
+    sharded = shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_sharded_ppr(mesh, n_nodes: int, max_iters: int, axis: str = "corpus"):
     """Edge-sharded batched PPR: the arc list is split across the mesh's
     ``axis``; every device holds the full (replicated) rank vector, does a
@@ -225,6 +257,7 @@ class PPRGraph:
             self._rate = jax.device_put(rate, arc_sharding)
             self._dangling = jax.device_put(is_dangling, replicated)
             self._sharded_fn = make_sharded_ppr(self.mesh, self.n_pad, max_iters, axis)
+            self._sharded_topk_fns = {}
         else:
             self._src = jnp.asarray(src_p)
             self._dst = jnp.asarray(dst_p)
@@ -252,12 +285,13 @@ class PPRGraph:
         """Device-fused seeds -> PPR -> top-k over ``prior_idx`` nodes
         (see _ppr_seed_topk). ``prior_w`` may be a device array — the
         intended use hands the min-maxed DPR scores over without a host
-        bounce. Single-device path only (callers fall back to query() for
-        meshes / host routing). Returns (scores [B, k], positions [B, k])
-        as host numpy, positions indexing into prior_idx order."""
+        bounce. With a mesh, the edge-sharded twin runs (one psum per
+        iteration over ICI) with the same O(B x S) up / O(B x k) down
+        transfer profile. Returns (scores [B, k], positions [B, k]) as
+        host numpy, positions indexing into prior_idx order."""
         device_tol = max(self.tol, 1e-7)
         k = min(k, int(prior_idx.shape[0]))
-        scores, pos = _ppr_seed_topk(
+        args = (
             self._src,
             self._dst,
             self._rate,
@@ -268,10 +302,15 @@ class PPRGraph:
             prior_w if isinstance(prior_w, jax.Array) else jnp.asarray(np.asarray(prior_w, np.float32)),
             jnp.asarray(damping, jnp.float32),
             jnp.asarray(device_tol, jnp.float32),
-            self.n_pad,
-            self.max_iters,
-            k,
         )
+        if self.mesh is not None:
+            fn = self._sharded_topk_fns.get(k)
+            if fn is None:
+                fn = make_sharded_ppr_seed_topk(self.mesh, self.n_pad, self.max_iters, k, self.axis)
+                self._sharded_topk_fns[k] = fn
+            scores, pos = fn(*args)
+        else:
+            scores, pos = _ppr_seed_topk(*args, self.n_pad, self.max_iters, k)
         return np.asarray(scores), np.asarray(pos)
 
     def query(self, resets: np.ndarray, damping: float = 0.5) -> np.ndarray:

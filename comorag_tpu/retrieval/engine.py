@@ -471,11 +471,7 @@ class RetrievalEngine:
             # 100k docs the dense [B, n_nodes] reset upload + [B, n_nodes]
             # rank download are most of the fan-out's wall time on a
             # remote-attached chip.
-            use_fused = (
-                seeds_sparse
-                and self.ppr.mesh is None
-                and self.ppr.routes_device(len(seeds_sparse))
-            )
+            use_fused = bool(seeds_sparse) and self.ppr.routes_device(len(seeds_sparse))
             if use_fused:
                 s_pad = max(8, -(-max(len(p) for _, p in seeds_sparse) // 8) * 8)
                 bsz = len(seeds_sparse)

@@ -155,3 +155,27 @@ def test_fused_query_topk_matches_dense_query():
         want = set(np.argsort(-doc[row])[:k].tolist())
         got = set(pos[row].tolist())
         assert len(want & got) >= k - 1
+
+
+def test_fused_query_topk_sharded_matches_single_device(cpu_mesh):
+    """The edge-sharded fused seed->PPR->top-k must match the single-device
+    fused path exactly (same resets, psum-merged flows)."""
+    rng = np.random.default_rng(13)
+    n, e, b, k = 400, 2400, 4, 8
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    w = rng.random(e).astype(np.float32)
+    passage_idxs = np.arange(150, dtype=np.int64)
+    seed_idx = rng.integers(150, n, (b, 8)).astype(np.int32)
+    seed_w = rng.random((b, 8)).astype(np.float32)
+    prior = rng.random((b, len(passage_idxs))).astype(np.float32) * 0.005
+
+    single = PPRGraph(src, dst, w, n, backend="device", tol=1e-10, max_iters=300)
+    sharded = PPRGraph(src, dst, w, n, backend="device", tol=1e-10, max_iters=300, mesh=cpu_mesh)
+    assert sharded.mesh is not None
+
+    s1, p1 = single.query_topk(seed_idx, seed_w, passage_idxs, prior, k=k)
+    s2, p2 = sharded.query_topk(seed_idx, seed_w, passage_idxs, prior, k=k)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-8)
+    for row in range(b):
+        assert len(set(p1[row]) & set(p2[row])) >= k - 1  # ties may swap
