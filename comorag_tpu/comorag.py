@@ -87,7 +87,7 @@ class ComoRAG:
         self.mesh = mesh
         os.makedirs(self.config.working_dir, exist_ok=True)
 
-        self.llm = llm if llm is not None else get_llm(self.config)
+        self.llm = llm if llm is not None else get_llm(self.config, mesh=mesh)
         self.encoder = encoder if encoder is not None else get_encoder(self.config, mesh=mesh)
         self.prompts = PromptManager()
         self.openie = OpenIE(self.llm, self.prompts, response_format=self.config.response_format)

@@ -81,11 +81,21 @@ class OpenIE:
         # force JSON output on narrative QA answers.
         self._gen_kwargs = {"response_format": response_format} if response_format else {}
 
+    def _stage_kwargs(self, template: str) -> dict:
+        """Per-stage gen kwargs: in-process engines that can constrain
+        decoding (JaxOfflineLLM.supports_guided_json) get the stage's JSON
+        schema — the counterpart of the reference's guided-JSON OpenIE
+        (openie_vllm_offline.py:20-77)."""
+        kw = dict(self._gen_kwargs)
+        if getattr(self.llm, "supports_guided_json", False):
+            kw["json_template"] = template
+        return kw
+
     # -------------------------------------------------------------- stages
     def ner(self, chunk_id: str, passage: str) -> NerResult:
         messages = self.prompts.render("ner", passage=passage)
         try:
-            resp = self.llm.infer(messages, **self._gen_kwargs)
+            resp = self.llm.infer(messages, **self._stage_kwargs("ner"))
         except Exception as e:  # noqa: BLE001
             logger.warning("NER failed for %s: %s", chunk_id, e)
             return NerResult(chunk_id, "", [], {"error": str(e)})
@@ -104,7 +114,7 @@ class OpenIE:
             named_entity_json=json.dumps({"named_entities": list(entities)}),
         )
         try:
-            resp = self.llm.infer(messages, **self._gen_kwargs)
+            resp = self.llm.infer(messages, **self._stage_kwargs("triples"))
         except Exception as e:  # noqa: BLE001
             logger.warning("Triple extraction failed for %s: %s", chunk_id, e)
             return TripleResult(chunk_id, "", [], {"error": str(e)})
@@ -124,7 +134,7 @@ class OpenIE:
         ids = list(chunks.keys())
 
         ner_batch = [self.prompts.render("ner", passage=chunks[cid]) for cid in ids]
-        ner_raw = self.llm.batch_infer(ner_batch, **self._gen_kwargs)
+        ner_raw = self.llm.batch_infer(ner_batch, **self._stage_kwargs("ner"))
         ner_results: Dict[str, NerResult] = {}
         for cid, resp in zip(ids, ner_raw):
             text = repair_json(resp.text) if resp.metadata.get("finish_reason") == "length" else resp.text
@@ -139,7 +149,7 @@ class OpenIE:
             )
             for cid in ids
         ]
-        triple_raw = self.llm.batch_infer(triple_batch, **self._gen_kwargs)
+        triple_raw = self.llm.batch_infer(triple_batch, **self._stage_kwargs("triples"))
         triple_results: Dict[str, TripleResult] = {}
         for cid, resp in zip(ids, triple_raw):
             text = repair_json(resp.text) if resp.metadata.get("finish_reason") == "length" else resp.text

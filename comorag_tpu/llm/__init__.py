@@ -3,11 +3,33 @@ from comorag_tpu.llm.fake import FakeLLM
 from comorag_tpu.llm.openai_client import OpenAIChatLLM
 
 
-def get_llm(config) -> BaseLLM:
+def get_llm(config, mesh=None) -> BaseLLM:
     """LLM factory (reference counterpart: llm/__init__.py:12-15, which
-    always returns CacheOpenAI). 'fake' routes to the hermetic test LLM."""
-    if config.llm_name == "fake" or str(config.llm_name).startswith("fake:"):
+    always returns CacheOpenAI; the vLLM engine is selected by a separate
+    main, main_vllm.py:10-95). Routes:
+
+      - ``fake`` / ``fake:*``       -> hermetic scripted test LLM
+      - ``jax-offline``             -> in-process TPU engine, hermetic tiny
+                                       weights (tests/benches/dryruns)
+      - ``jax:<local checkpoint>``  -> in-process TPU engine on a local
+                                       llama-family checkpoint, optionally
+                                       tensor-parallel over ``mesh``
+      - anything else              -> OpenAI-compatible HTTP client
+    """
+    name = str(config.llm_name)
+    if name == "fake" or name.startswith("fake:"):
         return FakeLLM()
+    if name == "jax-offline" or name.startswith("jax:"):
+        from comorag_tpu.llm.jax_offline import JaxOfflineLLM
+
+        path = name[len("jax:"):] or None if name.startswith("jax:") else None
+        return JaxOfflineLLM(
+            model_name_or_path=path,
+            mesh=mesh,
+            temperature=getattr(config, "temperature", 0.0) or 0.0,
+            max_new_tokens=getattr(config, "max_new_tokens", 2048) or 2048,
+            seed=getattr(config, "seed", 0) or 0,
+        )
     return OpenAIChatLLM.from_config(config)
 
 

@@ -1,0 +1,298 @@
+"""Offline (in-process) LLM generation on TPU — the reference's
+``VLLMOffline`` counterpart (llm/vllm_offline.py:26-97), rebuilt TPU-native.
+
+Where the reference wraps the vLLM CUDA engine (tensor_parallel_size /
+pipeline_parallel_size ints, guided JSON via ``guided_options_request``),
+this engine IS the model: a pure-JAX llama-class decoder
+(models/decoder.py) with
+
+  - real batched generation: one prefill + one ``lax.while_loop`` decode
+    per batch (prompt lengths bucketed so the jit cache stays small);
+  - guided-JSON decoding compiled to a DFA token table and applied ON
+    DEVICE per step (llm/guided.py) — ``batch_infer(json_template=...)``
+    keeps the reference's exact call signature semantics
+    (vllm_offline.py:77-97);
+  - tensor parallelism as mesh shardings (models/decoder.py
+    ``param_shardings``), not engine config ints;
+  - a hermetic byte-level tokenizer + minimal chat template so the whole
+    engine runs with zero egress (random weights), while
+    ``model_name_or_path`` loads a real local llama checkpoint + HF
+    tokenizer via ``load_hf_decoder_checkpoint``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from comorag_tpu.llm.base import BaseLLM, LLMResponse, Messages
+from comorag_tpu.llm.guided import JSON_TEMPLATES, compile_json_schema, make_token_table
+from comorag_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+class ByteTokenizer:
+    """Hermetic byte-level tokenizer: ids 0..255 are raw bytes, plus
+    PAD/BOS/EOS specials. Guided decoding over this vocab degenerates to
+    the byte DFA itself — the exact-constraint fast path."""
+
+    pad_token_id = 256
+    bos_token_id = 257
+    eos_token_id = 258
+    vocab_size = 259
+
+    def encode(self, text: str) -> List[int]:
+        return list(text.encode("utf-8"))
+
+    def decode(self, ids: Sequence[int]) -> str:
+        data = bytes(i for i in ids if 0 <= i < 256)
+        return data.decode("utf-8", errors="replace")
+
+    def token_bytes(self) -> List[Optional[bytes]]:
+        return [bytes([i]) for i in range(256)] + [None, None, None]
+
+
+def render_chat(messages: Messages) -> str:
+    """Minimal chat template (the reference delegates to
+    ``tokenizer.apply_chat_template``, vllm_offline.py:14-25; a byte-level
+    model has no pretrained template, so the framing is explicit)."""
+    parts = []
+    for m in messages:
+        parts.append(f"### {m['role'].capitalize()}:\n{m['content']}\n\n")
+    parts.append("### Assistant:\n")
+    return "".join(parts)
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+_PROMPT_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32)
+_NEW_TOKEN_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+
+
+class JaxOfflineLLM(BaseLLM):
+    """In-process TPU generation engine with the BaseLLM interface."""
+
+    # OpenIE passes json_template="ner"/"triples" when the client can
+    # constrain decoding (the reference's guided path, vllm_offline.py:77-86)
+    supports_guided_json = True
+
+    def __init__(
+        self,
+        model_name_or_path: Optional[str] = None,
+        params: Optional[Dict[str, Any]] = None,
+        arch=None,
+        tokenizer=None,
+        mesh=None,
+        max_model_len: int = 4096,
+        max_new_tokens: int = 2048,
+        temperature: float = 0.0,
+        seed: int = 0,
+        compute_dtype=jnp.float32,
+    ):
+        from comorag_tpu.models.decoder import (
+            DecoderArch,
+            init_params,
+            load_hf_decoder_checkpoint,
+            param_shardings,
+        )
+
+        if model_name_or_path is not None:
+            params, arch = load_hf_decoder_checkpoint(model_name_or_path)
+            if tokenizer is None:
+                from transformers import AutoTokenizer
+
+                tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+        elif params is None or arch is None:
+            # hermetic engine: tiny random weights, byte vocab — used by
+            # tests, benches, and the offline-OpenIE dryrun path
+            arch = arch or DecoderArch.tiny()
+            params = init_params(jax.random.PRNGKey(seed), arch)
+
+        self.arch = arch
+        self.tokenizer = tokenizer or ByteTokenizer()
+        self.mesh = mesh
+        self.max_model_len = min(max_model_len, arch.max_seq_len)
+        self.max_new_tokens = max_new_tokens
+        self.temperature = temperature
+        self.compute_dtype = compute_dtype
+        self._rng = jax.random.PRNGKey(seed)
+        self._token_tables: Dict[str, jnp.ndarray] = {}
+
+        if mesh is not None and "model" in getattr(mesh, "shape", {}):
+            shardings = param_shardings(mesh)
+            params = jax.tree.map(
+                lambda p, s: jax.device_put(p, s), params, shardings
+            )
+        self.params = params
+
+        from comorag_tpu.models.decoder import generate
+
+        self._generate = jax.jit(
+            generate,
+            static_argnames=(
+                "arch", "max_new_tokens", "eos_id", "pad_id", "temperature",
+                "compute_dtype",
+            ),
+        )
+
+    # ----------------------------------------------------------- tokenizer
+    def _ids(self, text: str) -> List[int]:
+        tok = self.tokenizer
+        if isinstance(tok, ByteTokenizer):
+            return [tok.bos_token_id] + tok.encode(text)
+        return tok(text, add_special_tokens=True)["input_ids"]
+
+    def _special_ids(self):
+        tok = self.tokenizer
+        pad = getattr(tok, "pad_token_id", None)
+        eos = getattr(tok, "eos_token_id", None)
+        if pad is None:
+            pad = eos
+        return int(pad), int(eos)
+
+    def _decode_ids(self, ids: Sequence[int]) -> str:
+        tok = self.tokenizer
+        if isinstance(tok, ByteTokenizer):
+            return tok.decode(ids)
+        return tok.decode(ids, skip_special_tokens=True)
+
+    def _token_table(self, template: str) -> jnp.ndarray:
+        if template not in self._token_tables:
+            if template not in JSON_TEMPLATES:
+                raise KeyError(
+                    f"unknown json_template {template!r}; have {sorted(JSON_TEMPLATES)}"
+                )
+            dfa = compile_json_schema(JSON_TEMPLATES[template])
+            tok = self.tokenizer
+            if isinstance(tok, ByteTokenizer):
+                token_bytes = tok.token_bytes()
+            else:
+                token_bytes = [
+                    tok.convert_tokens_to_string([tok.convert_ids_to_tokens(i)]).encode("utf-8")
+                    for i in range(tok.vocab_size)
+                ]
+            _, eos = self._special_ids()
+            table = make_token_table(dfa, token_bytes, eos_token_id=eos)
+            self._token_tables[template] = jnp.asarray(table)
+        return self._token_tables[template]
+
+    # ------------------------------------------------------------ generate
+    def _generate_batch(
+        self,
+        prompts: List[str],
+        max_tokens: int,
+        json_template: Optional[str],
+        temperature: Optional[float],
+    ) -> List[LLMResponse]:
+        pad, eos = self._special_ids()
+        temp = self.temperature if temperature is None else float(temperature)
+        requested = min(max_tokens, self.max_new_tokens)
+        max_new = _bucket(requested, _NEW_TOKEN_BUCKETS)
+
+        id_rows = [self._ids(p) for p in prompts]
+        limit = self.max_model_len - max_new
+        id_rows = [r[-limit:] if len(r) > limit else r for r in id_rows]
+        p_len = _bucket(max(len(r) for r in id_rows), _PROMPT_BUCKETS)
+        p_len = min(p_len, limit)
+        b = _bucket(len(id_rows), _BATCH_BUCKETS)
+
+        ids = np.full((b, p_len), pad, np.int32)
+        mask = np.zeros((b, p_len), np.int32)
+        for i, row in enumerate(id_rows):
+            row = row[-p_len:]
+            ids[i, p_len - len(row):] = row  # LEFT padding (decoder.py contract)
+            mask[i, p_len - len(row):] = 1
+        mask[len(id_rows):, -1] = 1  # batch-pad rows: one valid slot
+
+        table = self._token_table(json_template) if json_template else None
+        self._rng, sub = jax.random.split(self._rng)
+        result = self._generate(
+            self.params,
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+            arch=self.arch,
+            max_new_tokens=max_new,
+            eos_id=eos,
+            pad_id=pad,
+            temperature=temp,
+            rng=sub,
+            token_table=table,
+            limit=jnp.int32(requested),
+            compute_dtype=self.compute_dtype,
+        )
+        tokens = np.asarray(result.tokens)
+        lengths = np.asarray(result.lengths)
+
+        out = []
+        for i, row in enumerate(id_rows):
+            n = int(lengths[i])
+            raw = tokens[i, :n].tolist()
+            stopped = eos in raw or n < requested
+            toks = [t for t in raw if t != eos]
+            text = self._decode_ids(toks)
+            out.append(
+                LLMResponse(
+                    text=text,
+                    metadata={
+                        "prompt_tokens": len(row),
+                        "completion_tokens": n,
+                        "finish_reason": "stop" if stopped else "length",
+                    },
+                )
+            )
+        return out
+
+    # ---------------------------------------------------------- interface
+    def infer(self, messages: Messages, **gen_kwargs) -> LLMResponse:
+        return self._generate_batch(
+            [render_chat(messages)],
+            max_tokens=int(gen_kwargs.get("max_tokens", self.max_new_tokens)),
+            json_template=gen_kwargs.get("json_template"),
+            temperature=gen_kwargs.get("temperature"),
+        )[0]
+
+    def batch_infer(self, batch: Sequence[Messages], **gen_kwargs) -> List[LLMResponse]:
+        """REAL batched decoding (one device program per prompt-length
+        bucket), not a thread fan-out: groups prompts by padded length so
+        short and long prompts don't share one worst-case grid."""
+        if not batch:
+            return []
+        prompts = [render_chat(m) for m in batch]
+        max_tokens = int(gen_kwargs.get("max_tokens", self.max_new_tokens))
+        template = gen_kwargs.get("json_template")
+        temperature = gen_kwargs.get("temperature")
+
+        groups: Dict[int, List[int]] = {}
+        lens = [len(self._ids(p)) for p in prompts]
+        for i, n in enumerate(lens):
+            groups.setdefault(_bucket(n, _PROMPT_BUCKETS), []).append(i)
+
+        results: List[Optional[LLMResponse]] = [None] * len(prompts)
+        for _, idxs in sorted(groups.items()):
+            max_b = _BATCH_BUCKETS[-1]
+            for j in range(0, len(idxs), max_b):
+                chunk = idxs[j : j + max_b]
+                try:
+                    rs = self._generate_batch(
+                        [prompts[i] for i in chunk], max_tokens, template, temperature
+                    )
+                except Exception as e:  # noqa: BLE001 — per-chunk isolation
+                    logger.warning("offline generation chunk failed: %s", e)
+                    rs = [
+                        LLMResponse(text="", metadata={"error": str(e), "finish_reason": "error"})
+                        for _ in chunk
+                    ]
+                for i, r in zip(chunk, rs):
+                    results[i] = r
+        return results  # type: ignore[return-value]

@@ -1,0 +1,377 @@
+"""Llama-class decoder-only LM, implemented natively in JAX.
+
+TPU-native counterpart of the reference's offline generation engine
+(llm/vllm_offline.py:26-97: vLLM LLM wrapper with tensor/pipeline
+parallel ints and guided-JSON decoding). Instead of wrapping an external
+CUDA engine, the model itself is JAX:
+
+  - RMSNorm + RoPE + grouped-query attention + SwiGLU (the llama lineage
+    vLLM defaults to, `meta-llama/Llama-3.3-70B-Instruct`);
+  - ONE stacked parameter pytree ([L, ...] per weight) so the layer stack
+    runs as ``lax.scan`` — single compile, MXU-friendly;
+  - a static-shape KV cache carried through ``lax.while_loop`` decoding
+    (no dynamic shapes anywhere, every step is one fused device program);
+  - batched generation with LEFT-padded prompts so every row's last
+    prompt token sits at the same slot (one gather, uniform cache writes);
+  - optional per-step token masking hook — the guided-JSON decoder
+    (llm/guided.py) feeds a DFA transition table and generation is
+    constrained on device, the TPU equivalent of vLLM's
+    ``guided_options_request`` (vllm_offline.py:77-86);
+  - tensor-parallel parameter shardings over a mesh ``model`` axis
+    (vLLM's ``tensor_parallel_size`` int, vllm_offline.py:37-45, becomes
+    real ``NamedSharding``s — XLA inserts the collectives);
+  - weight import from a local HuggingFace llama-family checkpoint
+    (``load_hf_decoder_checkpoint``), torch used only at load time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from comorag_tpu.utils.jaxcache import ensure_compile_cache
+
+ensure_compile_cache()
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderArch:
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    num_layers: int = 16
+    num_heads: int = 16
+    num_kv_heads: int = 16
+    intermediate_size: int = 5632
+    max_seq_len: int = 4096
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-5
+    tie_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 259) -> "DecoderArch":
+        """Byte-vocab test/CI shape (259 = ByteTokenizer vocab)."""
+        return cls(
+            vocab_size=vocab_size,
+            hidden_size=64,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=2,
+            intermediate_size=128,
+            max_seq_len=512,
+        )
+
+
+# ------------------------------------------------------------------- params
+def init_params(key: jax.Array, arch: DecoderArch) -> Dict[str, Any]:
+    h, i, l = arch.hidden_size, arch.intermediate_size, arch.num_layers
+    q_dim = arch.num_heads * arch.head_dim
+    kv_dim = arch.num_kv_heads * arch.head_dim
+    keys = jax.random.split(key, 8)
+    scale = 0.02
+
+    def norm(k, shape):
+        return jax.random.normal(k, shape, jnp.float32) * scale
+
+    params = {
+        "embed": norm(keys[0], (arch.vocab_size, h)),
+        "layers": {
+            "attn_norm": jnp.ones((l, h)),
+            "q_w": norm(keys[1], (l, h, q_dim)),
+            "k_w": norm(keys[2], (l, h, kv_dim)),
+            "v_w": norm(keys[3], (l, h, kv_dim)),
+            "o_w": norm(keys[4], (l, q_dim, h)),
+            "ffn_norm": jnp.ones((l, h)),
+            "gate_w": norm(keys[5], (l, h, i)),
+            "up_w": norm(keys[6], (l, h, i)),
+            "down_w": norm(keys[7], (l, i, h)),
+        },
+        "final_norm": jnp.ones((h,)),
+    }
+    if not arch.tie_embeddings:
+        params["lm_head"] = norm(jax.random.fold_in(keys[0], 1), (h, arch.vocab_size))
+    return params
+
+
+def param_shardings(mesh, tp_axis: str = "model"):
+    """Tensor-parallel NamedShardings (megatron split): q/k/v/gate/up on
+    their head/intermediate output dim, o/down on their input dim; norms,
+    embeddings and lm_head replicated. XLA inserts the all-reduces."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def ns(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    return {
+        "embed": ns(None, None),
+        "layers": {
+            "attn_norm": ns(None, None),
+            "q_w": ns(None, None, tp_axis),
+            "k_w": ns(None, None, tp_axis),
+            "v_w": ns(None, None, tp_axis),
+            "o_w": ns(None, tp_axis, None),
+            "ffn_norm": ns(None, None),
+            "gate_w": ns(None, None, tp_axis),
+            "up_w": ns(None, None, tp_axis),
+            "down_w": ns(None, tp_axis, None),
+        },
+        "final_norm": ns(None),
+        "lm_head": ns(None, None),
+    }
+
+
+# ------------------------------------------------------------------ forward
+def _rms_norm(x, scale, eps):
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * scale.astype(x.dtype)
+
+
+def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """HF-convention rotary embedding (half-split rotate, not interleaved).
+
+    x: [B, S, heads, head_dim]; positions: [B, S] int32.
+    """
+    hd = x.shape[-1]
+    freqs = 1.0 / (theta ** (jnp.arange(0, hd // 2, dtype=jnp.float32) * 2.0 / hd))
+    angles = positions[..., None].astype(jnp.float32) * freqs  # [B, S, hd/2]
+    cos = jnp.cos(angles)[:, :, None, :].astype(x.dtype)
+    sin = jnp.sin(angles)[:, :, None, :].astype(x.dtype)
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # [L, B, T, kv_heads, head_dim]
+    v: jnp.ndarray  # [L, B, T, kv_heads, head_dim]
+
+    @classmethod
+    def zeros(cls, arch: DecoderArch, batch: int, max_len: int, dtype=jnp.float32):
+        shape = (arch.num_layers, batch, max_len, arch.num_kv_heads, arch.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def decoder_forward(
+    params: Dict[str, Any],
+    input_ids: jnp.ndarray,      # [B, S] int32
+    positions: jnp.ndarray,      # [B, S] int32 (cache slot index per token)
+    attn_mask: jnp.ndarray,      # [B, S, T] bool: query token -> cache slot visibility
+    cache: KVCache,
+    write_index: jnp.ndarray,    # scalar int32: slot where this chunk starts
+    arch: DecoderArch,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One forward chunk (prefill S=P or decode S=1) against a static-shape
+    KV cache of T slots. Returns logits [B, S, V] and the updated cache.
+
+    The same program serves prefill and decode — only S differs, so the
+    jit cache holds exactly two programs per (B, T) shape. All control
+    flow is static; the chunk is written into the cache at ``write_index``
+    via a dynamic_update_slice (contiguous because prompts are
+    LEFT-padded: every row's chunk occupies the same slots).
+    """
+    b, s = input_ids.shape
+    heads, kv_heads, hd = arch.num_heads, arch.num_kv_heads, arch.head_dim
+    groups = heads // kv_heads
+
+    x = params["embed"][input_ids].astype(compute_dtype)
+    mask_bias = jnp.where(attn_mask, 0.0, -1e30).astype(jnp.float32)  # [B, S, T]
+
+    def one_layer(carry, layer_in):
+        x = carry
+        layer, k_cache, v_cache = layer_in
+
+        def dot(inp, w):
+            return jnp.dot(inp, w.astype(compute_dtype), preferred_element_type=compute_dtype)
+
+        xn = _rms_norm(x, layer["attn_norm"], arch.rms_norm_eps)
+        q = dot(xn, layer["q_w"]).reshape(b, s, heads, hd)
+        k = dot(xn, layer["k_w"]).reshape(b, s, kv_heads, hd)
+        v = dot(xn, layer["v_w"]).reshape(b, s, kv_heads, hd)
+        q = _rope(q, positions, arch.rope_theta)
+        k = _rope(k, positions, arch.rope_theta)
+
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, write_index, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, write_index, 0, 0))
+
+        # GQA: expand kv heads to query heads via a reshape-free gather
+        kq = jnp.repeat(k_cache, groups, axis=2)  # [B, T, heads, hd]
+        vq = jnp.repeat(v_cache, groups, axis=2)
+        scores = jnp.einsum("bshd,bthd->bhst", q, kq, preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(float(hd)) + mask_bias[:, None, :, :]
+        probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
+        ctx = jnp.einsum("bhst,bthd->bshd", probs, vq, preferred_element_type=compute_dtype)
+        attn_out = dot(ctx.reshape(b, s, heads * hd), layer["o_w"])
+        x = x + attn_out
+
+        xn = _rms_norm(x, layer["ffn_norm"], arch.rms_norm_eps)
+        gate = jax.nn.silu(dot(xn, layer["gate_w"]))
+        ffn = dot(gate * dot(xn, layer["up_w"]), layer["down_w"])
+        x = x + ffn
+        return x, (k_cache, v_cache)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        one_layer, x, (params["layers"], cache.k, cache.v)
+    )
+    x = _rms_norm(x, params["final_norm"], arch.rms_norm_eps)
+    head = params["embed"].T if arch.tie_embeddings else params["lm_head"]
+    logits = jnp.dot(
+        x.astype(jnp.float32), head.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return logits, KVCache(new_k, new_v)
+
+
+# ----------------------------------------------------------------- generate
+class GenerateResult(NamedTuple):
+    tokens: jnp.ndarray   # [B, max_new_tokens] int32, pad_id after EOS
+    lengths: jnp.ndarray  # [B] int32: emitted tokens incl. EOS
+
+
+def generate(
+    params: Dict[str, Any],
+    input_ids: jnp.ndarray,   # [B, P] int32, LEFT-padded with pad_id
+    prompt_mask: jnp.ndarray, # [B, P] int32/bool, 1 on real prompt tokens
+    arch: DecoderArch,
+    max_new_tokens: int,
+    eos_id: int,
+    pad_id: int,
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    token_table: Optional[jnp.ndarray] = None,  # [S, V] int32 DFA, -1 = forbidden
+    limit: Optional[jnp.ndarray] = None,  # dynamic step cap <= max_new_tokens
+    compute_dtype=jnp.float32,
+) -> GenerateResult:
+    """Batched constrained generation: prefill once, then a
+    ``lax.while_loop`` of single-token steps against the static KV cache,
+    exiting as soon as every row has emitted EOS.
+
+    With ``token_table`` (llm/guided.py), each step masks the logits to
+    the DFA's allowed transitions and advances the per-row automaton
+    state — vLLM's guided-JSON capability (vllm_offline.py:77-86) run
+    entirely on device.
+    """
+    b, p = input_ids.shape
+    total = p + max_new_tokens
+    cache = KVCache.zeros(arch, b, total, compute_dtype)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    valid = prompt_mask.astype(bool)  # [B, P]
+    positions = jnp.tile(jnp.arange(p, dtype=jnp.int32)[None, :], (b, 1))
+    # prefill: causal within the prompt, pads invisible
+    causal = jnp.tril(jnp.ones((p, p), bool))
+    attn = causal[None, :, :] & valid[:, None, :]
+    attn = jnp.pad(attn, ((0, 0), (0, 0), (0, max_new_tokens)))
+    logits, cache = decoder_forward(
+        params, input_ids, positions, attn, cache, jnp.int32(0), arch, compute_dtype
+    )
+    last_logits = logits[:, -1, :]  # left-padded: slot P-1 is the last prompt token
+
+    slot_valid0 = jnp.pad(valid, ((0, 0), (0, max_new_tokens)))  # [B, total]
+
+    def sample(logits, state, key):
+        if token_table is not None:
+            allowed = token_table[state] >= 0  # [B, V]
+            logits = jnp.where(allowed, logits, -jnp.inf)
+        if temperature > 0.0:
+            tok = jax.random.categorical(key, logits / temperature, axis=-1)
+        else:
+            tok = jnp.argmax(logits, axis=-1)
+        return tok.astype(jnp.int32)
+
+    # max_new_tokens is the STATIC buffer size (jit-cache key); ``limit``
+    # dynamically caps steps so one compiled program serves every smaller
+    # max_tokens request.
+    step_cap = jnp.int32(max_new_tokens) if limit is None else jnp.minimum(
+        jnp.asarray(limit, jnp.int32), max_new_tokens
+    )
+
+    def cond(state):
+        i, _, _, done, _, _, _, _ = state
+        return (i < step_cap) & ~jnp.all(done)
+
+    def body(state):
+        i, cache, logits, done, dfa, key, out, slot_valid = state
+        key, sub = jax.random.split(key)
+        tok = sample(logits, dfa, sub)
+        tok = jnp.where(done, pad_id, tok)
+        emitted = ~done
+        done = done | (tok == eos_id)
+        if token_table is not None:
+            nxt = token_table[dfa, tok]
+            dfa = jnp.where(emitted, jnp.maximum(nxt, 0), dfa)
+        out = out.at[:, i].set(jnp.where(emitted, tok, pad_id))
+        slot_valid = slot_valid.at[:, p + i].set(emitted)
+
+        pos = jnp.full((b, 1), p + i, jnp.int32)
+        attn = slot_valid[:, None, :]  # decode token sees all valid slots + itself
+        logits, cache = decoder_forward(
+            params, tok[:, None], pos, attn, cache, p + i, arch, compute_dtype
+        )
+        return (i + 1, cache, logits[:, 0, :], done, dfa, key, out, slot_valid)
+
+    out0 = jnp.full((b, max_new_tokens), pad_id, jnp.int32)
+    done0 = jnp.zeros((b,), bool)
+    dfa0 = jnp.zeros((b,), jnp.int32)
+    init = (jnp.int32(0), cache, last_logits, done0, dfa0, rng, out0, slot_valid0)
+    _, _, _, _, _, _, out, slot_valid = jax.lax.while_loop(cond, body, init)
+    lengths = jnp.sum(slot_valid[:, p:].astype(jnp.int32), axis=1)
+    return GenerateResult(out, lengths)
+
+
+# ------------------------------------------------------- HF weight conversion
+def load_hf_decoder_checkpoint(model_name_or_path: str) -> Tuple[Dict[str, Any], DecoderArch]:
+    """Convert a local HuggingFace llama-family causal-LM checkpoint into
+    this module's parameter tree. Torch (CPU) is used only at load time —
+    the reference's engine keeps torch in the serving path
+    (vllm_offline.py:2), ours does not."""
+    import numpy as np
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    hf_config = AutoConfig.from_pretrained(model_name_or_path)
+    model = AutoModelForCausalLM.from_pretrained(model_name_or_path)
+    state = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+
+    arch = DecoderArch(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=hf_config.hidden_size,
+        num_layers=hf_config.num_hidden_layers,
+        num_heads=hf_config.num_attention_heads,
+        num_kv_heads=getattr(hf_config, "num_key_value_heads", hf_config.num_attention_heads),
+        intermediate_size=hf_config.intermediate_size,
+        max_seq_len=hf_config.max_position_embeddings,
+        rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+        rms_norm_eps=hf_config.rms_norm_eps,
+        tie_embeddings=bool(getattr(hf_config, "tie_word_embeddings", False)),
+    )
+
+    def stack(fmt, transpose=True):
+        mats = [state[fmt.format(i)] for i in range(arch.num_layers)]
+        return jnp.asarray(np.stack([m.T if transpose else m for m in mats]))
+
+    prefix = "model.layers.{}."
+    params = {
+        "embed": jnp.asarray(state["model.embed_tokens.weight"]),
+        "layers": {
+            "attn_norm": stack(prefix + "input_layernorm.weight", transpose=False),
+            "q_w": stack(prefix + "self_attn.q_proj.weight"),
+            "k_w": stack(prefix + "self_attn.k_proj.weight"),
+            "v_w": stack(prefix + "self_attn.v_proj.weight"),
+            "o_w": stack(prefix + "self_attn.o_proj.weight"),
+            "ffn_norm": stack(prefix + "post_attention_layernorm.weight", transpose=False),
+            "gate_w": stack(prefix + "mlp.gate_proj.weight"),
+            "up_w": stack(prefix + "mlp.up_proj.weight"),
+            "down_w": stack(prefix + "mlp.down_proj.weight"),
+        },
+        "final_norm": jnp.asarray(state["model.norm.weight"]),
+    }
+    if not arch.tie_embeddings:
+        params["lm_head"] = jnp.asarray(state["lm_head.weight"].T)
+    return params, arch
