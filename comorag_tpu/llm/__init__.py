@@ -22,13 +22,18 @@ def get_llm(config, mesh=None) -> BaseLLM:
     if name == "jax-offline" or name.startswith("jax:"):
         from comorag_tpu.llm.jax_offline import JaxOfflineLLM
 
+        import jax.numpy as jnp
+
         path = name[len("jax:"):] or None if name.startswith("jax:") else None
+        bf16 = getattr(config, "compute_dtype", "float32") == "bfloat16"
         return JaxOfflineLLM(
             model_name_or_path=path,
             mesh=mesh,
             temperature=getattr(config, "temperature", 0.0) or 0.0,
             max_new_tokens=getattr(config, "max_new_tokens", 2048) or 2048,
             seed=getattr(config, "seed", 0) or 0,
+            compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
+            param_dtype=jnp.bfloat16 if bf16 else None,
         )
     return OpenAIChatLLM.from_config(config)
 

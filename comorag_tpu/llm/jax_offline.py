@@ -99,6 +99,7 @@ class JaxOfflineLLM(BaseLLM):
         temperature: float = 0.0,
         seed: int = 0,
         compute_dtype=jnp.float32,
+        param_dtype=None,
     ):
         from comorag_tpu.models.decoder import (
             DecoderArch,
@@ -129,8 +130,17 @@ class JaxOfflineLLM(BaseLLM):
         self._rng = jax.random.PRNGKey(seed)
         self._token_tables: Dict[str, jnp.ndarray] = {}
 
+        if param_dtype is not None:
+            # decode is weight-traffic-bound: bf16 storage halves the HBM
+            # reads per step (compute stays whatever compute_dtype says)
+            params = jax.tree.map(
+                lambda p: p.astype(param_dtype)
+                if hasattr(p, "dtype") and jnp.issubdtype(p.dtype, jnp.floating)
+                else p,
+                params,
+            )
         if mesh is not None and "model" in getattr(mesh, "shape", {}):
-            shardings = param_shardings(mesh)
+            shardings = param_shardings(mesh, arch=arch)
             params = jax.tree.map(
                 lambda p, s: jax.device_put(p, s), params, shardings
             )

@@ -84,7 +84,9 @@ def make_train_step(
         k: NamedSharding(mesh, P(dp_axis, None)) for k in ("q_ids", "q_mask", "p_ids", "p_mask")
     }
     # Adam moments follow the parameter shardings; scalars replicate.
-    opt_shard = _shard_opt_like(optimizer, p_shard, replicated, arch)
+    opt_shard = _shard_opt_like(
+        optimizer, p_shard, replicated, init_params(jax.random.PRNGKey(0), arch)
+    )
     state_shardings = TrainState(p_shard, opt_shard, replicated)
     return jax.jit(step, in_shardings=(state_shardings, batch_sharding), out_shardings=(state_shardings, replicated))
 
@@ -112,10 +114,12 @@ def _abs(path: str) -> str:
     return os.path.abspath(path)
 
 
-def _shard_opt_like(optimizer, p_shard, replicated, arch):
+def _shard_opt_like(optimizer, p_shard, replicated, params_probe):
     """Optimizer-state shardings: any subtree with the parameters' treedef
-    (adamw's mu/nu) takes the parameter shardings; scalars replicate."""
-    probe = optimizer.init(init_params(jax.random.PRNGKey(0), arch))
+    (adamw's mu/nu) takes the parameter shardings; scalars replicate.
+    ``params_probe`` is a params tree with the target structure (used only
+    to discover the optimizer-state layout)."""
+    probe = optimizer.init(params_probe)
     flat_params, treedef_params = jax.tree.flatten(p_shard)
 
     def recurse(state):

@@ -291,3 +291,42 @@ def test_openie_with_guided_offline_engine():
         assert tri_dfa.walk(r.response.encode()) >= 0
         for t in r.triples:
             assert len(t) == 3
+
+
+# ---------------------------------------------------------------- LM training
+def test_lm_train_loss_decreases():
+    from comorag_tpu.models.train_lm import create_lm_train_state, lm_loss, make_lm_train_step
+
+    arch = DecoderArch.tiny(vocab_size=64)
+    state = create_lm_train_state(jax.random.PRNGKey(0), arch)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 64, (8, 32)).astype(np.int32)
+    mask = np.ones_like(ids)
+    mask[:, 28:] = 0  # some pad tail
+    batch = {"ids": jnp.asarray(ids), "mask": jnp.asarray(mask)}
+    import optax
+
+    step = make_lm_train_step(arch, optimizer=optax.adam(1e-2))
+    state = create_lm_train_state(jax.random.PRNGKey(0), arch, optimizer=optax.adam(1e-2))
+    first = float(lm_loss(state.params, batch, arch))
+    for _ in range(30):
+        state, loss = step(state, batch)
+    assert float(loss) < first * 0.5, (first, float(loss))
+    assert int(state.step) == 30
+
+
+def test_lm_train_step_sharded_matches_unsharded_first_step():
+    from comorag_tpu.models.train_lm import create_lm_train_state, make_lm_train_step
+    from comorag_tpu.parallel.mesh import build_mesh
+
+    arch = DecoderArch.tiny(vocab_size=64)
+    mesh = build_mesh({"data": 2, "model": 2}, devices=jax.devices()[:4])
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(1, 64, (8, 16)), jnp.int32)
+    batch = {"ids": ids, "mask": jnp.ones_like(ids)}
+
+    s0 = create_lm_train_state(jax.random.PRNGKey(0), arch)
+    _, loss_plain = make_lm_train_step(arch)(s0, batch)
+    s1 = create_lm_train_state(jax.random.PRNGKey(0), arch)
+    _, loss_sharded = make_lm_train_step(arch, mesh=mesh)(s1, batch)
+    np.testing.assert_allclose(float(loss_sharded), float(loss_plain), rtol=1e-5)
