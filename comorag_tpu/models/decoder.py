@@ -79,17 +79,17 @@ def init_params(key: jax.Array, arch: DecoderArch) -> Dict[str, Any]:
     def norm(k, shape):
         return jax.random.normal(k, shape, jnp.float32) * scale
 
+    # qkv and gate/up are FUSED single matmuls (column blocks [q|k|v] and
+    # [gate|up]): decode steps are launch-latency-bound at small batch, so
+    # fewer, larger kernels beat the HF per-projection layout.
     params = {
         "embed": norm(keys[0], (arch.vocab_size, h)),
         "layers": {
             "attn_norm": jnp.ones((l, h)),
-            "q_w": norm(keys[1], (l, h, q_dim)),
-            "k_w": norm(keys[2], (l, h, kv_dim)),
-            "v_w": norm(keys[3], (l, h, kv_dim)),
+            "qkv_w": norm(keys[1], (l, h, q_dim + 2 * kv_dim)),
             "o_w": norm(keys[4], (l, q_dim, h)),
             "ffn_norm": jnp.ones((l, h)),
-            "gate_w": norm(keys[5], (l, h, i)),
-            "up_w": norm(keys[6], (l, h, i)),
+            "gateup_w": norm(keys[5], (l, h, 2 * i)),
             "down_w": norm(keys[7], (l, i, h)),
         },
         "final_norm": jnp.ones((h,)),
@@ -114,13 +114,10 @@ def param_shardings(mesh, tp_axis: str = "model", arch: Optional[DecoderArch] = 
         "embed": ns(None, None),
         "layers": {
             "attn_norm": ns(None, None),
-            "q_w": ns(None, None, tp_axis),
-            "k_w": ns(None, None, tp_axis),
-            "v_w": ns(None, None, tp_axis),
+            "qkv_w": ns(None, None, tp_axis),
             "o_w": ns(None, tp_axis, None),
             "ffn_norm": ns(None, None),
-            "gate_w": ns(None, None, tp_axis),
-            "up_w": ns(None, None, tp_axis),
+            "gateup_w": ns(None, None, tp_axis),
             "down_w": ns(None, tp_axis, None),
         },
         "final_norm": ns(None),
@@ -150,6 +147,47 @@ def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
     sin = jnp.sin(angles)[:, :, None, :].astype(x.dtype)
     x1, x2 = jnp.split(x, 2, axis=-1)
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
+class QuantWeight(NamedTuple):
+    """Symmetric int8 weight with per-output-channel fp32 scales.
+
+    The matmul reads int8 rows and upcasts in the operand read (XLA fuses
+    the convert into the dot) — 1/4 the HBM traffic of fp32 weights, the
+    same trick the int8 retrieval index uses (retrieval/index.py). The
+    scale multiply is a fused elementwise epilogue."""
+
+    q: jnp.ndarray      # [..., out] int8
+    scale: jnp.ndarray  # [out] (or [..., out] broadcastable) fp32
+
+
+def _quantize(w: jnp.ndarray) -> QuantWeight:
+    """Per-output-channel symmetric quantization, computed ON DEVICE
+    (pulling 1B-scale weights to the host costs minutes through a remote
+    tunnel; the jnp reduction is milliseconds)."""
+    arr = jnp.asarray(w, jnp.float32)
+    # [L, in, out] -> max over in (axis -2), keep [L, 1, out]; [in, out] -> [1, out]
+    amax = jnp.max(jnp.abs(arr), axis=-2, keepdims=True)
+    scale = (amax / 127.0 + 1e-12).astype(jnp.float32)
+    q = jnp.clip(jnp.round(arr / scale), -127, 127).astype(jnp.int8)
+    return QuantWeight(q, scale)
+
+
+def quantize_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """int8-quantize every matmul weight (qkv/o/gateup/down, lm_head);
+    embeddings and norms stay float (embeds are gathers, not matmuls, and
+    norm vectors are tiny)."""
+    out = {
+        "embed": params["embed"],
+        "layers": {
+            name: (_quantize(w) if name.endswith("_w") else w)
+            for name, w in params["layers"].items()
+        },
+        "final_norm": params["final_norm"],
+    }
+    if "lm_head" in params:
+        out["lm_head"] = _quantize(params["lm_head"])
+    return out
 
 
 class KVCache(NamedTuple):
@@ -189,21 +227,35 @@ def decoder_forward(
     mask_bias = jnp.where(attn_mask, 0.0, -1e30).astype(jnp.float32)  # [B, S, T]
 
     def one_layer(carry, layer_in):
-        x = carry
-        layer, k_cache, v_cache = layer_in
+        # The FULL [L, ...] caches ride the scan CARRY (aliased in place by
+        # XLA's loop buffer reuse) rather than streaming through xs/ys —
+        # stacked ys re-materialize the whole cache every decode step,
+        # which was measured as the dominant per-step cost at 1B scale.
+        x, k_all, v_all = carry
+        layer, li = layer_in
 
         def dot(inp, w):
+            if isinstance(w, QuantWeight):
+                out = jnp.dot(
+                    inp, w.q.astype(compute_dtype), preferred_element_type=compute_dtype
+                )
+                return out * w.scale.astype(compute_dtype)
             return jnp.dot(inp, w.astype(compute_dtype), preferred_element_type=compute_dtype)
 
+        q_dim = heads * hd
+        kv_dim = kv_heads * hd
         xn = _rms_norm(x, layer["attn_norm"], arch.rms_norm_eps)
-        q = dot(xn, layer["q_w"]).reshape(b, s, heads, hd)
-        k = dot(xn, layer["k_w"]).reshape(b, s, kv_heads, hd)
-        v = dot(xn, layer["v_w"]).reshape(b, s, kv_heads, hd)
+        qkv = dot(xn, layer["qkv_w"])
+        q = qkv[..., :q_dim].reshape(b, s, heads, hd)
+        k = qkv[..., q_dim:q_dim + kv_dim].reshape(b, s, kv_heads, hd)
+        v = qkv[..., q_dim + kv_dim:].reshape(b, s, kv_heads, hd)
         q = _rope(q, positions, arch.rope_theta)
         k = _rope(k, positions, arch.rope_theta)
 
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, write_index, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, write_index, 0, 0))
+        k_all = jax.lax.dynamic_update_slice(k_all, k[None], (li, 0, write_index, 0, 0))
+        v_all = jax.lax.dynamic_update_slice(v_all, v[None], (li, 0, write_index, 0, 0))
+        k_cache = jax.lax.dynamic_index_in_dim(k_all, li, axis=0, keepdims=False)
+        v_cache = jax.lax.dynamic_index_in_dim(v_all, li, axis=0, keepdims=False)
 
         # GQA: keep the cache in kv-head layout and fold the group axis
         # into the einsum — expanding kv->q heads with a repeat would
@@ -221,21 +273,33 @@ def decoder_forward(
         attn_out = dot(ctx.reshape(b, s, heads * hd), layer["o_w"])
         x = x + attn_out
 
+        i_dim = arch.intermediate_size
         xn = _rms_norm(x, layer["ffn_norm"], arch.rms_norm_eps)
-        gate = jax.nn.silu(dot(xn, layer["gate_w"]))
-        ffn = dot(gate * dot(xn, layer["up_w"]), layer["down_w"])
+        gu = dot(xn, layer["gateup_w"])
+        ffn = dot(jax.nn.silu(gu[..., :i_dim]) * gu[..., i_dim:], layer["down_w"])
         x = x + ffn
-        return x, (k_cache, v_cache)
+        return (x, k_all, v_all), None
 
-    x, (new_k, new_v) = jax.lax.scan(
-        one_layer, x, (params["layers"], cache.k, cache.v)
+    (x, new_k, new_v), _ = jax.lax.scan(
+        one_layer,
+        (x, cache.k, cache.v),
+        (params["layers"], jnp.arange(arch.num_layers, dtype=jnp.int32)),
     )
     x = _rms_norm(x, params["final_norm"], arch.rms_norm_eps)
     head = params["embed"].T if arch.tie_embeddings else params["lm_head"]
-    logits = jnp.dot(
-        x.astype(jnp.float32), head.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
+    # operands stay in compute dtype (casting the [H, V] head to fp32 every
+    # decode step costs ~2x the head's HBM traffic; TPU fp32 matmuls
+    # truncate operands to bf16 anyway unless HIGHEST) — fp32 accumulate.
+    if isinstance(head, QuantWeight):
+        logits = jnp.dot(
+            x.astype(compute_dtype), head.q.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        ) * head.scale
+    else:
+        logits = jnp.dot(
+            x.astype(compute_dtype), head.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
     return logits, KVCache(new_k, new_v)
 
 
@@ -367,18 +431,30 @@ def load_hf_decoder_checkpoint(model_name_or_path: str) -> Tuple[Dict[str, Any],
         mats = [state[fmt.format(i)] for i in range(arch.num_layers)]
         return jnp.asarray(np.stack([m.T if transpose else m for m in mats]))
 
+    def stack_fused(*fmts):
+        """Column-concatenate several projections per layer (the fused
+        [q|k|v] / [gate|up] layout init_params uses)."""
+        mats = [
+            np.concatenate([state[f.format(i)].T for f in fmts], axis=-1)
+            for i in range(arch.num_layers)
+        ]
+        return jnp.asarray(np.stack(mats))
+
     prefix = "model.layers.{}."
     params = {
         "embed": jnp.asarray(state["model.embed_tokens.weight"]),
         "layers": {
             "attn_norm": stack(prefix + "input_layernorm.weight", transpose=False),
-            "q_w": stack(prefix + "self_attn.q_proj.weight"),
-            "k_w": stack(prefix + "self_attn.k_proj.weight"),
-            "v_w": stack(prefix + "self_attn.v_proj.weight"),
+            "qkv_w": stack_fused(
+                prefix + "self_attn.q_proj.weight",
+                prefix + "self_attn.k_proj.weight",
+                prefix + "self_attn.v_proj.weight",
+            ),
             "o_w": stack(prefix + "self_attn.o_proj.weight"),
             "ffn_norm": stack(prefix + "post_attention_layernorm.weight", transpose=False),
-            "gate_w": stack(prefix + "mlp.gate_proj.weight"),
-            "up_w": stack(prefix + "mlp.up_proj.weight"),
+            "gateup_w": stack_fused(
+                prefix + "mlp.gate_proj.weight", prefix + "mlp.up_proj.weight"
+            ),
             "down_w": stack(prefix + "mlp.down_proj.weight"),
         },
         "final_norm": jnp.asarray(state["model.norm.weight"]),

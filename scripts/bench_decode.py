@@ -67,9 +67,14 @@ def main() -> None:
     table = make_token_table(dfa, byte_vocab, eos_token_id=arch.vocab_size - 1)
     table_j = jnp.asarray(table)
 
-    for dtype_name, dtype in (("bf16", jnp.bfloat16), ("fp32", jnp.float32)):
+    from comorag_tpu.models.decoder import quantize_params
+
+    for dtype_name, dtype in (("int8", jnp.bfloat16), ("bf16", jnp.bfloat16), ("fp32", jnp.float32)):
         params = init_params(jax.random.PRNGKey(0), arch)
-        if dtype == jnp.bfloat16:
+        if dtype_name == "int8":
+            params = quantize_params(params)
+            params["embed"] = params["embed"].astype(jnp.bfloat16)
+        elif dtype == jnp.bfloat16:
             params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
         for guided, tab in (("free", None), ("guided_json", table_j)):
             kwargs = dict(

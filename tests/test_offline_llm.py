@@ -330,3 +330,25 @@ def test_lm_train_step_sharded_matches_unsharded_first_step():
     s1 = create_lm_train_state(jax.random.PRNGKey(0), arch)
     _, loss_sharded = make_lm_train_step(arch, mesh=mesh)(s1, batch)
     np.testing.assert_allclose(float(loss_sharded), float(loss_plain), rtol=1e-5)
+
+
+def test_int8_quantized_params_generate():
+    """int8 weight storage: quantization error bounded per channel and
+    greedy generation still runs end-to-end (QuantWeight matmul path)."""
+    from comorag_tpu.models.decoder import quantize_params
+
+    qp = quantize_params(PARAMS)
+    w = np.asarray(PARAMS["layers"]["qkv_w"])
+    deq = np.asarray(qp["layers"]["qkv_w"].q, np.float32) * np.asarray(qp["layers"]["qkv_w"].scale)
+    err = np.abs(w - deq)
+    assert err.max() <= np.asarray(qp["layers"]["qkv_w"].scale).max() * 0.51
+
+    llm = JaxOfflineLLM(params=PARAMS, arch=ARCH, param_dtype="int8")
+    r = llm.infer([{"role": "user", "content": "hello"}], max_tokens=12)
+    assert isinstance(r.text, str)
+    assert r.metadata["completion_tokens"] <= 12
+    # guided decoding composes with quantized weights
+    g = llm.infer([{"role": "user", "content": "x"}], max_tokens=64, json_template="ner")
+    from comorag_tpu.llm.guided import compile_json_schema
+
+    assert compile_json_schema(JSON_TEMPLATES["ner"]).walk(g.text.encode()) >= 0
