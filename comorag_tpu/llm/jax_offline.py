@@ -129,6 +129,13 @@ class JaxOfflineLLM(BaseLLM):
         self.compute_dtype = compute_dtype
         self._rng = jax.random.PRNGKey(seed)
         self._token_tables: Dict[str, jnp.ndarray] = {}
+        # prefix caching (vLLM enable_prefix_caching counterpart): batch-1
+        # KV caches of shared prompt headers, LRU-bounded on device
+        from collections import OrderedDict
+
+        self._prefix_lru: "OrderedDict[tuple, Any]" = OrderedDict()
+        self._prefix_lru_max = 4
+        self.prefix_cache_min = 64  # tokens; shorter prefixes aren't worth a phase
 
         quantized = param_dtype in ("int8", jnp.int8)
         if quantized:
@@ -211,6 +218,44 @@ class JaxOfflineLLM(BaseLLM):
         return self._token_tables[template]
 
     # ------------------------------------------------------------ generate
+    def _shared_prefix(self, id_rows: List[List[int]]):
+        """Find a shared prompt header worth caching: the longest common
+        token prefix across the batch, floored to a 64-token bucket (so
+        the prefix-prefill jit cache stays small). Batch-of-one calls only
+        reuse an already-cached header (building one-off entries would pay
+        a compile per novel length); multi-row batches build and cache.
+        Returns (prefix KVCache | None, prefix_len)."""
+        from comorag_tpu.models.decoder import prefill_prefix
+
+        first = id_rows[0]
+        min_len = min(len(r) for r in id_rows)
+        common = 0
+        # every row must keep >= 1 token to prefill (last_logits source)
+        while common < min_len - 1 and all(r[common] == first[common] for r in id_rows):
+            common += 1
+        p0 = (common // 64) * 64
+
+        # cross-call reuse: longest cached header that prefixes every row
+        best_key, best_len = None, 0
+        for key in self._prefix_lru:
+            k0 = len(key)
+            if self.prefix_cache_min <= k0 <= common and k0 > best_len and key == tuple(first[:k0]):
+                best_key, best_len = key, k0
+        if best_key is not None and (len(id_rows) == 1 or best_len >= p0):
+            self._prefix_lru.move_to_end(best_key)
+            return self._prefix_lru[best_key], best_len
+
+        if len(id_rows) == 1 or p0 < self.prefix_cache_min:
+            return None, 0
+        key = tuple(first[:p0])
+        cache = prefill_prefix(
+            self.params, jnp.asarray(list(key), jnp.int32), self.arch, self.compute_dtype
+        )
+        self._prefix_lru[key] = cache
+        if len(self._prefix_lru) > self._prefix_lru_max:
+            self._prefix_lru.popitem(last=False)
+        return cache, p0
+
     def _generate_batch(
         self,
         prompts: List[str],
@@ -226,7 +271,12 @@ class JaxOfflineLLM(BaseLLM):
         id_rows = [self._ids(p) for p in prompts]
         limit = self.max_model_len - max_new
         id_rows = [r[-limit:] if len(r) > limit else r for r in id_rows]
-        p_len = _bucket(max(len(r) for r in id_rows), _PROMPT_BUCKETS)
+
+        prefix_cache, p0 = self._shared_prefix(id_rows)
+        if p0:
+            id_rows = [r[p0:] for r in id_rows]
+            limit -= p0
+        p_len = _bucket(max(max(len(r) for r in id_rows), 1), _PROMPT_BUCKETS)
         p_len = min(p_len, limit)
         b = _bucket(len(id_rows), _BATCH_BUCKETS)
 
@@ -252,6 +302,7 @@ class JaxOfflineLLM(BaseLLM):
             rng=sub,
             token_table=table,
             limit=jnp.int32(requested),
+            prefix=prefix_cache,
             compute_dtype=self.compute_dtype,
         )
         tokens = np.asarray(result.tokens)
@@ -268,7 +319,8 @@ class JaxOfflineLLM(BaseLLM):
                 LLMResponse(
                     text=text,
                     metadata={
-                        "prompt_tokens": len(row),
+                        "prompt_tokens": p0 + len(row),
+                        "cached_prefix_tokens": p0,
                         "completion_tokens": n,
                         "finish_reason": "stop" if stopped else "length",
                     },

@@ -309,6 +309,29 @@ class GenerateResult(NamedTuple):
     lengths: jnp.ndarray  # [B] int32: emitted tokens incl. EOS
 
 
+def prefill_prefix(
+    params: Dict[str, Any],
+    prefix_ids: jnp.ndarray,  # [P0] or [1, P0] int32, no padding
+    arch: DecoderArch,
+    compute_dtype=jnp.float32,
+) -> KVCache:
+    """Prefill a SHARED prompt prefix once at batch 1; the returned cache
+    (T = P0 slots) broadcasts across any later batch via ``generate``'s
+    ``prefix`` argument — the TPU counterpart of vLLM's prefix caching
+    (vllm_offline.py:50 ``enable_prefix_caching=True``): batches whose
+    prompts share an instruction header (OpenIE, probes) pay the header's
+    prefill FLOPs once instead of once per row."""
+    ids = jnp.atleast_2d(jnp.asarray(prefix_ids, jnp.int32))
+    p0 = ids.shape[1]
+    positions = jnp.arange(p0, dtype=jnp.int32)[None, :]
+    attn = jnp.tril(jnp.ones((1, p0, p0), bool))
+    cache = KVCache.zeros(arch, 1, p0, compute_dtype)
+    _, cache = decoder_forward(
+        params, ids, positions, attn, cache, jnp.int32(0), arch, compute_dtype
+    )
+    return cache
+
+
 def generate(
     params: Dict[str, Any],
     input_ids: jnp.ndarray,   # [B, P] int32, LEFT-padded with pad_id
@@ -321,6 +344,7 @@ def generate(
     rng: Optional[jax.Array] = None,
     token_table: Optional[jnp.ndarray] = None,  # [S, V] int32 DFA, -1 = forbidden
     limit: Optional[jnp.ndarray] = None,  # dynamic step cap <= max_new_tokens
+    prefix: Optional[KVCache] = None,  # shared-prefix cache from prefill_prefix
     compute_dtype=jnp.float32,
 ) -> GenerateResult:
     """Batched constrained generation: prefill once, then a
@@ -331,25 +355,47 @@ def generate(
     the DFA's allowed transitions and advances the per-row automaton
     state — vLLM's guided-JSON capability (vllm_offline.py:77-86) run
     entirely on device.
+
+    With ``prefix`` (a batch-1 cache from :func:`prefill_prefix`), the
+    shared header occupies slots [0, P0) for every row and only the
+    remainders are prefilled here — vLLM's prefix caching, batched.
     """
     b, p = input_ids.shape
-    total = p + max_new_tokens
+    p0 = 0 if prefix is None else prefix.k.shape[2]
+    base = p0 + p
+    total = base + max_new_tokens
     cache = KVCache.zeros(arch, b, total, compute_dtype)
+    if prefix is not None:
+        l, _, _, kvh, hd_ = prefix.k.shape
+        cache = KVCache(
+            jax.lax.dynamic_update_slice(
+                cache.k, jnp.broadcast_to(prefix.k, (l, b, p0, kvh, hd_)), (0, 0, 0, 0, 0)
+            ),
+            jax.lax.dynamic_update_slice(
+                cache.v, jnp.broadcast_to(prefix.v, (l, b, p0, kvh, hd_)), (0, 0, 0, 0, 0)
+            ),
+        )
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
     valid = prompt_mask.astype(bool)  # [B, P]
-    positions = jnp.tile(jnp.arange(p, dtype=jnp.int32)[None, :], (b, 1))
-    # prefill: causal within the prompt, pads invisible
+    positions = p0 + jnp.tile(jnp.arange(p, dtype=jnp.int32)[None, :], (b, 1))
+    # prefill: prefix slots always visible, causal within the prompt, pads invisible
     causal = jnp.tril(jnp.ones((p, p), bool))
     attn = causal[None, :, :] & valid[:, None, :]
-    attn = jnp.pad(attn, ((0, 0), (0, 0), (0, max_new_tokens)))
+    attn = jnp.pad(attn, ((0, 0), (0, 0), (p0, max_new_tokens)), constant_values=False)
+    if p0:
+        attn = attn.at[:, :, :p0].set(True)
     logits, cache = decoder_forward(
-        params, input_ids, positions, attn, cache, jnp.int32(0), arch, compute_dtype
+        params, input_ids, positions, attn, cache, jnp.int32(p0), arch, compute_dtype
     )
-    last_logits = logits[:, -1, :]  # left-padded: slot P-1 is the last prompt token
+    last_logits = logits[:, -1, :]  # left-padded: slot base-1 is the last prompt token
 
-    slot_valid0 = jnp.pad(valid, ((0, 0), (0, max_new_tokens)))  # [B, total]
+    slot_valid0 = jnp.pad(
+        valid, ((0, 0), (p0, max_new_tokens)), constant_values=False
+    )  # [B, total]
+    if p0:
+        slot_valid0 = slot_valid0.at[:, :p0].set(True)
 
     def sample(logits, state, key):
         if token_table is not None:
@@ -383,12 +429,12 @@ def generate(
             nxt = token_table[dfa, tok]
             dfa = jnp.where(emitted, jnp.maximum(nxt, 0), dfa)
         out = out.at[:, i].set(jnp.where(emitted, tok, pad_id))
-        slot_valid = slot_valid.at[:, p + i].set(emitted)
+        slot_valid = slot_valid.at[:, base + i].set(emitted)
 
-        pos = jnp.full((b, 1), p + i, jnp.int32)
+        pos = jnp.full((b, 1), base + i, jnp.int32)
         attn = slot_valid[:, None, :]  # decode token sees all valid slots + itself
         logits, cache = decoder_forward(
-            params, tok[:, None], pos, attn, cache, p + i, arch, compute_dtype
+            params, tok[:, None], pos, attn, cache, base + i, arch, compute_dtype
         )
         return (i + 1, cache, logits[:, 0, :], done, dfa, key, out, slot_valid)
 
@@ -397,7 +443,7 @@ def generate(
     dfa0 = jnp.zeros((b,), jnp.int32)
     init = (jnp.int32(0), cache, last_logits, done0, dfa0, rng, out0, slot_valid0)
     _, _, _, _, _, _, out, slot_valid = jax.lax.while_loop(cond, body, init)
-    lengths = jnp.sum(slot_valid[:, p:].astype(jnp.int32), axis=1)
+    lengths = jnp.sum(slot_valid[:, base:].astype(jnp.int32), axis=1)
     return GenerateResult(out, lengths)
 
 

@@ -352,3 +352,50 @@ def test_int8_quantized_params_generate():
     from comorag_tpu.llm.guided import compile_json_schema
 
     assert compile_json_schema(JSON_TEMPLATES["ner"]).walk(g.text.encode()) >= 0
+
+
+# --------------------------------------------------------------- prefix cache
+def test_prefix_cached_generation_matches_unsplit():
+    """prefill_prefix(header) + generate(remainder, prefix=...) must decode
+    exactly what generate(header+remainder) does (same slots, same RoPE
+    positions when rows are unpadded)."""
+    from comorag_tpu.models.decoder import prefill_prefix
+
+    header = [257] + list(range(40, 104))  # 65 tokens
+    rest = [72, 101, 108, 112, 33]
+    steps = 6
+    full = header + rest
+    a = generate(
+        PARAMS, jnp.asarray([full], jnp.int32), jnp.ones((1, len(full)), jnp.int32),
+        ARCH, max_new_tokens=steps, eos_id=EOS, pad_id=PAD,
+    )
+    pc = prefill_prefix(PARAMS, jnp.asarray(header, jnp.int32), ARCH)
+    b = generate(
+        PARAMS, jnp.asarray([rest], jnp.int32), jnp.ones((1, len(rest)), jnp.int32),
+        ARCH, max_new_tokens=steps, eos_id=EOS, pad_id=PAD, prefix=pc,
+    )
+    assert np.asarray(a.tokens)[0].tolist() == np.asarray(b.tokens)[0].tolist()
+
+
+def test_engine_prefix_lru_shared_batches():
+    """Two batch_infer calls sharing a long system header: the second call
+    reuses the cached header (LRU hit) and outputs stay identical to a
+    fresh engine without caching."""
+    # fits tiny-arch max_seq_len 512 with headroom: front truncation would
+    # shift the header and (correctly) defeat prefix matching
+    sys_msg = {"role": "system", "content": "instructions " * 20}
+    batches = [
+        [[sys_msg, {"role": "user", "content": f"q{i} alpha"}] for i in range(3)],
+        [[sys_msg, {"role": "user", "content": f"q{i} beta"}] for i in range(3)],
+    ]
+    cached = JaxOfflineLLM(params=PARAMS, arch=ARCH, seed=0)
+    plain = JaxOfflineLLM(params=PARAMS, arch=ARCH, seed=0)
+    plain.prefix_cache_min = 10 ** 9  # disable prefix caching
+
+    out_c = [r.text for b in batches for r in cached.batch_infer(b, max_tokens=10)]
+    out_p = [r.text for b in batches for r in plain.batch_infer(b, max_tokens=10)]
+    assert out_c == out_p
+    assert len(cached._prefix_lru) == 1  # same header -> one entry, reused
+    assert not plain._prefix_lru
+    r = cached.batch_infer(batches[0], max_tokens=10)[0]
+    assert r.metadata["cached_prefix_tokens"] >= 64
