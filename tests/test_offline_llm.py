@@ -399,3 +399,49 @@ def test_engine_prefix_lru_shared_batches():
     assert not plain._prefix_lru
     r = cached.batch_infer(batches[0], max_tokens=10)[0]
     assert r.metadata["cached_prefix_tokens"] >= 64
+
+
+# ------------------------------------------------------------ request window
+def test_generation_server_batches_concurrent_callers():
+    """16 threads submitting concurrently (the meta loop's envelope) get
+    correct, per-caller answers, and overlapping requests actually share
+    device programs (batched_with > 0 for some)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from comorag_tpu.llm.serving import GenerationServer
+
+    engine = JaxOfflineLLM(params=PARAMS, arch=ARCH, seed=0)
+    with GenerationServer(engine, window_ms=25.0, max_batch=16) as server:
+        def ask(i):
+            return server.infer(
+                [{"role": "user", "content": f"question {i}"}], max_tokens=8
+            )
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            results = list(pool.map(ask, range(16)))
+
+        # answers must equal direct engine output for the same prompt
+        direct = engine.infer([{"role": "user", "content": "question 3"}], max_tokens=8)
+        assert results[3].text == direct.text
+        assert all(r.metadata.get("finish_reason") in ("stop", "length") for r in results)
+        assert any(r.metadata["batched_with"] > 0 for r in results)
+
+    # closed server refuses new work
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        server.submit([{"role": "user", "content": "late"}])
+
+
+def test_generation_server_groups_by_options():
+    """Mixed guided/free requests in one window resolve independently."""
+    from comorag_tpu.llm.serving import GenerationServer
+
+    engine = JaxOfflineLLM(params=PARAMS, seed=1, temperature=0.8)
+    with GenerationServer(engine, window_ms=25.0) as server:
+        f1 = server.submit([{"role": "user", "content": "a"}], max_tokens=32, json_template="ner")
+        f2 = server.submit([{"role": "user", "content": "b"}], max_tokens=8)
+        r1, r2 = f1.result(), f2.result()
+    dfa = compile_json_schema(JSON_TEMPLATES["ner"])
+    assert dfa.walk(r1.text.encode()) >= 0
+    assert r2.metadata["completion_tokens"] <= 8
