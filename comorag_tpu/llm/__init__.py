@@ -24,9 +24,11 @@ def get_llm(config, mesh=None) -> BaseLLM:
 
         import jax.numpy as jnp
 
+        from comorag_tpu.llm.serving import GenerationServer
+
         path = name[len("jax:"):] or None if name.startswith("jax:") else None
         bf16 = getattr(config, "compute_dtype", "float32") == "bfloat16"
-        return JaxOfflineLLM(
+        engine = JaxOfflineLLM(
             model_name_or_path=path,
             mesh=mesh,
             temperature=getattr(config, "temperature", 0.0) or 0.0,
@@ -35,6 +37,10 @@ def get_llm(config, mesh=None) -> BaseLLM:
             compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
             param_dtype=jnp.bfloat16 if bf16 else None,
         )
+        # the meta loop calls infer() from up to 16 question threads
+        # (ComoRAG.try_answer); the window scheduler turns those into
+        # shared device programs instead of 16 queued single-row decodes
+        return GenerationServer(engine)
     return OpenAIChatLLM.from_config(config)
 
 

@@ -185,7 +185,14 @@ class _Builder:
                 self.ws_loop(s)
             self.add(s, b"]", end)
             return end
-        # unbounded (minItems 0): [ ] or [ item (, item)* ]
+        # unbounded (minItems 0): [ ] or [ item (, item)* ].  Other
+        # min/max combinations are rejected loudly — silently dropping a
+        # bound would emit schema-violating output with no warning.
+        if min_items not in (0, None) or max_items is not None:
+            raise ValueError(
+                f"unsupported array bounds minItems={min_items} maxItems={max_items}: "
+                "only exact counts (min==max) or unbounded (min 0) compile"
+            )
         self.add(open_, b"]", end)
         after = self.value(open_, item_schema, depth)
         self.ws_loop(after)

@@ -124,10 +124,22 @@ class JaxOfflineLLM(BaseLLM):
         self.tokenizer = tokenizer or ByteTokenizer()
         self.mesh = mesh
         self.max_model_len = min(max_model_len, arch.max_seq_len)
-        self.max_new_tokens = max_new_tokens
+        # the new-token budget must leave prompt room inside the model
+        # window (the hermetic tiny arch has max_seq_len 512 but the
+        # default budget is 2048 — unclamped, `max_model_len - max_new`
+        # goes negative and prompt truncation/padding break)
+        self.max_new_tokens = max(
+            1, min(max_new_tokens, self.max_model_len - _PROMPT_BUCKETS[0])
+        )
         self.temperature = temperature
         self.compute_dtype = compute_dtype
         self._rng = jax.random.PRNGKey(seed)
+        # infer() may be called from up to 16 question threads
+        # (ComoRAG.try_answer); the rng split and prefix LRU are the
+        # engine's only mutable host state
+        import threading
+
+        self._state_lock = threading.Lock()
         self._token_tables: Dict[str, jnp.ndarray] = {}
         # prefix caching (vLLM enable_prefix_caching counterpart): batch-1
         # KV caches of shared prompt headers, LRU-bounded on device
@@ -197,25 +209,53 @@ class JaxOfflineLLM(BaseLLM):
             return tok.decode(ids)
         return tok.decode(ids, skip_special_tokens=True)
 
+    def _hf_token_bytes(self) -> List[Optional[bytes]]:
+        """Best-effort byte expansion of an HF vocab, sized to the MODEL's
+        logits width (tokenizer.vocab_size can be smaller — llama-3 has 256
+        reserved ids — and a mismatched table fails to broadcast against
+        the logits). Handles sentencepiece space markers and byte-fallback
+        tokens; unknown/special ids stay None (forbidden). The byte-level
+        tokenizer remains the exact-constraint path."""
+        import re
+
+        tok = self.tokenizer
+        out: List[Optional[bytes]] = [None] * self.arch.vocab_size
+        special = set(getattr(tok, "all_special_ids", []) or [])
+        n = min(len(tok), self.arch.vocab_size)
+        toks = tok.convert_ids_to_tokens(list(range(n)))
+        byte_re = re.compile(r"^<0x([0-9A-Fa-f]{2})>$")
+        for i, t in enumerate(toks):
+            if t is None or i in special:
+                continue
+            m = byte_re.match(t)
+            if m:
+                out[i] = bytes([int(m.group(1), 16)])
+                continue
+            out[i] = t.replace("▁", " ").replace("Ġ", " ").encode("utf-8")
+        return out
+
     def _token_table(self, template: str) -> jnp.ndarray:
-        if template not in self._token_tables:
-            if template not in JSON_TEMPLATES:
-                raise KeyError(
-                    f"unknown json_template {template!r}; have {sorted(JSON_TEMPLATES)}"
-                )
-            dfa = compile_json_schema(JSON_TEMPLATES[template])
-            tok = self.tokenizer
-            if isinstance(tok, ByteTokenizer):
-                token_bytes = tok.token_bytes()
-            else:
-                token_bytes = [
-                    tok.convert_tokens_to_string([tok.convert_ids_to_tokens(i)]).encode("utf-8")
-                    for i in range(tok.vocab_size)
-                ]
-            _, eos = self._special_ids()
-            table = make_token_table(dfa, token_bytes, eos_token_id=eos)
-            self._token_tables[template] = jnp.asarray(table)
-        return self._token_tables[template]
+        if template not in JSON_TEMPLATES:
+            raise KeyError(
+                f"unknown json_template {template!r}; have {sorted(JSON_TEMPLATES)}"
+            )
+        with self._state_lock:
+            if template not in self._token_tables:
+                dfa = compile_json_schema(JSON_TEMPLATES[template])
+                tok = self.tokenizer
+                if isinstance(tok, ByteTokenizer):
+                    token_bytes = tok.token_bytes()
+                else:
+                    token_bytes = self._hf_token_bytes()
+                _, eos = self._special_ids()
+                if eos >= len(token_bytes):
+                    raise ValueError(
+                        f"eos_token_id {eos} outside the model vocab "
+                        f"{len(token_bytes)} — constrained decoding could never stop"
+                    )
+                table = make_token_table(dfa, token_bytes, eos_token_id=eos)
+                self._token_tables[template] = jnp.asarray(table)
+            return self._token_tables[template]
 
     # ------------------------------------------------------------ generate
     def _shared_prefix(self, id_rows: List[List[int]]):
@@ -224,7 +264,8 @@ class JaxOfflineLLM(BaseLLM):
         the prefix-prefill jit cache stays small). Batch-of-one calls only
         reuse an already-cached header (building one-off entries would pay
         a compile per novel length); multi-row batches build and cache.
-        Returns (prefix KVCache | None, prefix_len)."""
+        Returns (prefix KVCache | None, prefix_len). Holds the state lock:
+        the LRU is shared across the meta loop's question threads."""
         from comorag_tpu.models.decoder import prefill_prefix
 
         first = id_rows[0]
@@ -265,14 +306,19 @@ class JaxOfflineLLM(BaseLLM):
     ) -> List[LLMResponse]:
         pad, eos = self._special_ids()
         temp = self.temperature if temperature is None else float(temperature)
-        requested = min(max_tokens, self.max_new_tokens)
-        max_new = _bucket(requested, _NEW_TOKEN_BUCKETS)
+        # new-token bucket must leave at least one prompt bucket of room in
+        # the model window; requested is then capped by the bucket so
+        # finish_reason='length' is reported whenever the cap truncates
+        fit = [b for b in _NEW_TOKEN_BUCKETS if b <= self.max_model_len - _PROMPT_BUCKETS[0]]
+        max_new = _bucket(min(max_tokens, self.max_new_tokens), fit or _NEW_TOKEN_BUCKETS[:1])
+        requested = min(max_tokens, self.max_new_tokens, max_new)
 
         id_rows = [self._ids(p) for p in prompts]
-        limit = self.max_model_len - max_new
+        limit = max(self.max_model_len - max_new, _PROMPT_BUCKETS[0])
         id_rows = [r[-limit:] if len(r) > limit else r for r in id_rows]
 
-        prefix_cache, p0 = self._shared_prefix(id_rows)
+        with self._state_lock:
+            prefix_cache, p0 = self._shared_prefix(id_rows)
         if p0:
             id_rows = [r[p0:] for r in id_rows]
             limit -= p0
@@ -287,13 +333,17 @@ class JaxOfflineLLM(BaseLLM):
             ids[i, p_len - len(row):] = row  # LEFT padding (decoder.py contract)
             mask[i, p_len - len(row):] = 1
         mask[len(id_rows):, -1] = 1  # batch-pad rows: one valid slot
+        row_valid = np.zeros((b,), bool)
+        row_valid[: len(id_rows)] = True
 
         table = self._token_table(json_template) if json_template else None
-        self._rng, sub = jax.random.split(self._rng)
+        with self._state_lock:
+            self._rng, sub = jax.random.split(self._rng)
         result = self._generate(
             self.params,
             jnp.asarray(ids),
             jnp.asarray(mask),
+            row_valid=jnp.asarray(row_valid),
             arch=self.arch,
             max_new_tokens=max_new,
             eos_id=eos,
@@ -348,10 +398,22 @@ class JaxOfflineLLM(BaseLLM):
         template = gen_kwargs.get("json_template")
         temperature = gen_kwargs.get("temperature")
 
+        # Length-grouping keeps short prompts out of long prompts' padding
+        # buckets — but when the batch shares a cacheable header, splitting
+        # by TOTAL length would scatter it into single-row groups and the
+        # prefix machinery (and its batching win) never engages. Shared
+        # header present -> one group; remainder padding spread is bounded.
+        id_rows = [self._ids(p) for p in prompts]
+        first, min_len = id_rows[0], min(len(r) for r in id_rows)
+        common = 0
+        while common < min_len - 1 and all(r[common] == first[common] for r in id_rows):
+            common += 1
         groups: Dict[int, List[int]] = {}
-        lens = [len(self._ids(p)) for p in prompts]
-        for i, n in enumerate(lens):
-            groups.setdefault(_bucket(n, _PROMPT_BUCKETS), []).append(i)
+        if (common // 64) * 64 >= self.prefix_cache_min:
+            groups[0] = list(range(len(prompts)))
+        else:
+            for i, r in enumerate(id_rows):
+                groups.setdefault(_bucket(len(r), _PROMPT_BUCKETS), []).append(i)
 
         results: List[Optional[LLMResponse]] = [None] * len(prompts)
         for _, idxs in sorted(groups.items()):

@@ -109,33 +109,51 @@ class GenerationServer(BaseLLM):
                 if self._closed:
                     return
                 continue
-            # group by generation options: one device program per distinct
-            # (template, max_tokens, temperature) — mixed options can't
-            # share a while_loop program
-            groups: Dict[Tuple, List[int]] = {}
-            for i, (_, kw, _f) in enumerate(batch):
-                key = (
-                    kw.get("json_template"),
-                    int(kw.get("max_tokens", self.engine.max_new_tokens)),
-                    kw.get("temperature"),
+            try:
+                self._serve(batch)
+            except Exception as e:  # noqa: BLE001 — the scheduler thread must survive
+                logger.warning("generation window failed: %s", e)
+                err = LLMResponse(text="", metadata={"error": str(e), "finish_reason": "error"})
+                for _, _, fut in batch:
+                    _resolve(fut, err)
+
+    def _serve(self, batch: List[Tuple[Messages, Dict[str, Any], Future]]) -> None:
+        # group by generation options: one device program per distinct
+        # (template, max_tokens, temperature) — mixed options can't
+        # share a while_loop program
+        groups: Dict[Tuple, List[int]] = {}
+        for i, (_, kw, _f) in enumerate(batch):
+            key = (
+                kw.get("json_template"),
+                int(kw.get("max_tokens") or self.engine.max_new_tokens),
+                kw.get("temperature"),
+            )
+            groups.setdefault(key, []).append(i)
+        for key, idxs in groups.items():
+            template, max_tokens, temperature = key
+            msgs = [batch[i][0] for i in idxs]
+            try:
+                results = self.engine.batch_infer(
+                    msgs,
+                    max_tokens=max_tokens,
+                    json_template=template,
+                    temperature=temperature,
                 )
-                groups.setdefault(key, []).append(i)
-            for key, idxs in groups.items():
-                template, max_tokens, temperature = key
-                msgs = [batch[i][0] for i in idxs]
-                try:
-                    results = self.engine.batch_infer(
-                        msgs,
-                        max_tokens=max_tokens,
-                        json_template=template,
-                        temperature=temperature,
-                    )
-                except Exception as e:  # noqa: BLE001 — fail the futures, not the thread
-                    logger.warning("generation group failed: %s", e)
-                    results = [
-                        LLMResponse(text="", metadata={"error": str(e), "finish_reason": "error"})
-                        for _ in idxs
-                    ]
-                for i, r in zip(idxs, results):
-                    r.metadata["batched_with"] = len(batch) - 1
-                    batch[i][2].set_result(r)
+            except Exception as e:  # noqa: BLE001 — fail the futures, not the thread
+                logger.warning("generation group failed: %s", e)
+                results = [
+                    LLMResponse(text="", metadata={"error": str(e), "finish_reason": "error"})
+                    for _ in idxs
+                ]
+            for i, r in zip(idxs, results):
+                r.metadata["batched_with"] = len(batch) - 1
+                _resolve(batch[i][2], r)
+
+
+def _resolve(fut: Future, result: LLMResponse) -> None:
+    """set_result that tolerates callers who cancelled their future."""
+    if not fut.done():
+        try:
+            fut.set_result(result)
+        except Exception:  # pragma: no cover — lost cancel race
+            pass

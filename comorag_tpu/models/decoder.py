@@ -225,6 +225,9 @@ def decoder_forward(
 
     x = params["embed"][input_ids].astype(compute_dtype)
     mask_bias = jnp.where(attn_mask, 0.0, -1e30).astype(jnp.float32)  # [B, S, T]
+    # fp32 operands silently truncate to bf16 on the TPU MXU unless HIGHEST
+    # (CLAUDE.md numerics trap); bf16 compute keeps the fast default.
+    prec = jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
 
     def one_layer(carry, layer_in):
         # The FULL [L, ...] caches ride the scan CARRY (aliased in place by
@@ -240,7 +243,10 @@ def decoder_forward(
                     inp, w.q.astype(compute_dtype), preferred_element_type=compute_dtype
                 )
                 return out * w.scale.astype(compute_dtype)
-            return jnp.dot(inp, w.astype(compute_dtype), preferred_element_type=compute_dtype)
+            return jnp.dot(
+                inp, w.astype(compute_dtype),
+                preferred_element_type=compute_dtype, precision=prec,
+            )
 
         q_dim = heads * hd
         kv_dim = kv_heads * hd
@@ -263,12 +269,14 @@ def decoder_forward(
         # traffic of the decode itself on grouped models).
         qg = q.reshape(b, s, kv_heads, groups, hd)
         scores = jnp.einsum(
-            "bskgd,btkd->bskgt", qg, k_cache, preferred_element_type=jnp.float32
+            "bskgd,btkd->bskgt", qg, k_cache,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         scores = scores / jnp.sqrt(float(hd)) + mask_bias[:, :, None, None, :]
         probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
         ctx = jnp.einsum(
-            "bskgt,btkd->bskgd", probs, v_cache, preferred_element_type=compute_dtype
+            "bskgt,btkd->bskgd", probs, v_cache,
+            preferred_element_type=compute_dtype, precision=prec,
         )
         attn_out = dot(ctx.reshape(b, s, heads * hd), layer["o_w"])
         x = x + attn_out
@@ -298,7 +306,7 @@ def decoder_forward(
     else:
         logits = jnp.dot(
             x.astype(compute_dtype), head.astype(compute_dtype),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
     return logits, KVCache(new_k, new_v)
 
@@ -345,6 +353,7 @@ def generate(
     token_table: Optional[jnp.ndarray] = None,  # [S, V] int32 DFA, -1 = forbidden
     limit: Optional[jnp.ndarray] = None,  # dynamic step cap <= max_new_tokens
     prefix: Optional[KVCache] = None,  # shared-prefix cache from prefill_prefix
+    row_valid: Optional[jnp.ndarray] = None,  # [B] bool: False = batch-pad row
     compute_dtype=jnp.float32,
 ) -> GenerateResult:
     """Batched constrained generation: prefill once, then a
@@ -379,7 +388,12 @@ def generate(
         rng = jax.random.PRNGKey(0)
 
     valid = prompt_mask.astype(bool)  # [B, P]
-    positions = p0 + jnp.tile(jnp.arange(p, dtype=jnp.int32)[None, :], (b, 1))
+    # Positions are PER-ROW token indices (cumsum over valid tokens), not
+    # slot indices: left-padded rows must sit at positions p0, p0+1, ...
+    # directly after the shared prefix — slot-based positions would
+    # inflate a short row's RoPE distance to the prefix by its pad count.
+    positions = p0 + jnp.maximum(jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1, 0)
+    row_len = jnp.sum(valid.astype(jnp.int32), axis=1)  # [B]
     # prefill: prefix slots always visible, causal within the prompt, pads invisible
     causal = jnp.tril(jnp.ones((p, p), bool))
     attn = causal[None, :, :] & valid[:, None, :]
@@ -431,7 +445,9 @@ def generate(
         out = out.at[:, i].set(jnp.where(emitted, tok, pad_id))
         slot_valid = slot_valid.at[:, base + i].set(emitted)
 
-        pos = jnp.full((b, 1), base + i, jnp.int32)
+        # per-row positions continue each row's own token count (row_len),
+        # independent of its padding; the cache SLOT is shared (base + i)
+        pos = (p0 + row_len + i)[:, None].astype(jnp.int32)
         attn = slot_valid[:, None, :]  # decode token sees all valid slots + itself
         logits, cache = decoder_forward(
             params, tok[:, None], pos, attn, cache, base + i, arch, compute_dtype
@@ -439,7 +455,9 @@ def generate(
         return (i + 1, cache, logits[:, 0, :], done, dfa, key, out, slot_valid)
 
     out0 = jnp.full((b, max_new_tokens), pad_id, jnp.int32)
-    done0 = jnp.zeros((b,), bool)
+    # batch-pad rows start done: otherwise their garbage decode keeps
+    # jnp.all(done) False and blocks early exit for the whole batch
+    done0 = jnp.zeros((b,), bool) if row_valid is None else ~row_valid.astype(bool)
     dfa0 = jnp.zeros((b,), jnp.int32)
     init = (jnp.int32(0), cache, last_logits, done0, dfa0, rng, out0, slot_valid0)
     _, _, _, _, _, _, out, slot_valid = jax.lax.while_loop(cond, body, init)

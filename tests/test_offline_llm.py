@@ -265,11 +265,16 @@ def test_byte_tokenizer_roundtrip():
 
 def test_factory_routes_jax_offline(tmp_config):
     from comorag_tpu.llm import get_llm
+    from comorag_tpu.llm.serving import GenerationServer
 
     tmp_config.llm_name = "jax-offline"
     llm = get_llm(tmp_config)
-    assert isinstance(llm, JaxOfflineLLM)
-    assert llm.supports_guided_json
+    # the factory wraps the engine in the window-batching server so the
+    # meta loop's 16 threads share device programs
+    assert isinstance(llm, GenerationServer)
+    assert isinstance(llm.engine, JaxOfflineLLM)
+    assert llm.engine.supports_guided_json
+    llm.close()
 
 
 def test_openie_with_guided_offline_engine():
@@ -445,3 +450,23 @@ def test_generation_server_groups_by_options():
     dfa = compile_json_schema(JSON_TEMPLATES["ner"])
     assert dfa.walk(r1.text.encode()) >= 0
     assert r2.metadata["completion_tokens"] <= 8
+
+
+def test_prefix_batch_with_padded_rows_matches_singles():
+    """Heterogeneous-length prompts sharing a 64+-token header: the
+    prefix-cached, left-padded batch must decode exactly what each prompt
+    decodes alone (regression: per-row positions, not slot positions —
+    slot-based RoPE inflated short rows' distance to the prefix)."""
+    header = {"role": "system", "content": "rules " * 30}
+    prompts = [
+        [header, {"role": "user", "content": "x"}],
+        [header, {"role": "user", "content": "a much longer question about the harbor light museum"}],
+    ]
+    plain = JaxOfflineLLM(params=PARAMS, arch=ARCH, seed=0)
+    plain.prefix_cache_min = 10 ** 9  # singles, no prefix machinery
+    singles = [plain.infer(m, max_tokens=8).text for m in prompts]
+
+    cached = JaxOfflineLLM(params=PARAMS, arch=ARCH, seed=0)
+    batched = [r.text for r in cached.batch_infer(prompts, max_tokens=8)]
+    assert cached._prefix_lru, "prefix cache should have engaged"
+    assert batched == singles
