@@ -40,6 +40,11 @@ logger = get_logger(__name__)
 class GenerationServer(BaseLLM):
     """Thread-safe batching front over a JaxOfflineLLM engine."""
 
+    # OpenIE keys guided decoding off this attribute (ie/openie.py
+    # _stage_kwargs) — the server forwards gen_kwargs verbatim, so it
+    # supports whatever its engine supports.
+    supports_guided_json = True
+
     def __init__(
         self,
         engine: JaxOfflineLLM,

@@ -273,7 +273,8 @@ def test_factory_routes_jax_offline(tmp_config):
     # meta loop's 16 threads share device programs
     assert isinstance(llm, GenerationServer)
     assert isinstance(llm.engine, JaxOfflineLLM)
-    assert llm.engine.supports_guided_json
+    # OpenIE checks the WRAPPER for guided support (ie/openie.py)
+    assert llm.supports_guided_json
     llm.close()
 
 
