@@ -471,3 +471,38 @@ def test_prefix_batch_with_padded_rows_matches_singles():
     batched = [r.text for r in cached.batch_infer(prompts, max_tokens=8)]
     assert cached._prefix_lru, "prefix cache should have engaged"
     assert batched == singles
+
+
+def test_lm_memorizes_and_generates_sequence(tmp_path):
+    """End-to-end training proof: finetune the tiny LM on one sequence
+    until it memorizes it, checkpoint-roundtrip the state, then greedy
+    generation from the sequence head reproduces the tail."""
+    import optax
+
+    from comorag_tpu.models.train import load_checkpoint, save_checkpoint
+    from comorag_tpu.models.train_lm import create_lm_train_state, make_lm_train_step
+
+    arch = DecoderArch.tiny(vocab_size=64)
+    opt = optax.adam(5e-3)
+    state = create_lm_train_state(jax.random.PRNGKey(0), arch, optimizer=opt)
+    seq = [2, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61]
+    ids = jnp.asarray([seq] * 4, jnp.int32)
+    batch = {"ids": ids, "mask": jnp.ones_like(ids)}
+    step = make_lm_train_step(arch, optimizer=opt)
+    loss = None
+    for _ in range(300):
+        state, loss = step(state, batch)
+        if float(loss) < 0.02:
+            break
+    assert float(loss) < 0.1, f"did not memorize, loss={float(loss)}"
+
+    save_checkpoint(str(tmp_path / "lm_ckpt"), state)
+    fresh = create_lm_train_state(jax.random.PRNGKey(1), arch, optimizer=opt)
+    restored = load_checkpoint(str(tmp_path / "lm_ckpt"), fresh)
+
+    head, tail = seq[:8], seq[8:]
+    out = generate(
+        restored.params, jnp.asarray([head], jnp.int32), jnp.ones((1, 8), jnp.int32),
+        arch, max_new_tokens=len(tail), eos_id=63, pad_id=0,
+    )
+    assert np.asarray(out.tokens)[0].tolist() == tail
