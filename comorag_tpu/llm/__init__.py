@@ -26,7 +26,8 @@ def get_llm(config, mesh=None) -> BaseLLM:
 
         from comorag_tpu.llm.serving import GenerationServer
 
-        path = name[len("jax:"):] or None if name.startswith("jax:") else None
+        path = name[len("jax:"):] if name.startswith("jax:") else ""
+        path = path or None  # "jax-offline" / bare "jax:" -> hermetic tiny engine
         bf16 = getattr(config, "compute_dtype", "float32") == "bfloat16"
         engine = JaxOfflineLLM(
             model_name_or_path=path,

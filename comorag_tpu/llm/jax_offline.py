@@ -22,7 +22,6 @@ this engine IS the model: a pure-JAX llama-class decoder
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Optional, Sequence
 
 import jax
@@ -78,6 +77,17 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
 _PROMPT_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
 _BATCH_BUCKETS = (1, 2, 4, 8, 16, 32)
 _NEW_TOKEN_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+
+
+def _common_prefix_len(id_rows: Sequence[List[int]]) -> int:
+    """Longest common token prefix across rows, capped so every row keeps
+    at least one token to prefill (the last-prompt-logits source)."""
+    first = id_rows[0]
+    min_len = min(len(r) for r in id_rows)
+    common = 0
+    while common < min_len - 1 and all(r[common] == first[common] for r in id_rows):
+        common += 1
+    return common
 
 
 class JaxOfflineLLM(BaseLLM):
@@ -269,11 +279,7 @@ class JaxOfflineLLM(BaseLLM):
         from comorag_tpu.models.decoder import prefill_prefix
 
         first = id_rows[0]
-        min_len = min(len(r) for r in id_rows)
-        common = 0
-        # every row must keep >= 1 token to prefill (last_logits source)
-        while common < min_len - 1 and all(r[common] == first[common] for r in id_rows):
-            common += 1
+        common = _common_prefix_len(id_rows)
         p0 = (common // 64) * 64
 
         # cross-call reuse: longest cached header that prefixes every row
@@ -303,6 +309,7 @@ class JaxOfflineLLM(BaseLLM):
         max_tokens: int,
         json_template: Optional[str],
         temperature: Optional[float],
+        id_rows: Optional[List[List[int]]] = None,  # precomputed tokenization
     ) -> List[LLMResponse]:
         pad, eos = self._special_ids()
         temp = self.temperature if temperature is None else float(temperature)
@@ -313,7 +320,8 @@ class JaxOfflineLLM(BaseLLM):
         max_new = _bucket(min(max_tokens, self.max_new_tokens), fit or _NEW_TOKEN_BUCKETS[:1])
         requested = min(max_tokens, self.max_new_tokens, max_new)
 
-        id_rows = [self._ids(p) for p in prompts]
+        if id_rows is None:
+            id_rows = [self._ids(p) for p in prompts]
         limit = max(self.max_model_len - max_new, _PROMPT_BUCKETS[0])
         id_rows = [r[-limit:] if len(r) > limit else r for r in id_rows]
 
@@ -404,10 +412,7 @@ class JaxOfflineLLM(BaseLLM):
         # prefix machinery (and its batching win) never engages. Shared
         # header present -> one group; remainder padding spread is bounded.
         id_rows = [self._ids(p) for p in prompts]
-        first, min_len = id_rows[0], min(len(r) for r in id_rows)
-        common = 0
-        while common < min_len - 1 and all(r[common] == first[common] for r in id_rows):
-            common += 1
+        common = _common_prefix_len(id_rows)
         groups: Dict[int, List[int]] = {}
         if (common // 64) * 64 >= self.prefix_cache_min:
             groups[0] = list(range(len(prompts)))
@@ -422,7 +427,8 @@ class JaxOfflineLLM(BaseLLM):
                 chunk = idxs[j : j + max_b]
                 try:
                     rs = self._generate_batch(
-                        [prompts[i] for i in chunk], max_tokens, template, temperature
+                        [prompts[i] for i in chunk], max_tokens, template, temperature,
+                        id_rows=[id_rows[i] for i in chunk],
                     )
                 except Exception as e:  # noqa: BLE001 — per-chunk isolation
                     logger.warning("offline generation chunk failed: %s", e)

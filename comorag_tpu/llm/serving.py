@@ -40,11 +40,6 @@ logger = get_logger(__name__)
 class GenerationServer(BaseLLM):
     """Thread-safe batching front over a JaxOfflineLLM engine."""
 
-    # OpenIE keys guided decoding off this attribute (ie/openie.py
-    # _stage_kwargs) — the server forwards gen_kwargs verbatim, so it
-    # supports whatever its engine supports.
-    supports_guided_json = True
-
     def __init__(
         self,
         engine: JaxOfflineLLM,
@@ -52,6 +47,10 @@ class GenerationServer(BaseLLM):
         max_batch: int = 32,
     ):
         self.engine = engine
+        # OpenIE keys guided decoding off this attribute (ie/openie.py
+        # _stage_kwargs) — the server forwards gen_kwargs verbatim, so it
+        # supports exactly what its engine supports.
+        self.supports_guided_json = getattr(engine, "supports_guided_json", False)
         self.window_s = window_ms / 1000.0
         self.max_batch = max_batch
         self._lock = threading.Condition()
