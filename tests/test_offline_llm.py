@@ -506,3 +506,44 @@ def test_lm_memorizes_and_generates_sequence(tmp_path):
         arch, max_new_tokens=len(tail), eos_id=63, pad_id=0,
     )
     assert np.asarray(out.tokens)[0].tolist() == tail
+
+
+def test_train_cli_end_to_end(tmp_path):
+    """The training CLI drives tokenize -> contrastive steps -> orbax
+    checkpoint; loss decreases on a learnable toy task and the checkpoint
+    reloads into a serving encoder."""
+    import json as _json
+
+    from comorag_tpu.cli.train import main as train_main
+
+    pairs = [{"query": f"topic {i} question", "passage": f"topic {i} passage text"} for i in range(32)]
+    ppath = tmp_path / "pairs.jsonl"
+    with open(ppath, "w") as f:
+        for p in pairs:
+            f.write(_json.dumps(p) + "\n")
+
+    out = tmp_path / "ckpt"
+    summary = train_main([
+        "--pairs", str(ppath), "--output_dir", str(out),
+        "--init", "tiny", "--steps", "60", "--batch", "16",
+        "--lr", "3e-3", "--max_seq_len", "16", "--log_every", "10",
+    ])
+    assert summary["final_loss"] < summary["first_loss"]
+    assert (out / "train_summary.json").exists()
+
+    # checkpoint loads back into a TrainState and the params serve
+    import jax
+    import optax
+
+    from comorag_tpu.models.bge import BGEJaxEncoder, EncoderArch, init_params
+    from comorag_tpu.models.train import TrainState, load_checkpoint, make_optimizer
+
+    arch = EncoderArch.tiny()
+    opt = make_optimizer(3e-3)
+    params0 = init_params(jax.random.PRNGKey(0), arch)
+    fresh = TrainState(params0, opt.init(params0), jnp.zeros((), jnp.int32))
+    restored = load_checkpoint(str(out / "train_state"), fresh)
+    assert int(restored.step) == 60
+    enc = BGEJaxEncoder(params=restored.params, arch=arch, max_seq_len=16)
+    vecs = enc.encode(["topic 3 question"])
+    assert vecs.shape == (1, arch.hidden_size)
