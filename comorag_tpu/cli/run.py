@@ -136,6 +136,9 @@ def main() -> None:
     parser.add_argument("--mesh_shape", default=None,
                         help="device mesh for sharded retrieval, e.g. 'corpus=8' or 'data=2,corpus=4'; "
                              "axis sizes must multiply to the device count")
+    parser.add_argument("--speculative_decoding", action="store_true",
+                        help="jax-offline engine: prompt-lookup speculative decode "
+                             "(greedy-exact, multiple tokens per device step)")
     args = parser.parse_args()
 
     mesh_shape = None
@@ -166,6 +169,7 @@ def main() -> None:
         topk_method=args.topk_method,
         scan_dtype=args.scan_dtype,
         mesh_shape=mesh_shape,
+        speculative_decoding=args.speculative_decoding,
     )
 
     base = args.base_path

@@ -34,6 +34,10 @@ class ComoConfig:
     temperature: float = 0.0
     response_format: Optional[dict] = None
     max_retry_attempts: int = 5
+    # jax-offline engine only: self-speculative (prompt-lookup) decoding —
+    # greedy-exact, commits multiple tokens per device step when the
+    # output echoes the prompt (consumed by llm.get_llm)
+    speculative_decoding: bool = False
 
     # ------------------------------------------------------- rerank / graph
     # (reference: config_utils.py:76-124, 151-171)

@@ -37,6 +37,7 @@ def get_llm(config, mesh=None) -> BaseLLM:
             seed=getattr(config, "seed", 0) or 0,
             compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
             param_dtype=jnp.bfloat16 if bf16 else None,
+            speculative=bool(getattr(config, "speculative_decoding", False)),
         )
         # the meta loop calls infer() from up to 16 question threads
         # (ComoRAG.try_answer); the window scheduler turns those into

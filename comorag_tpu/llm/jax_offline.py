@@ -110,6 +110,8 @@ class JaxOfflineLLM(BaseLLM):
         seed: int = 0,
         compute_dtype=jnp.float32,
         param_dtype=None,
+        speculative: bool = False,
+        draft_len: int = 7,
     ):
         from comorag_tpu.models.decoder import (
             DecoderArch,
@@ -188,12 +190,24 @@ class JaxOfflineLLM(BaseLLM):
                 )
         self.params = params
 
-        from comorag_tpu.models.decoder import generate
+        from comorag_tpu.models.decoder import generate, generate_speculative
 
         self._generate = jax.jit(
             generate,
             static_argnames=(
                 "arch", "max_new_tokens", "eos_id", "pad_id", "temperature",
+                "compute_dtype",
+            ),
+        )
+        # self-speculative (prompt-lookup) decoding: greedy-only, exact,
+        # commits multiple tokens per device step when the output echoes
+        # the prompt (RAG answers, OpenIE, summarization all do)
+        self.speculative = bool(speculative)
+        self.draft_len = int(draft_len)
+        self._generate_spec = jax.jit(
+            generate_speculative,
+            static_argnames=(
+                "arch", "max_new_tokens", "eos_id", "pad_id", "draft_len",
                 "compute_dtype",
             ),
         )
@@ -345,26 +359,32 @@ class JaxOfflineLLM(BaseLLM):
         row_valid[: len(id_rows)] = True
 
         table = self._token_table(json_template) if json_template else None
-        with self._state_lock:
-            self._rng, sub = jax.random.split(self._rng)
-        result = self._generate(
-            self.params,
-            jnp.asarray(ids),
-            jnp.asarray(mask),
+        common = dict(
             row_valid=jnp.asarray(row_valid),
             arch=self.arch,
             max_new_tokens=max_new,
             eos_id=eos,
             pad_id=pad,
-            temperature=temp,
-            rng=sub,
             token_table=table,
             limit=jnp.int32(requested),
             prefix=prefix_cache,
             compute_dtype=self.compute_dtype,
         )
+        if self.speculative and temp == 0.0:
+            result = self._generate_spec(
+                self.params, jnp.asarray(ids), jnp.asarray(mask),
+                draft_len=self.draft_len, **common,
+            )
+        else:
+            with self._state_lock:
+                self._rng, sub = jax.random.split(self._rng)
+            result = self._generate(
+                self.params, jnp.asarray(ids), jnp.asarray(mask),
+                temperature=temp, rng=sub, **common,
+            )
         tokens = np.asarray(result.tokens)
         lengths = np.asarray(result.lengths)
+        steps = int(result.steps) if hasattr(result, "steps") else None
 
         out = []
         for i, row in enumerate(id_rows):
@@ -381,6 +401,7 @@ class JaxOfflineLLM(BaseLLM):
                         "cached_prefix_tokens": p0,
                         "completion_tokens": n,
                         "finish_reason": "stop" if stopped else "length",
+                        **({"decode_steps": steps} if steps is not None else {}),
                     },
                 )
             )

@@ -69,6 +69,26 @@ def main() -> None:
 
     from comorag_tpu.models.decoder import quantize_params
 
+    from comorag_tpu.models.decoder import generate_speculative
+
+    spec_gen = jax.jit(
+        generate_speculative,
+        static_argnames=("arch", "max_new_tokens", "eos_id", "pad_id", "draft_len", "compute_dtype"),
+    )
+    # speculative upper bound: a linear DFA forcing one fixed byte string
+    # that is also planted in the prompt -> drafts always come true
+    # (acceptance 1.0); the free-run spec row is the acceptance~0 floor
+    fixed = (b"The Harbor Light Museum opened in 1982 in Meridian Bay. " * 4)[: args.new - 1]
+    lin = np.full((len(fixed) + 1, arch.vocab_size), -1, np.int32)
+    for s, byte in enumerate(fixed):
+        lin[s, byte] = s + 1
+    lin[len(fixed), arch.vocab_size - 1] = len(fixed)  # EOS self-loop at accept
+    lin_j = jnp.asarray(lin)
+    echo_ids = np.asarray(ids).copy()
+    planted = np.frombuffer(fixed, np.uint8).astype(np.int32)
+    echo_ids[:, 100:100 + len(planted)] = planted  # plant the echo source mid-prompt
+    echo_ids = jnp.asarray(echo_ids)
+
     for dtype_name, dtype in (("int8", jnp.bfloat16), ("bf16", jnp.bfloat16), ("fp32", jnp.float32)):
         params = init_params(jax.random.PRNGKey(0), arch)
         if dtype_name == "int8":
@@ -105,6 +125,41 @@ def main() -> None:
                 "value": round(decode_tps, 1),
                 "wall_s_per_call": round(dt, 3),
                 "prompt_tokens_per_s_same_wall": round(prefill_tps, 1),
+            }), flush=True)
+
+        if dtype_name == "fp32":
+            continue  # speculative rows: the two shipping dtypes only
+        for spec_mode, spec_ids, spec_table in (
+            ("spec_free", ids, None),            # acceptance ~0: overhead floor
+            ("spec_echo", echo_ids, lin_j),      # acceptance 1.0: upper bound
+        ):
+            kwargs = dict(
+                arch=arch, max_new_tokens=args.new,
+                eos_id=arch.vocab_size - 1, pad_id=0, draft_len=7,
+                token_table=spec_table, compute_dtype=dtype,
+            )
+            r = spec_gen(params, spec_ids, mask, **kwargs)
+            np.asarray(r.tokens)
+            t0 = time.perf_counter()
+            iters = 3
+            for _ in range(iters):
+                r = spec_gen(params, spec_ids, mask, **kwargs)
+                np.asarray(r.tokens)
+            dt = (time.perf_counter() - t0) / iters
+            total_new = int(np.asarray(r.lengths).sum())
+            steps = int(np.asarray(r.steps))
+            print(json.dumps({
+                "metric": "decode_tokens_per_s",
+                "dtype": dtype_name,
+                "mode": spec_mode,
+                "batch": args.batch,
+                "prompt": args.prompt,
+                "new_tokens": args.new,
+                "emitted": total_new,
+                "value": round(total_new / dt, 1),
+                "wall_s_per_call": round(dt, 3),
+                "device_steps": steps,
+                "tokens_per_step": round(total_new / max(steps * args.batch, 1), 2),
             }), flush=True)
 
 

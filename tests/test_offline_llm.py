@@ -547,3 +547,102 @@ def test_train_cli_end_to_end(tmp_path):
     enc = BGEJaxEncoder(params=restored.params, arch=arch, max_seq_len=16)
     vecs = enc.encode(["topic 3 question"])
     assert vecs.shape == (1, arch.hidden_size)
+
+
+# ------------------------------------------------------- speculative decoding
+def _spec_vs_sequential(params, arch, ids, mask, *, max_new=24, table=None,
+                        prefix=None, draft_len=5, eos=EOS, pad=PAD, limit=None):
+    from comorag_tpu.models.decoder import generate_speculative
+
+    ref = generate(
+        params, ids, mask, arch, max_new_tokens=max_new, eos_id=eos, pad_id=pad,
+        token_table=table, prefix=prefix, limit=limit,
+    )
+    spec = generate_speculative(
+        params, ids, mask, arch, max_new_tokens=max_new, eos_id=eos, pad_id=pad,
+        draft_len=draft_len, token_table=table, prefix=prefix, limit=limit,
+    )
+    assert np.asarray(spec.lengths).tolist() == np.asarray(ref.lengths).tolist()
+    assert np.asarray(spec.tokens).tolist() == np.asarray(ref.tokens).tolist()
+    return spec
+
+
+def test_speculative_matches_sequential_greedy():
+    """Random weights (near-zero acceptance): the rejection path emits
+    exactly the sequential greedy stream, ragged left-padded batch."""
+    rng = np.random.default_rng(3)
+    ids = np.full((3, 12), PAD, np.int32)
+    mask = np.zeros((3, 12), np.int32)
+    for i, n in enumerate((12, 7, 3)):
+        ids[i, 12 - n:] = rng.integers(0, 255, n)
+        mask[i, 12 - n:] = 1
+    _spec_vs_sequential(PARAMS, ARCH, jnp.asarray(ids), jnp.asarray(mask))
+
+
+def test_speculative_matches_sequential_guided():
+    """Guided-JSON DFA advanced along the verified chunk: constrained
+    speculative decode equals constrained sequential decode."""
+    dfa = compile_json_schema(JSON_TEMPLATES["ner"])
+    tok = ByteTokenizer()
+    table = jnp.asarray(make_token_table(dfa, tok.token_bytes(), eos_token_id=EOS))
+    ids = jnp.asarray([[1, 2, 3, 4, 5, 6, 7, 8]], jnp.int32)
+    mask = jnp.ones_like(ids)
+    _spec_vs_sequential(PARAMS, ARCH, ids, mask, table=table, max_new=40)
+
+
+def test_speculative_matches_sequential_with_prefix():
+    from comorag_tpu.models.decoder import prefill_prefix
+
+    prefix_ids = jnp.arange(1, 17, dtype=jnp.int32)
+    prefix = prefill_prefix(PARAMS, prefix_ids, ARCH)
+    ids = jnp.asarray([[9, 8, 7, 6], [PAD, PAD, 5, 4]], jnp.int32)
+    mask = jnp.asarray([[1, 1, 1, 1], [0, 0, 1, 1]], jnp.int32)
+    _spec_vs_sequential(PARAMS, ARCH, ids, mask, prefix=prefix, max_new=16, limit=jnp.int32(10))
+
+
+def test_speculative_accepts_on_repetitive_continuation():
+    """A model trained on a cyclic sequence continues the cycle; prompt-
+    lookup drafts then come true and the loop commits multiple tokens per
+    device step (fewer iterations than emitted tokens)."""
+    import optax
+
+    from comorag_tpu.models.decoder import generate_speculative
+    from comorag_tpu.models.train_lm import create_lm_train_state, make_lm_train_step
+
+    arch = DecoderArch.tiny(vocab_size=64)
+    opt = optax.adam(5e-3)
+    state = create_lm_train_state(jax.random.PRNGKey(0), arch, optimizer=opt)
+    cycle = [5, 9, 14, 23, 31, 42]
+    seq = (cycle * 6)[:32]
+    ids = jnp.asarray([seq] * 4, jnp.int32)
+    step = make_lm_train_step(arch, optimizer=opt)
+    loss = None
+    for _ in range(300):
+        state, loss = step(state, {"ids": ids, "mask": jnp.ones_like(ids)})
+        if float(loss) < 0.02:
+            break
+    assert float(loss) < 0.1, f"did not learn the cycle, loss={float(loss)}"
+
+    head = seq[:12]
+    want = (cycle * 12)[12:12 + 24]
+    spec = generate_speculative(
+        state.params, jnp.asarray([head], jnp.int32), jnp.ones((1, 12), jnp.int32),
+        arch, max_new_tokens=24, eos_id=63, pad_id=0, draft_len=5,
+    )
+    assert np.asarray(spec.tokens)[0].tolist() == want
+    # 24 tokens in far fewer steps than sequential's 24
+    assert int(spec.steps) <= 8, f"no speculation win: {int(spec.steps)} steps"
+
+
+def test_engine_speculative_matches_plain():
+    """JaxOfflineLLM(speculative=True) emits byte-identical text to the
+    plain engine at greedy temperature, free and guided."""
+    plain = JaxOfflineLLM(seed=7)
+    spec = JaxOfflineLLM(seed=7, speculative=True, draft_len=5)
+    msgs = [[{"role": "user", "content": f"Summarize item {i}: the fox runs."}]
+            for i in range(3)]
+    for kwargs in ({"max_tokens": 48}, {"max_tokens": 48, "json_template": "ner"}):
+        a = plain.batch_infer(msgs, **kwargs)
+        b = spec.batch_infer(msgs, **kwargs)
+        assert [r.text for r in a] == [r.text for r in b]
+        assert all("decode_steps" in r.metadata for r in b)
