@@ -31,41 +31,84 @@ ensure_compile_cache()
 
 _EDGE_BUCKETS = (1024, 4096, 16384, 65536, 262144, 1048576)
 _NODE_BUCKETS = (128, 512, 2048, 8192, 32768, 131072)
+# Above the largest bucket, nodes round up in FINE steps: the [n_pad, B]
+# fp32 iteration state falls off a ~128 MB (v5e VMEM-size) cliff — the
+# per-arc gather runs ~13x slower once the state can't stay resident
+# (measured: 524288x64x4B=134MB -> 12.7s/12 iters; 458752x64=112MB ->
+# 0.95s, same graph). Coarse x4 rounding (400665 -> 524288 nodes) was
+# exactly what pushed the 200k-chunk corpus over the edge.
+_NODE_BUCKET_STEP = 32768
+# Batch chunking keeps n_pad * chunk * 4B under this budget (empirically
+# fast through 117 MB; the cliff sits between that and 134 MB).
+_STATE_BYTES_BUDGET = 112 * 2**20
 
 
-def _bucket(n: int, buckets) -> int:
+def _bucket(n: int, buckets, step: int = 0) -> int:
     for b in buckets:
         if n <= b:
             return b
-    return ((n + buckets[-1] - 1) // buckets[-1]) * buckets[-1]
+    s = step or buckets[-1]
+    return ((n + s - 1) // s) * s
+
+
+def _max_batch_for_nodes(n_pad: int) -> int:
+    """Largest power-of-two reset batch whose [n_pad, B] fp32 state stays
+    under the VMEM-residency budget (floor 1)."""
+    cap = max(1, _STATE_BYTES_BUDGET // (n_pad * 4))
+    b = 1
+    while b * 2 <= cap:
+        b *= 2
+    return b
+
+
+def _ppr_iterate_nb(src, dst, rate, is_dangling, resets_nb, alpha, tol,
+                    n_nodes: int, max_iters: int, axis=None):
+    """Batched power iteration over [N, B] state; the single shared body
+    for the local and the edge-sharded (psum over ``axis``) solvers.
+    Edges must be pre-sorted by dst (PPRGraph.__init__) so segment_sum
+    lowers to a segmented reduction instead of random scatter-adds.
+
+    LAYOUT IS THE WHOLE GAME here: the batch rides the minor (lane)
+    dimension, so the per-arc gather/scatter index the MAJOR dimension
+    and move whole 64/128-float lane tiles per arc. The transposed
+    [B, N] formulation (a vmap of per-row solves) makes every arc access
+    a single element of the lane-tiled N axis — measured 6x slower on
+    the iteration and ~15x slower end-to-end at 400k nodes once the
+    [B, N] reset scatters and rank gathers are included (PERF.md).
+
+    Convergence is max-over-batch L1 step size; already-converged
+    columns keep iterating (the fixed-point map is a contraction, extra
+    steps only tighten them — the vmapped-while formulation froze them
+    instead, which is why results can differ from old runs by < tol)."""
+
+    def cond(state):
+        _, prev_err, it = state
+        return jnp.logical_and(it < max_iters, prev_err > tol)
+
+    def body(state):
+        xt, _, it = state
+        contrib = xt[src, :] * rate[:, None]  # [E, B]: row gather
+        flowed = jax.ops.segment_sum(contrib, dst, num_segments=n_nodes, indices_are_sorted=True)
+        if axis is not None:
+            flowed = jax.lax.psum(flowed, axis)  # merge shard partials
+        dangling_mass = jnp.sum(xt * is_dangling[:, None], axis=0)  # [B]
+        new_xt = (1.0 - alpha) * resets_nb + alpha * (flowed + dangling_mass[None, :] * resets_nb)
+        err = jnp.max(jnp.sum(jnp.abs(new_xt - xt), axis=0))  # worst column's L1 step
+        return new_xt, err, it + 1
+
+    xt, _, _ = jax.lax.while_loop(
+        cond, body, (resets_nb, jnp.asarray(jnp.inf, jnp.float32), 0)
+    )
+    return xt
 
 
 def _ppr_vmap(src, dst, rate, is_dangling, resets, alpha, tol, n_nodes: int, max_iters: int, axis=None):
-    """Batched power iteration; the single shared body for the local and
-    the edge-sharded (psum over ``axis``) solvers. Edges must be
-    pre-sorted by dst (PPRGraph.__init__) so segment_sum lowers to a
-    segmented reduction instead of random scatter-adds."""
-
-    def one(reset):
-        def cond(state):
-            _, prev_err, it = state
-            return jnp.logical_and(it < max_iters, prev_err > tol)
-
-        def body(state):
-            x, _, it = state
-            contrib = x[src] * rate
-            flowed = jax.ops.segment_sum(contrib, dst, num_segments=n_nodes, indices_are_sorted=True)
-            if axis is not None:
-                flowed = jax.lax.psum(flowed, axis)  # merge shard partials
-            dangling_mass = jnp.sum(x * is_dangling)
-            new_x = (1.0 - alpha) * reset + alpha * (flowed + dangling_mass * reset)
-            err = jnp.sum(jnp.abs(new_x - x))
-            return new_x, err, it + 1
-
-        x, _, _ = jax.lax.while_loop(cond, body, (reset, jnp.asarray(jnp.inf, jnp.float32), 0))
-        return x
-
-    return jax.vmap(one)(resets)
+    """[B, N]-interface wrapper over the [N, B] iteration core (two cheap
+    one-time transposes; the loop itself runs in the fast layout)."""
+    xt = _ppr_iterate_nb(
+        src, dst, rate, is_dangling, resets.T, alpha, tol, n_nodes, max_iters, axis
+    )
+    return xt.T
 
 
 @functools.partial(jax.jit, static_argnames=("n_nodes", "max_iters"))
@@ -105,17 +148,36 @@ def _ppr_seed_topk(
     matrix; downloads O(B*k) instead of [B, N] ranks — at 100k-corpus
     scale those two transfers dominate the whole fan-out on a
     remote-attached chip."""
-    b = seed_w.shape[0]
-    rows = jnp.arange(b)[:, None]
-    resets = jnp.zeros((b, n_nodes), jnp.float32)
-    resets = resets.at[rows, seed_idx].add(seed_w)
-    resets = resets.at[:, prior_idx].add(prior_w)
-    resets = jnp.where(jnp.isnan(resets) | (resets < 0), 0.0, resets)
-    sums = resets.sum(axis=1, keepdims=True)
-    resets = resets / jnp.where(sums == 0, 1.0, sums)
-    ranks = _ppr_vmap(src, dst, rate, is_dangling, resets, alpha, tol, n_nodes, max_iters)
-    doc = ranks[:, prior_idx]
+    doc = _seed_ppr_doc_ranks(
+        src, dst, rate, is_dangling, seed_idx, seed_w, prior_idx, prior_w,
+        alpha, tol, n_nodes, max_iters,
+    )
     return jax.lax.top_k(doc, k)
+
+
+def _seed_ppr_doc_ranks(
+    src, dst, rate, is_dangling, seed_idx, seed_w, prior_idx, prior_w,
+    alpha, tol, n_nodes: int, max_iters: int, axis=None,
+) -> jnp.ndarray:
+    """Shared core of the fused ranking (local + edge-sharded): build the
+    [N, B] resets on device, iterate, gather the prior nodes' ranks.
+    Everything large stays in the [N, B] layout — the prior scatter and
+    the rank gather index ROWS (whole lane tiles); their [B, N]
+    counterparts (`.at[:, prior_idx]` / `ranks[:, prior_idx]`) scatter/
+    gather single lane elements and dominated the old 15 s fan-out at
+    400k nodes. Returns doc ranks [B, n_sel]."""
+    b = seed_w.shape[0]
+    cols = jnp.arange(b)[None, :]
+    rt = jnp.zeros((n_nodes, b), jnp.float32)
+    rt = rt.at[seed_idx.T, cols].add(seed_w.T)  # [S, B]: tiny scatter
+    rt = rt.at[prior_idx, :].add(prior_w.T)     # row scatter
+    rt = jnp.where(jnp.isnan(rt) | (rt < 0), 0.0, rt)
+    sums = rt.sum(axis=0, keepdims=True)
+    rt = rt / jnp.where(sums == 0, 1.0, sums)
+    ranks_nb = _ppr_iterate_nb(
+        src, dst, rate, is_dangling, rt, alpha, tol, n_nodes, max_iters, axis
+    )
+    return ranks_nb[prior_idx, :].T  # row gather, one [n_sel, B] transpose
 
 
 def make_sharded_ppr_seed_topk(mesh, n_nodes: int, max_iters: int, k: int, axis: str = "corpus"):
@@ -128,16 +190,11 @@ def make_sharded_ppr_seed_topk(mesh, n_nodes: int, max_iters: int, k: int, axis:
     from jax import shard_map
 
     def _local(src, dst, rate, is_dangling, seed_idx, seed_w, prior_idx, prior_w, alpha, tol):
-        b = seed_w.shape[0]
-        rows = jnp.arange(b)[:, None]
-        resets = jnp.zeros((b, n_nodes), jnp.float32)
-        resets = resets.at[rows, seed_idx].add(seed_w)
-        resets = resets.at[:, prior_idx].add(prior_w)
-        resets = jnp.where(jnp.isnan(resets) | (resets < 0), 0.0, resets)
-        sums = resets.sum(axis=1, keepdims=True)
-        resets = resets / jnp.where(sums == 0, 1.0, sums)
-        ranks = _ppr_vmap(src, dst, rate, is_dangling, resets, alpha, tol, n_nodes, max_iters, axis=axis)
-        vals, idx = jax.lax.top_k(ranks[:, prior_idx], k)
+        doc = _seed_ppr_doc_ranks(
+            src, dst, rate, is_dangling, seed_idx, seed_w, prior_idx, prior_w,
+            alpha, tol, n_nodes, max_iters, axis=axis,
+        )
+        vals, idx = jax.lax.top_k(doc, k)
         return vals, idx  # explicit tuple: top_k yields a list here, which trips out_specs
 
     sharded = shard_map(
@@ -215,7 +272,7 @@ class PPRGraph:
             self._w_host = np.asarray(weights, np.float32)
         else:
             self._native = None
-        self.n_pad = _bucket(max(n_nodes, 2), _NODE_BUCKETS)
+        self.n_pad = _bucket(max(n_nodes, 2), _NODE_BUCKETS, _NODE_BUCKET_STEP)
         self.max_iters = max_iters
         self.tol = tol
 
@@ -291,6 +348,26 @@ class PPRGraph:
         host numpy, positions indexing into prior_idx order."""
         device_tol = max(self.tol, 1e-7)
         k = min(k, int(prior_idx.shape[0]))
+        b = int(np.asarray(seed_w).shape[0])
+        max_b = _max_batch_for_nodes(self.n_pad)
+        if b > max_b:
+            # giant graphs: chunk the reset batch so the [n_pad, chunk]
+            # state stays VMEM-resident (rows solve independently)
+            outs = [
+                self.query_topk(
+                    np.asarray(seed_idx)[i : i + max_b],
+                    np.asarray(seed_w)[i : i + max_b],
+                    prior_idx,
+                    prior_w[i : i + max_b],
+                    k,
+                    damping,
+                )
+                for i in range(0, b, max_b)
+            ]
+            return (
+                np.concatenate([o[0] for o in outs]),
+                np.concatenate([o[1] for o in outs]),
+            )
         args = (
             self._src,
             self._dst,
@@ -345,6 +422,12 @@ class PPRGraph:
             )
             if out is not None:
                 return out
+        max_b = _max_batch_for_nodes(self.n_pad)
+        if b > max_b:
+            # giant graphs: chunk the reset batch (see query_topk)
+            return np.concatenate(
+                [self.query(resets[i : i + max_b], damping) for i in range(0, b, max_b)]
+            )
         r_pad = np.zeros((b, self.n_pad), np.float32)
         r_pad[:, :n] = resets
         # fp32 L1 error floors near ~1e-7: a tighter tol would spin the
