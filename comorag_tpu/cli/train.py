@@ -71,12 +71,13 @@ def main(argv: List[str] | None = None) -> dict:
     )
     from comorag_tpu.models.train import (
         TrainState,
-        create_train_state,
         make_optimizer,
         make_train_step,
         save_checkpoint,
     )
 
+    if args.steps <= 0:
+        raise SystemExit("--steps must be >= 1")
     pairs = load_jsonl(args.pairs)
     if not pairs:
         raise SystemExit(f"no pairs in {args.pairs}")
@@ -125,9 +126,12 @@ def main(argv: List[str] | None = None) -> dict:
 
     rng = np.random.default_rng(args.seed)
     losses: List[float] = []
+    # a contrastive batch must not repeat a passage (a duplicate positive
+    # is an unwinnable in-batch negative), so batches cap at the pair count
+    batch_size = min(args.batch, len(pairs))
     t0 = time.perf_counter()
     for step in range(args.steps):
-        take = rng.choice(len(pairs), size=min(args.batch, len(pairs)), replace=len(pairs) < args.batch)
+        take = rng.choice(len(pairs), size=batch_size, replace=False)
         q_ids, q_mask = tokenize([queries[i] for i in take])
         p_ids, p_mask = tokenize([passages[i] for i in take])
         batch = {
@@ -148,7 +152,7 @@ def main(argv: List[str] | None = None) -> dict:
         "pairs": len(pairs),
         "first_loss": losses[0],
         "final_loss": losses[-1],
-        "pairs_per_s": round(args.steps * args.batch / wall, 1),
+        "pairs_per_s": round(args.steps * batch_size / wall, 1),
         "arch": {"hidden": arch.hidden_size, "layers": arch.num_layers},
         "checkpoint": os.path.join(args.output_dir, "train_state"),
     }

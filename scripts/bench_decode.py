@@ -78,7 +78,10 @@ def main() -> None:
     # speculative upper bound: a linear DFA forcing one fixed byte string
     # that is also planted in the prompt -> drafts always come true
     # (acceptance 1.0); the free-run spec row is the acceptance~0 floor
-    fixed = (b"The Harbor Light Museum opened in 1982 in Meridian Bay. " * 4)[: args.new - 1]
+    plant_at = min(100, max(0, args.prompt // 4))
+    fixed = (b"The Harbor Light Museum opened in 1982 in Meridian Bay. " * 64)[
+        : min(args.new - 1, args.prompt - plant_at - 1)
+    ]
     lin = np.full((len(fixed) + 1, arch.vocab_size), -1, np.int32)
     for s, byte in enumerate(fixed):
         lin[s, byte] = s + 1
@@ -86,7 +89,7 @@ def main() -> None:
     lin_j = jnp.asarray(lin)
     echo_ids = np.asarray(ids).copy()
     planted = np.frombuffer(fixed, np.uint8).astype(np.int32)
-    echo_ids[:, 100:100 + len(planted)] = planted  # plant the echo source mid-prompt
+    echo_ids[:, plant_at:plant_at + len(planted)] = planted  # plant the echo source mid-prompt
     echo_ids = jnp.asarray(echo_ids)
 
     for dtype_name, dtype in (("int8", jnp.bfloat16), ("bf16", jnp.bfloat16), ("fp32", jnp.float32)):
