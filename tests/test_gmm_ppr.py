@@ -179,3 +179,38 @@ def test_fused_query_topk_sharded_matches_single_device(cpu_mesh):
     np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-8)
     for row in range(b):
         assert len(set(p1[row]) & set(p2[row])) >= k - 1  # ties may swap
+
+
+def test_vmem_batch_chunking_matches_unchunked(monkeypatch):
+    """Giant-graph batch chunking (PPR state kept under the VMEM budget)
+    must return exactly what one unchunked call returns, including a
+    non-divisible remainder chunk."""
+    from comorag_tpu.ops import ppr as ppr_mod
+
+    rng = np.random.default_rng(5)
+    n, e, b, k = 600, 4000, 10, 8
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    w = rng.random(e).astype(np.float32)
+    g = PPRGraph(src, dst, w, n, max_iters=256, tol=1e-8, backend="device")
+
+    seed_idx = rng.integers(0, n, (b, 6)).astype(np.int32)
+    seed_w = rng.random((b, 6)).astype(np.float32)
+    prior_idx = np.arange(300, dtype=np.int64)
+    prior = rng.random((b, 300)).astype(np.float32) * 0.005
+    resets = rng.random((b, n)).astype(np.float32)
+
+    full_s, full_p = g.query_topk(seed_idx, seed_w, prior_idx, prior, k=k)
+    full_q = g.query(resets)
+
+    # shrink the budget so max_b = 4 -> chunks of 4 + 4 + remainder 2
+    monkeypatch.setattr(
+        ppr_mod, "_STATE_BYTES_BUDGET", g.n_pad * 4 * 4
+    )
+    assert ppr_mod._max_batch_for_nodes(g.n_pad) == 4
+    chunk_s, chunk_p = g.query_topk(seed_idx, seed_w, prior_idx, prior, k=k)
+    chunk_q = g.query(resets)
+
+    np.testing.assert_array_equal(chunk_p, full_p)
+    np.testing.assert_allclose(chunk_s, full_s, rtol=1e-6)
+    np.testing.assert_allclose(chunk_q, full_q, rtol=1e-6, atol=1e-10)

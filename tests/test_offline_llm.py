@@ -646,3 +646,28 @@ def test_engine_speculative_matches_plain():
         b = spec.batch_infer(msgs, **kwargs)
         assert [r.text for r in a] == [r.text for r in b]
         assert all("decode_steps" in r.metadata for r in b)
+
+
+def test_generation_server_speculative_engine_concurrent():
+    """The window server over a speculative engine: 12 concurrent callers
+    batch into shared speculative decode programs and get the same text a
+    plain engine produces (greedy exactness holds through the server)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from comorag_tpu.llm.serving import GenerationServer
+
+    plain = JaxOfflineLLM(params=PARAMS, arch=ARCH, seed=0)
+    spec = JaxOfflineLLM(params=PARAMS, arch=ARCH, seed=0, speculative=True, draft_len=5)
+    with GenerationServer(spec, window_ms=25.0, max_batch=16) as server:
+        def ask(i):
+            return server.infer(
+                [{"role": "user", "content": f"question {i % 4}"}], max_tokens=8
+            )
+
+        with ThreadPoolExecutor(max_workers=12) as pool:
+            results = list(pool.map(ask, range(12)))
+
+    for i, r in enumerate(results):
+        direct = plain.infer([{"role": "user", "content": f"question {i % 4}"}], max_tokens=8)
+        assert r.text == direct.text
+        assert "decode_steps" in r.metadata
