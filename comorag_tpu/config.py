@@ -93,7 +93,7 @@ class ComoConfig:
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {"data": 2, "corpus": 4}; None = all devices on "corpus"
     topk_method: Literal["xla", "pallas"] = "xla"  # "pallas" = fused streaming MIPS kernel (ops/pallas_topk.py)
     scan_dtype: Optional[Literal["int8", "bfloat16"]] = None  # two-pass: compressed scan + exact fp32 rescore
-    topk_block_rows: int = 1024       # corpus rows per Pallas tile in the MIPS kernel
+    topk_block_rows: int = 512        # corpus rows per Pallas tile in the MIPS kernel (benched default)
     compute_dtype: Literal["float32", "bfloat16"] = "float32"
     ppr_max_iterations: int = 128     # power-iteration cap; damping 0.5 converges ~2^-128
     ppr_tolerance: float = 1e-10

@@ -19,6 +19,13 @@ class BaseEncoder(ABC):
     forward pass under jit and only surface host numpy at this boundary."""
 
     dim: int
+    #: default for encode(norm=None) — the reference's
+    #: ``embedding_return_as_normalized`` knob (config_utils.py), set by the
+    #: factory from ``ComoConfig.embedding_return_as_normalized``
+    default_norm: bool = True
+
+    def resolve_norm(self, norm) -> bool:
+        return self.default_norm if norm is None else bool(norm)
     #: bump in a subclass whenever its embedding function changes shape or
     #: semantics — persisted stores validate against the fingerprint so a
     #: changed encoder regenerates vectors instead of silently mixing old
@@ -36,12 +43,12 @@ class BaseEncoder(ABC):
         self,
         texts: Union[str, List[str]],
         instruction: str = "",
-        norm: bool = True,
+        norm=None,
     ) -> np.ndarray:
         ...
 
     # Reference-compatible alias (embedding_model/base.py:189)
-    def batch_encode(self, texts, instruction: str = "", norm: bool = True) -> np.ndarray:
+    def batch_encode(self, texts, instruction: str = "", norm=None) -> np.ndarray:
         return self.encode(texts, instruction=instruction, norm=norm)
 
     @staticmethod

@@ -399,7 +399,8 @@ class BGEJaxEncoder(BaseEncoder):
         return id_arr, mask_arr
 
     # --------------------------------------------------------------- encode
-    def encode(self, texts, instruction: str = "", norm: bool = True) -> np.ndarray:
+    def encode(self, texts, instruction: str = "", norm=None) -> np.ndarray:
+        norm = self.resolve_norm(norm)
         texts = self._as_list(texts)
         if not texts:
             return np.zeros((0, self.dim), np.float32)
@@ -438,13 +439,14 @@ class BGEJaxEncoder(BaseEncoder):
             drain_one()
         return np.concatenate(out, axis=0)
 
-    def encode_device(self, texts, instruction: str = "", norm: bool = True) -> jax.Array:
+    def encode_device(self, texts, instruction: str = "", norm=None) -> jax.Array:
         """Like :meth:`encode` but the result STAYS on device ([n, dim]
         jax array): the retrieval indexes accept device queries directly
         (MipsIndex._prep_queries), so query embeddings handed off this way
         never pay the device->host->device round-trip through the tunnel.
         Intended for query batches (a probe fan-out), not corpus encodes —
         the concatenated output lives in HBM."""
+        norm = self.resolve_norm(norm)
         texts = self._as_list(texts)
         if not texts:
             return jnp.zeros((0, self.dim), jnp.float32)

@@ -48,8 +48,9 @@ class HashEncoder(BaseEncoder):
         self,
         texts: Union[str, List[str]],
         instruction: str = "",
-        norm: bool = True,
+        norm=None,
     ) -> np.ndarray:
+        norm = self.resolve_norm(norm)
         texts = self._as_list(texts)
         out = np.zeros((len(texts), self.dim), dtype=np.float32)
         for i, text in enumerate(texts):

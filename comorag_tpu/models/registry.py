@@ -20,6 +20,15 @@ from comorag_tpu.models.hash_encoder import HashEncoder
 
 
 def get_encoder(config: ComoConfig, mesh=None) -> BaseEncoder:
+    enc = _build_encoder(config, mesh)
+    # reference knob parity (config_utils.py embedding_return_as_normalized):
+    # encode() calls that don't pass norm= follow this default, so an
+    # unnormalized deployment keeps queries and corpus in one space
+    enc.default_norm = bool(config.embedding_return_as_normalized)
+    return enc
+
+
+def _build_encoder(config: ComoConfig, mesh=None) -> BaseEncoder:
     name = config.embedding_model_name
     if name == "hash" or name.startswith("hash:"):
         dim = config.embedding_dim

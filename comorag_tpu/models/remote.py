@@ -68,7 +68,8 @@ class RemoteEncoder(BaseEncoder):
         raise RuntimeError("unreachable")
 
     # ---------------------------------------------------------------- encode
-    def encode(self, texts: Sequence[str], instruction: str = "", norm: bool = True) -> np.ndarray:
+    def encode(self, texts: Sequence[str], instruction: str = "", norm=None) -> np.ndarray:
+        norm = self.resolve_norm(norm)
         texts = [(instruction + t) if instruction else t for t in texts]
         # the API rejects empty strings — substitute a space (reference
         # behavior: OpenAI.py replaces empties before the call)

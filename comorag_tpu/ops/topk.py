@@ -270,6 +270,7 @@ def make_sharded_topk(
     method: str = "xla",
     int8: bool = False,
     interpret: bool = False,
+    tile_n: int = 512,
 ):
     """Build a jitted sharded top-k: corpus sharded row-wise on ``axis``,
     queries replicated, output replicated.
@@ -305,11 +306,12 @@ def make_sharded_topk(
             if int8:
                 local_scores, local_idx = pallas_mips_topk_int8(
                     queries, corpus_shard, scales_shard.reshape(1, -1),
-                    n_local, local_k, interpret=interpret,
+                    n_local, local_k, tile_n=tile_n, interpret=interpret,
                 )
             else:
                 local_scores, local_idx = pallas_mips_topk(
-                    queries, corpus_shard, n_local, local_k, interpret=interpret
+                    queries, corpus_shard, n_local, local_k, tile_n=tile_n,
+                    interpret=interpret,
                 )
         else:
             if int8:

@@ -116,7 +116,7 @@ class RetrievalEngine:
         if self._ready:
             return
         kw = dict(mesh=self.mesh, dtype=self.config.embedding_dtype, method=self.config.topk_method,
-                  scan_dtype=self.config.scan_dtype)
+                  scan_dtype=self.config.scan_dtype, tile_n=self.config.topk_block_rows)
         self.ver_index = MipsIndex(self.ver_store.matrix, **kw)
         self.passage_node_keys = self.ver_store.get_all_ids()
 
@@ -179,10 +179,13 @@ class RetrievalEngine:
                         self._query_cache.move_to_end((space, q))
             missing = list(dict.fromkeys(q for q in queries if q not in hits))
             if missing:
+                # norm=None defers to the encoder's default_norm
+                # (config.embedding_return_as_normalized) so query and
+                # corpus embeddings live in the same space either way
                 if device_enc is not None:
-                    embs = device_enc(missing, instruction=instruction, norm=True)
+                    embs = device_enc(missing, instruction=instruction, norm=None)
                 else:
-                    embs = self.encoder.encode(missing, instruction=instruction, norm=True)
+                    embs = self.encoder.encode(missing, instruction=instruction, norm=None)
                 with self._query_cache_lock:
                     for i, q in enumerate(missing):
                         row = embs[i] if device_enc is not None else np.asarray(embs[i], np.float32)

@@ -121,6 +121,7 @@ class MipsIndex:
         method: str = "xla",  # "xla" | "pallas" (fused streaming kernel)
         scan_dtype: Optional[str] = None,  # "int8" | "bfloat16": two-pass scan+exact-rescore
         scan_candidates: Optional[int] = None,  # rescore pool per query (default max(8k, 512))
+        tile_n: int = 512,  # Pallas corpus rows per tile (ComoConfig.topk_block_rows)
     ):
         self.n = int(matrix.shape[0])
         self.dim = int(matrix.shape[1]) if matrix.ndim == 2 and matrix.shape[1] else 1
@@ -147,9 +148,10 @@ class MipsIndex:
         self.method = method if (method == "pallas" and self.n >= 512 and on_tpu) else "xla"
 
         pad_to = max(8, self.n_shards * 8)
+        self.tile_n = max(8, int(tile_n))
         if self.method == "pallas":
             # every shard's rows must be tile-aligned for the kernel grid
-            pad_to = 512 * max(1, self.n_shards)
+            pad_to = self.tile_n * max(1, self.n_shards)
         self.n_pad = max(_round_up(max(self.n, 1), pad_to), self.n_shards * 8)
         padded = np.zeros((self.n_pad, self.dim), dtype=np.float32)
         if self.n:
@@ -232,7 +234,7 @@ class MipsIndex:
             if fn is None:
                 fn = make_sharded_topk(
                     self.mesh, k_pad, self.axis, exact=exact, packed=True,
-                    method=self.method, int8=self.int8,
+                    method=self.method, int8=self.int8, tile_n=self.tile_n,
                 )
                 self._sharded_topk_cache[key] = fn
             if self.int8:
@@ -246,8 +248,8 @@ class MipsIndex:
                 from comorag_tpu.ops.topk import _pack
 
                 @jax.jit
-                def fn(q, c, sc, nv, _k=k_pad):
-                    s, i = pallas_mips_topk_int8(q, c, sc.reshape(1, -1), nv, _k)
+                def fn(q, c, sc, nv, _k=k_pad, _t=self.tile_n):
+                    s, i = pallas_mips_topk_int8(q, c, sc.reshape(1, -1), nv, _k, tile_n=_t)
                     return _pack(s, i)
 
                 self._packed_topk_cache[("pallas_int8", k_pad)] = fn
@@ -283,8 +285,8 @@ class MipsIndex:
                 from comorag_tpu.ops.topk import _pack
 
                 @jax.jit
-                def fn(q, c, nv, _k=k_pad):
-                    s, i = pallas_mips_topk(q, c, nv, _k)
+                def fn(q, c, nv, _k=k_pad, _t=self.tile_n):
+                    s, i = pallas_mips_topk(q, c, nv, _k, tile_n=_t)
                     return _pack(s, i)
 
                 self._packed_topk_cache[("pallas", k_pad)] = fn

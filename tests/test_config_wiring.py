@@ -195,3 +195,39 @@ def test_openie_passes_response_format(monkeypatch):
     ie = OpenIE(llm, response_format={"type": "json_object"})
     ie.ner("c1", "Mara visited the lighthouse.")
     assert seen.get("response_format") == {"type": "json_object"}
+
+
+def test_embedding_return_as_normalized_wired():
+    """config.embedding_return_as_normalized reaches the encoder as its
+    default: False leaves raw (unnormalized) vectors; explicit norm= still
+    overrides per call (reference knob, config_utils.py)."""
+    from comorag_tpu.models.registry import get_encoder
+
+    raw_cfg = ComoConfig(embedding_model_name="hash", embedding_dim=64,
+                         embedding_return_as_normalized=False)
+    enc = get_encoder(raw_cfg)
+    vecs = enc.encode(["the lighthouse keeper kept detailed logs"] * 2)
+    norms = np.linalg.norm(vecs, axis=1)
+    assert not np.allclose(norms, 1.0)
+    assert np.allclose(np.linalg.norm(enc.encode(["x"], norm=True), axis=1), 1.0)
+
+    default_cfg = ComoConfig(embedding_model_name="hash", embedding_dim=64)
+    assert np.allclose(
+        np.linalg.norm(get_encoder(default_cfg).encode(["a b c"]), axis=1), 1.0
+    )
+
+
+def test_topk_block_rows_wired():
+    """config.topk_block_rows flows into MipsIndex.tile_n (the Pallas
+    corpus tile) through the engine's index construction kwargs."""
+    rng = np.random.default_rng(0)
+    idx = MipsIndex(rng.standard_normal((700, 32)).astype(np.float32), tile_n=256)
+    assert idx.tile_n == 256
+    cfg = ComoConfig(topk_block_rows=256)
+    assert cfg.topk_block_rows == 256
+    import inspect
+
+    from comorag_tpu.retrieval.engine import RetrievalEngine
+
+    src = inspect.getsource(RetrievalEngine.prepare)
+    assert "topk_block_rows" in src  # the engine forwards the knob
