@@ -61,6 +61,24 @@ def _max_batch_for_nodes(n_pad: int) -> int:
     return b
 
 
+# XLA's batched-gather strategy is shape-dependent in the lane (batch)
+# dimension: measured on a 400k-node / 5.6M-arc graph, the fused solve
+# runs 1.3 s at B=1 and 1.6 s at B=64 but 3.6 s at B=4 and 5.6 s at
+# B=16 — mid-width minor dims hit a slow path. Device batches therefore
+# pad up to this width (zero reset columns iterate for free and are
+# sliced off), which also collapses the jit shape zoo to one program.
+_GOOD_BATCH = 64
+
+
+def _pad_batch(b: int, n_pad: int) -> int:
+    """Device batch width to run at: B=1 keeps the fast single-column
+    shape; anything else pads to the measured good width, capped by the
+    VMEM budget."""
+    if b <= 1:
+        return b
+    return max(b, min(_GOOD_BATCH, _max_batch_for_nodes(n_pad)))
+
+
 def _ppr_iterate_nb(src, dst, rate, is_dangling, resets_nb, alpha, tol,
                     n_nodes: int, max_iters: int, axis=None):
     """Batched power iteration over [N, B] state; the single shared body
@@ -368,6 +386,24 @@ class PPRGraph:
                 np.concatenate([o[0] for o in outs]),
                 np.concatenate([o[1] for o in outs]),
             )
+        target = _pad_batch(b, self.n_pad)
+        if target > b:
+            # mid-width batches hit XLA's slow gather path — pad with
+            # zero-reset columns (they iterate for free) and slice off
+            pad = target - b
+            s_seeds = np.asarray(seed_idx).shape[1]
+            seed_idx = np.concatenate(
+                [np.asarray(seed_idx, np.int32), np.zeros((pad, s_seeds), np.int32)]
+            )
+            seed_w = np.concatenate(
+                [np.asarray(seed_w, np.float32), np.zeros((pad, s_seeds), np.float32)]
+            )
+            prior_pad = jnp.zeros((pad, prior_w.shape[1]), jnp.float32)
+            prior_w = jnp.concatenate(
+                [jnp.asarray(prior_w, jnp.float32), prior_pad], axis=0
+            )
+            scores, pos = self.query_topk(seed_idx, seed_w, prior_idx, prior_w, k, damping)
+            return scores[:b], pos[:b]
         args = (
             self._src,
             self._dst,
@@ -428,8 +464,9 @@ class PPRGraph:
             return np.concatenate(
                 [self.query(resets[i : i + max_b], damping) for i in range(0, b, max_b)]
             )
-        r_pad = np.zeros((b, self.n_pad), np.float32)
-        r_pad[:, :n] = resets
+        b_run = _pad_batch(b, self.n_pad)  # mid-width gather slow path
+        r_pad = np.zeros((b_run, self.n_pad), np.float32)
+        r_pad[:b, :n] = resets
         # fp32 L1 error floors near ~1e-7: a tighter tol would spin the
         # while_loop to max_iters without improving the (double-checked)
         # ranking. The native solver keeps the exact tol in float64.
@@ -444,7 +481,7 @@ class PPRGraph:
                 jnp.asarray(damping, jnp.float32),
                 jnp.asarray(device_tol, jnp.float32),
             )
-            return np.asarray(out)[:, :n]
+            return np.asarray(out)[:b, :n]
         out = _ppr_batch(
             self._src,
             self._dst,
@@ -456,7 +493,7 @@ class PPRGraph:
             self.n_pad,
             self.max_iters,
         )
-        return np.asarray(out)[:, :n]
+        return np.asarray(out)[:b, :n]
 
 
 def ppr_dense_reference(
