@@ -231,3 +231,38 @@ def test_topk_block_rows_wired():
 
     src = inspect.getsource(RetrievalEngine.prepare)
     assert "topk_block_rows" in src  # the engine forwards the knob
+
+
+def test_synonymy_k_limit_matches_full_topk():
+    """Retrieving only top-(max_neighbors + margin) neighbors must yield
+    exactly the edges the full synonymy_edge_topk retrieval yields — the
+    consumer caps accepted neighbors per node anyway."""
+    rng = np.random.default_rng(3)
+    n, d, mn = 120, 16, 5
+    base = rng.standard_normal((4, d)).astype(np.float32)
+    embs = base[rng.integers(0, 4, n)] + 0.05 * rng.standard_normal((n, d)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    keys = [f"entity-{i}" for i in range(n)]
+    texts = [f"entity number {i}" for i in range(n)]
+
+    b = GraphBuilder()
+    b.add_synonymy_edges(keys, texts, embs, topk=n, sim_threshold=0.8,
+                         max_neighbors=mn)
+    got = {kv: w for kv, w in b.stats.items()}
+
+    # brute-force oracle: full sort, same consumer semantics
+    sims = embs @ embs.T
+    want = {}
+    for qi in range(n):
+        order = np.argsort(-sims[qi], kind="stable")
+        num = 0
+        for ni in order:
+            if sims[qi, ni] < 0.8 or num >= mn:
+                break
+            if ni == qi:
+                continue
+            want[(keys[qi], keys[int(ni)])] = float(sims[qi, ni])
+            num += 1
+    assert set(got) == set(want)
+    for kv in want:
+        assert abs(got[kv] - want[kv]) < 1e-4
