@@ -193,13 +193,14 @@ class GraphBuilder:
             return 0
         embs = np.asarray(entity_embeddings, np.float32)
         # The consumer below accepts at most ``max_neighbors`` edges per
-        # node, skipping only self (1 entry) and empty-text neighbors
-        # (defensive, near-zero), so retrieving the reference's full
-        # topk=2047 per node is pure waste: top-(max_neighbors + 8) is
-        # outcome-identical and shrinks the [n, k] score/idx download ~19x
-        # (3.3 GB -> 173 MB at 200k entities) plus the top_k device cost,
-        # which grows steeply with k.
-        k = min(topk, n, max_neighbors + 8)
+        # node, skipping only self (<= 1 entry) and empty-text neighbors
+        # (counted exactly here), so retrieving the reference's full
+        # topk=2047 per node is pure waste: top-(max_neighbors + skips)
+        # is outcome-identical and shrinks the [n, k] score/idx download
+        # ~19x (3.3 GB -> 173 MB at 200k entities) plus the top_k device
+        # cost, which grows steeply with k.
+        n_empty = sum(1 for t in entity_texts if not t)
+        k = min(topk, n, max_neighbors + 1 + n_empty)
         batches = [embs[i : i + query_batch_size] for i in range(0, n, query_batch_size)]
         # a mesh shards the key matrix across devices, so the single-device
         # HBM budget doesn't apply — key-blocking there would trade one

@@ -36,7 +36,11 @@ class BaseEncoder(ABC):
     def fingerprint(self) -> str:
         extra = getattr(self, "fingerprint_extra", "")
         extra = f":{extra}" if extra else ""
-        return f"{type(self).__name__}{extra}:d{getattr(self, 'dim', 0)}:v{self.encoder_version}"
+        # normalization changes the vector space: a store built normalized
+        # must not validate against an unnormalized configuration (mixing
+        # scales silently biases rankings toward larger-norm rows)
+        raw = "" if self.default_norm else ":raw"
+        return f"{type(self).__name__}{extra}:d{getattr(self, 'dim', 0)}:v{self.encoder_version}{raw}"
 
     @abstractmethod
     def encode(

@@ -179,13 +179,15 @@ class RetrievalEngine:
                         self._query_cache.move_to_end((space, q))
             missing = list(dict.fromkeys(q for q in queries if q not in hits))
             if missing:
-                # norm=None defers to the encoder's default_norm
-                # (config.embedding_return_as_normalized) so query and
-                # corpus embeddings live in the same space either way
+                # norm is deliberately NOT passed: the encoder's own
+                # default (config.embedding_return_as_normalized for
+                # factory encoders, True for legacy injected encoders
+                # with the old `norm: bool = True` signature) applies to
+                # queries and corpus alike, keeping one vector space
                 if device_enc is not None:
-                    embs = device_enc(missing, instruction=instruction, norm=None)
+                    embs = device_enc(missing, instruction=instruction)
                 else:
-                    embs = self.encoder.encode(missing, instruction=instruction, norm=None)
+                    embs = self.encoder.encode(missing, instruction=instruction)
                 with self._query_cache_lock:
                     for i, q in enumerate(missing):
                         row = embs[i] if device_enc is not None else np.asarray(embs[i], np.float32)

@@ -148,7 +148,9 @@ class MipsIndex:
         self.method = method if (method == "pallas" and self.n >= 512 and on_tpu) else "xla"
 
         pad_to = max(8, self.n_shards * 8)
-        self.tile_n = max(8, int(tile_n))
+        # Mosaic tiling: the corpus tile's sublane dim must be a multiple
+        # of 32 (int8 kernel; fp32 needs 8) — round up, don't just floor
+        self.tile_n = max(32, ((int(tile_n) + 31) // 32) * 32)
         if self.method == "pallas":
             # every shard's rows must be tile-aligned for the kernel grid
             pad_to = self.tile_n * max(1, self.n_shards)

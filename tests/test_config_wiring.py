@@ -212,25 +212,34 @@ def test_embedding_return_as_normalized_wired():
     assert np.allclose(np.linalg.norm(enc.encode(["x"], norm=True), axis=1), 1.0)
 
     default_cfg = ComoConfig(embedding_model_name="hash", embedding_dim=64)
-    assert np.allclose(
-        np.linalg.norm(get_encoder(default_cfg).encode(["a b c"]), axis=1), 1.0
-    )
+    norm_enc = get_encoder(default_cfg)
+    assert np.allclose(np.linalg.norm(norm_enc.encode(["a b c"]), axis=1), 1.0)
+    # the normalization mode is part of the fingerprint: a store built
+    # normalized must NOT validate against an unnormalized config (mixed
+    # scales would silently bias rankings)
+    assert enc.fingerprint != norm_enc.fingerprint
+    assert enc.fingerprint.endswith(":raw")
 
 
-def test_topk_block_rows_wired():
+def test_topk_block_rows_wired(tmp_path):
     """config.topk_block_rows flows into MipsIndex.tile_n (the Pallas
-    corpus tile) through the engine's index construction kwargs."""
+    corpus tile) through the engine's index construction — asserted on
+    the built index, not the source text."""
     rng = np.random.default_rng(0)
     idx = MipsIndex(rng.standard_normal((700, 32)).astype(np.float32), tile_n=256)
     assert idx.tile_n == 256
-    cfg = ComoConfig(topk_block_rows=256)
-    assert cfg.topk_block_rows == 256
-    import inspect
+    # non-aligned values round UP to the Mosaic sublane multiple (32)
+    assert MipsIndex(rng.standard_normal((64, 8)).astype(np.float32), tile_n=100).tile_n == 128
 
-    from comorag_tpu.retrieval.engine import RetrievalEngine
-
-    src = inspect.getsource(RetrievalEngine.prepare)
-    assert "topk_block_rows" in src  # the engine forwards the knob
+    cfg = ComoConfig(
+        llm_name="fake", embedding_model_name="hash", embedding_dim=32,
+        need_cluster=False, skip_graph=True, topk_block_rows=256,
+        save_dir=str(tmp_path / "save"), output_dir=str(tmp_path / "out"),
+    )
+    rag = ComoRAG(cfg)
+    rag.index([f"chunk number {i} about topic {i}" for i in range(6)])
+    rag.engine.prepare()
+    assert rag.engine.ver_index.tile_n == 256
 
 
 def test_synonymy_k_limit_matches_full_topk():
