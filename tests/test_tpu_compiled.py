@@ -86,18 +86,23 @@ def test_compiled_two_pass_exact(data):
 
 
 def test_compiled_sharded_pallas_single_chip_mesh(data):
-    """shard_map + Pallas compiled together (1-chip 'corpus' mesh — the
-    single attached device still exercises the kernel-in-shard_map path)."""
+    """shard_map + Pallas compiled together. MipsIndex deliberately drops
+    a 1-shard mesh (shard_map overhead buys nothing there), so the
+    kernel-in-shard_map path is driven through make_sharded_topk directly
+    on the single attached device."""
     import jax
+    import jax.numpy as jnp
 
+    from comorag_tpu.ops.topk import make_sharded_topk
     from comorag_tpu.parallel.mesh import build_mesh
     from comorag_tpu.retrieval.index import MipsIndex
 
     c, q = data
     mesh = build_mesh({"corpus": 1}, devices=jax.devices()[:1])
-    idx = MipsIndex(c, mesh=mesh, method="pallas")
-    assert idx.mesh is not None and idx.method == "pallas"
-    exact = MipsIndex(c)
-    s_p, i_p = idx.topk(q, k=16)
-    s_x, i_x = exact.topk(q, k=16)
-    assert (i_p == i_x).all()
+    fn = make_sharded_topk(mesh, 16, "corpus", method="pallas")
+    n_pad = ((c.shape[0] + 511) // 512) * 512
+    c_pad = np.zeros((n_pad, c.shape[1]), np.float32)
+    c_pad[: c.shape[0]] = c
+    s_p, i_p = fn(jnp.asarray(q), jnp.asarray(c_pad), jnp.int32(c.shape[0]))
+    s_x, i_x = MipsIndex(c).topk(q, k=16)
+    assert (np.asarray(i_p) == i_x).all()
