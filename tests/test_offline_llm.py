@@ -671,3 +671,13 @@ def test_generation_server_speculative_engine_concurrent():
         direct = plain.infer([{"role": "user", "content": f"question {i % 4}"}], max_tokens=8)
         assert r.text == direct.text
         assert "decode_steps" in r.metadata
+
+
+def test_speculative_matches_sequential_int8():
+    """Speculative decode over int8-quantized weights (the shipped serving
+    dtype) emits exactly the sequential greedy stream."""
+    from comorag_tpu.models.decoder import quantize_params
+
+    qparams = quantize_params(PARAMS)
+    ids = jnp.asarray([[257, 10, 20, 30, 40, 50]], jnp.int32)
+    _spec_vs_sequential(qparams, ARCH, ids, jnp.ones_like(ids), max_new=16)
