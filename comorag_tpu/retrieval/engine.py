@@ -398,11 +398,9 @@ class RetrievalEngine:
             ver_handle = self.ver_index.scores_async(passage_embs)
             # candidates + min-max stats in one tiny transfer instead of
             # the full [B, F] fact-score matrix (72 MB at 282k facts)
-            fact_compact = (
-                self.fact_index is not None
-                and self.fact_index.mesh is None
-                and self._use_fact_compact
-            )
+            # works single-device AND sharded (make_sharded_topk_min): the
+            # mesh path no longer downloads the full [B, F] matrix
+            fact_compact = self.fact_index is not None and self._use_fact_compact
             if self.fact_index is not None and self.ppr is not None:
                 if fact_compact:
                     fact_handle = self.fact_index.topk_min_async(fact_embs, k=cfg.linking_top_k)

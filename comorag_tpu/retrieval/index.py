@@ -38,6 +38,8 @@ from comorag_tpu.ops.topk import (
     make_packed_two_pass_topk,
     make_sharded_scores,
     make_sharded_topk,
+    make_sharded_topk_min,
+    make_sharded_two_pass_topk,
     quantize_int8,
 )
 from comorag_tpu.utils.logging import get_logger
@@ -119,7 +121,7 @@ class MipsIndex:
         min_rows_per_shard: int = 256,
         dtype: str = "float32",  # "float32" | "bfloat16" | "int8" storage/scoring
         method: str = "xla",  # "xla" | "pallas" (fused streaming kernel)
-        scan_dtype: Optional[str] = None,  # "int8" | "bfloat16": two-pass scan+exact-rescore
+        scan_dtype: Optional[str] = "auto",  # "auto" | "int8" | "bfloat16" | None: two-pass scan+exact-rescore
         scan_candidates: Optional[int] = None,  # rescore pool per query (default max(8k, 512))
         tile_n: int = 512,  # Pallas corpus rows per tile (ComoConfig.topk_block_rows)
     ):
@@ -128,6 +130,14 @@ class MipsIndex:
         self.axis = axis
         self.int8 = dtype == "int8"  # 4x corpus capacity; approximate scores
         self.dtype = jnp.bfloat16 if dtype in ("bfloat16", "bf16") else jnp.float32
+        # "auto" (the ComoConfig default since r3): an fp32 XLA index
+        # auto-selects the exact int8-scan two-pass — it is strictly
+        # better than single-pass fp32 (exact results, ~2.3x throughput,
+        # BENCH_r02 detail) — once the corpus is big enough that the scan
+        # actually saves bytes (tiny corpora would just rescore everything).
+        self._scan_auto = scan_dtype == "auto"
+        if scan_dtype == "auto":
+            scan_dtype = "int8" if (dtype == "float32" and method != "pallas" and self.n >= 1024) else None
         self.scan_dtype = scan_dtype if (scan_dtype and dtype == "float32") else None
         self.scan_candidates = scan_candidates
 
@@ -180,18 +190,33 @@ class MipsIndex:
             else:
                 self.corpus = jax.device_put(host)
 
-        # Two-pass serving path (single-device fp32 + XLA method): a
-        # compressed scan copy rides next to the exact fp32 matrix
-        # (int8: +25% HBM; bf16: +50%) so the hot scan reads 1/4 or 1/2
-        # the bytes while results stay exact after the fp32 rescore.
-        if self.scan_dtype and (self.mesh is not None or self.method == "pallas" or self.dtype != jnp.float32):
-            logger.warning("scan_dtype=%s needs the single-device fp32 XLA path; disabled", self.scan_dtype)
+        # Two-pass serving path (fp32 XLA method, single-device OR
+        # corpus-sharded): a compressed scan copy rides next to the exact
+        # fp32 matrix (int8: +25% HBM; bf16: +50%) so the hot scan reads
+        # 1/4 or 1/2 the bytes while results stay exact after the fp32
+        # rescore. Under a mesh both copies shard row-wise and the rescore
+        # gather stays shard-local (make_sharded_two_pass_topk).
+        if self.scan_dtype and (self.method == "pallas" or self.dtype != jnp.float32):
+            logger.warning("scan_dtype=%s needs the fp32 XLA path; disabled", self.scan_dtype)
             self.scan_dtype = None
         if self.scan_dtype == "int8":
             self.scan_corpus, self.scan_scales = quantize_int8(padded)
+            if self.mesh is not None:
+                self.scan_corpus = jax.device_put(
+                    self.scan_corpus, NamedSharding(self.mesh, P(axis, None))
+                )
+                self.scan_scales = jax.device_put(
+                    self.scan_scales, NamedSharding(self.mesh, P(axis))
+                )
         elif self.scan_dtype in ("bfloat16", "bf16"):
             self.scan_dtype = "bfloat16"
-            self.scan_corpus = jax.device_put(padded.astype(jnp.bfloat16))
+            host_bf16 = padded.astype(jnp.bfloat16)
+            if self.mesh is not None:
+                self.scan_corpus = jax.device_put(
+                    host_bf16, NamedSharding(self.mesh, P(axis, None))
+                )
+            else:
+                self.scan_corpus = jax.device_put(host_bf16)
 
     # ------------------------------------------------------------------ topk
     def _prep_queries(self, queries) -> Tuple[jnp.ndarray, int]:
@@ -230,7 +255,31 @@ class MipsIndex:
         k_pad = min(_round_up(k_eff, 8), self.n_pad)
         k_pad = max(k_pad, k_eff)
 
-        if self.mesh is not None:
+        # Two-pass routing: the candidate pool c tracks k; top_k cost grows
+        # steeply with c (measured C=64 -> 23.5k qps, C=128 -> 13.7k,
+        # C=256 -> 8.7k ~= fp32 single-pass at 100k x 1024), so "auto"
+        # routes large-k calls (synonymy KNN sweeps etc.) back to the
+        # single-pass exact path instead of a worse two-pass.
+        c_cap = self.n_pad // self.n_shards if self.mesh is not None else self.n_pad
+        c = min(max(self.scan_candidates or 0, _round_up(k_pad + 8, 8), 64), c_cap)
+        use_scan = bool(self.scan_dtype) and not (self._scan_auto and c > 256)
+
+        if self.mesh is not None and use_scan:
+            # sharded exact two-pass: the candidate margin applies PER
+            # SHARD (each shard scans 1/n of the rows), so the same
+            # k+8 / floor-64 rule is strictly more conservative here
+            key = ("2pass", self.scan_dtype, k_pad, c)
+            fn = self._sharded_topk_cache.get(key)
+            if fn is None:
+                fn = make_sharded_two_pass_topk(
+                    self.mesh, k_pad, c, self.axis, scan=self.scan_dtype
+                )
+                self._sharded_topk_cache[key] = fn
+            if self.scan_dtype == "int8":
+                packed = fn(q_dev, self.scan_corpus, self.scan_scales, self.corpus, self.n_valid)
+            else:
+                packed = fn(q_dev, self.scan_corpus, self.corpus, self.n_valid)
+        elif self.mesh is not None:
             key = (k_pad, exact, self.method, self.int8)
             fn = self._sharded_topk_cache.get(key)
             if fn is None:
@@ -256,15 +305,12 @@ class MipsIndex:
 
                 self._packed_topk_cache[("pallas_int8", k_pad)] = fn
             packed = fn(q_dev, self.corpus, self.scales, self.n_valid)
-        elif self.scan_dtype:
-            # Candidate margin: top_k cost grows steeply with k (measured:
-            # C=64 -> 23.5k qps, C=128 -> 13.7k, C=256 -> 8.7k at 100k x
-            # 1024), while scan rank displacement is a few ranks (int8
+        elif use_scan:
+            # Candidate margin: scan rank displacement is a few ranks (int8
             # single-pass overlap@50 = 0.9825 => ~1 miss, near the
             # boundary). k+8 rounded up, floor 64, covers it; the bench
             # verifies overlap = 1.0 on every run.
-            # a candidate pool below k would silently truncate the result
-            c = min(max(self.scan_candidates or 0, _round_up(k_pad + 8, 8), 64), self.n_pad)
+            # (a candidate pool below k would silently truncate the result)
             key = ("2pass", self.scan_dtype, k_pad, c)
             fn = self._packed_topk_cache.get(key)
             if fn is None:
@@ -336,12 +382,25 @@ class MipsIndex:
 
     def topk_min_async(self, queries, k: int) -> "TopkMinHandle":
         """Top-k + per-row masked min in one packed transfer (fact-linking
-        fetch; see make_packed_topk_min). Single-device path — callers
-        fall back to scores_async when a mesh shards the matrix."""
+        fetch; see make_packed_topk_min / make_sharded_topk_min). Works at
+        any device count — under a mesh, per-shard exact scoring merges
+        over ICI so the host still receives ONE [P, 2k+1] buffer instead
+        of the full [P, F] score matrix."""
         from comorag_tpu.ops.topk import make_packed_topk_min
 
         q_dev, p = self._prep_queries(queries)
         k_eff = min(k, self.n)
+        if self.mesh is not None:
+            key = ("topk_min", k_eff, self.int8)
+            fn = self._sharded_topk_cache.get(key)
+            if fn is None:
+                fn = make_sharded_topk_min(self.mesh, k_eff, self.axis, int8=self.int8)
+                self._sharded_topk_cache[key] = fn
+            if self.int8:
+                packed = fn(q_dev, self.corpus, self.scales, self.n_valid)
+            else:
+                packed = fn(q_dev, self.corpus, self.n_valid)
+            return TopkMinHandle(packed, p, k_eff)
         key = ("topk_min", k_eff, self.int8)
         fn = self._packed_topk_cache.get(key)
         if fn is None:

@@ -130,13 +130,107 @@ def test_two_pass_k_larger_than_corpus_and_padding():
     assert idx.max() < 13  # padded rows never surface
 
 
-def test_two_pass_disabled_with_mesh_or_nonf32(cpu_mesh):
+def test_two_pass_disabled_with_nonf32():
     rng = np.random.default_rng(7)
     corpus = rng.standard_normal((8 * 300, 16)).astype(np.float32)
-    sharded = MipsIndex(corpus, mesh=cpu_mesh, scan_dtype="int8")
-    assert sharded.scan_dtype is None  # falls back with a warning
     bf16 = MipsIndex(corpus, dtype="bfloat16", scan_dtype="int8")
     assert bf16.scan_dtype is None  # scan only composes with fp32 storage
+
+
+@pytest.mark.parametrize("scan", ["int8", "bfloat16"])
+def test_sharded_two_pass_matches_sharded_exact(cpu_mesh, scan):
+    """VERDICT r2 #1: sharded two-pass == sharded fp32 exact at 8 shards
+    (same score values, same index sets)."""
+    rng = np.random.default_rng(8)
+    corpus = rng.standard_normal((8 * 413, 64)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = rng.standard_normal((9, 64)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    exact = MipsIndex(corpus, mesh=cpu_mesh, scan_dtype=None)
+    two_pass = MipsIndex(corpus, mesh=cpu_mesh, scan_dtype=scan)
+    assert two_pass.mesh is not None and two_pass.scan_dtype is not None
+
+    s_ref, i_ref = exact.topk(queries, k=25)
+    s_tp, i_tp = two_pass.topk(queries, k=25)
+    np.testing.assert_allclose(s_tp, s_ref, rtol=1e-5, atol=1e-5)
+    for row in range(9):
+        assert set(i_tp[row].tolist()) == set(i_ref[row].tolist())
+
+
+def test_sharded_two_pass_k_exceeds_shard_rows(cpu_mesh):
+    """k bigger than one shard's rows: every shard contributes all its
+    rows and the merge still sees the global top-k."""
+    rng = np.random.default_rng(9)
+    corpus = rng.standard_normal((8 * 256, 32)).astype(np.float32)
+    q = rng.standard_normal((3, 32)).astype(np.float32)
+    two_pass = MipsIndex(corpus, mesh=cpu_mesh, scan_dtype="int8")
+    single = MipsIndex(corpus, scan_dtype=None)
+    s_tp, i_tp = two_pass.topk(q, k=300)
+    s_ref, i_ref = single.topk(q, k=300)
+    np.testing.assert_allclose(s_tp, s_ref, rtol=1e-5, atol=1e-5)
+    assert i_tp.max() < corpus.shape[0]
+
+
+def test_scan_auto_resolution():
+    """scan_dtype="auto" (the default): fp32 XLA >=1024 rows -> int8
+    two-pass; small / bf16 / int8-storage indexes -> single-pass."""
+    rng = np.random.default_rng(10)
+    big = rng.standard_normal((2048, 32)).astype(np.float32)
+    small = rng.standard_normal((200, 32)).astype(np.float32)
+    assert MipsIndex(big).scan_dtype == "int8"
+    assert MipsIndex(small).scan_dtype is None
+    assert MipsIndex(big, dtype="bfloat16").scan_dtype is None
+    assert MipsIndex(big, dtype="int8").scan_dtype is None
+    assert MipsIndex(big, scan_dtype=None).scan_dtype is None
+
+
+def test_scan_auto_large_k_falls_back_exact():
+    """auto two-pass must route large-k sweeps (synonymy KNN) back to the
+    single-pass exact path — and stay correct either way."""
+    rng = np.random.default_rng(11)
+    corpus = rng.standard_normal((2048, 32)).astype(np.float32)
+    q = rng.standard_normal((2, 32)).astype(np.float32)
+    auto = MipsIndex(corpus)
+    ref = MipsIndex(corpus, scan_dtype=None)
+    for k in (10, 500):  # 500 -> candidate pool > 256 -> fp32 single-pass
+        s_a, i_a = auto.topk(q, k=k)
+        s_r, i_r = ref.topk(q, k=k)
+        np.testing.assert_allclose(s_a, s_r, rtol=1e-5, atol=1e-5)
+        for row in range(2):
+            assert set(i_a[row].tolist()) == set(i_r[row].tolist())
+
+
+def test_sharded_topk_min_matches_single(cpu_mesh):
+    """VERDICT r2 #1: the fused fact-linking fetch (top-k + row min in one
+    packed transfer) under a mesh == the single-device fused path."""
+    rng = np.random.default_rng(12)
+    corpus = rng.standard_normal((8 * 350, 48)).astype(np.float32)
+    q = rng.standard_normal((5, 48)).astype(np.float32)
+    sharded = MipsIndex(corpus, mesh=cpu_mesh)
+    single = MipsIndex(corpus)
+    assert sharded.mesh is not None
+    s_s, i_s, m_s = sharded.topk_min_async(q, k=7).result()
+    s_d, i_d, m_d = single.topk_min_async(q, k=7).result()
+    np.testing.assert_allclose(s_s, s_d, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(i_s, i_d)
+    np.testing.assert_allclose(m_s, m_d, rtol=1e-5, atol=1e-5)
+    # row min really is the min over valid rows only
+    full = q @ corpus.T
+    np.testing.assert_allclose(m_s, full.min(axis=1), rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_topk_min_int8(cpu_mesh):
+    rng = np.random.default_rng(13)
+    corpus = rng.standard_normal((8 * 300, 32)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    q = rng.standard_normal((3, 32)).astype(np.float32)
+    sharded = MipsIndex(corpus, mesh=cpu_mesh, dtype="int8")
+    single = MipsIndex(corpus, dtype="int8")
+    s_s, i_s, m_s = sharded.topk_min_async(q, k=5).result()
+    s_d, i_d, m_d = single.topk_min_async(q, k=5).result()
+    np.testing.assert_allclose(s_s, s_d, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(m_s, m_d, rtol=1e-3, atol=1e-3)
 
 
 def test_index_accepts_device_resident_queries():
