@@ -37,9 +37,14 @@ import numpy as np
 
 _EOS_SYM = 256  # virtual end-of-sequence column in the byte DFA
 _WS = b" \n\t"
-_STRING_BODY = bytes(
-    c for c in range(0x20, 256) if c not in (0x22, 0x5C)
-)  # printable/UTF-8 bytes except '"' and '\'
+# Single-byte (ASCII) string characters: 0x20..0x7E except '"' and '\'.
+# Bytes >= 0x80 are NOT free-standing — string bodies run a precise UTF-8
+# automaton (see _Builder.utf8_char), because a byte-capable vocab (llama
+# byte-fallback, byte-level BPE singles, the hermetic ByteTokenizer) could
+# otherwise be steered into emitting a lone continuation byte: byte-DFA-
+# legal, but invalid UTF-8, so the "guided" JSON wouldn't parse. Caught by
+# the r3 fuzz walk over a real BPE vocab.
+_ASCII_BODY = bytes(c for c in range(0x20, 0x7F) if c not in (0x22, 0x5C))
 _ESCAPABLE = b'"\\/bfnrt'
 
 # Canonical guided-decoding schemas (same field names as the reference's
@@ -132,6 +137,35 @@ class _Builder:
         if self.whitespace:
             self.add(s, _WS, s)
 
+    def utf8_char(self, s: int, t: int) -> None:
+        """One string character ``s -> t``: ASCII body bytes directly, and
+        the full well-formed-UTF-8 byte automaton (RFC 3629 table — E0/ED/
+        F0/F4 lead bytes get their narrowed continuation ranges so
+        overlongs and surrogates are unreachable)."""
+        cont = range(0x80, 0xC0)
+        self.add(s, _ASCII_BODY, t)
+        c1 = self.state()
+        self.add(c1, cont, t)
+        c2 = self.state()
+        self.add(c2, cont, c1)
+        c3 = self.state()
+        self.add(c3, cont, c2)
+        self.add(s, range(0xC2, 0xE0), c1)
+        e0 = self.state()
+        self.add(e0, range(0xA0, 0xC0), c1)
+        self.add(s, [0xE0], e0)
+        self.add(s, [e for e in range(0xE1, 0xF0) if e != 0xED], c2)
+        ed = self.state()
+        self.add(ed, range(0x80, 0xA0), c1)
+        self.add(s, [0xED], ed)
+        f0 = self.state()
+        self.add(f0, range(0x90, 0xC0), c2)
+        self.add(s, [0xF0], f0)
+        self.add(s, range(0xF1, 0xF4), c3)
+        f4 = self.state()
+        self.add(f4, range(0x80, 0x90), c2)
+        self.add(s, [0xF4], f4)
+
     def copy_entry(self, src: int, onto: int) -> None:
         """Merge ``src``'s outgoing transitions onto another state (the
         DFA-composition substitute for an epsilon edge)."""
@@ -151,7 +185,7 @@ class _Builder:
         in_str = self.state()
         end = self.state()
         esc = self.state()
-        self.add(in_str, _STRING_BODY, in_str)
+        self.utf8_char(in_str, in_str)
         self.add(in_str, b"\\", esc)
         self.add(esc, _ESCAPABLE, in_str)
         self.add(in_str, b'"', end)
@@ -162,7 +196,7 @@ class _Builder:
             first = self.state()
             esc0 = self.state()
             self.add(start, b'"', first)
-            self.add(first, _STRING_BODY, in_str)
+            self.utf8_char(first, in_str)
             self.add(first, b"\\", esc0)
             self.add(esc0, _ESCAPABLE, in_str)
         return end
@@ -328,11 +362,19 @@ def make_token_table(
     dfa: JsonDfa,
     token_bytes: Sequence[Optional[bytes]],
     eos_token_id: int,
+    check_liveness: bool = True,
 ) -> np.ndarray:
     """Product of the byte DFA with a tokenizer: ``[n_states, n_tokens]``
     int32, entry = state after emitting that token (-1 forbidden). For a
     byte-level tokenizer this is (a permutation of) the byte table; for a
-    sub-word vocab each token's full byte expansion is walked."""
+    sub-word vocab each token's full byte expansion is walked.
+
+    ``check_liveness`` (on by default; ADVICE r2 #2): verifies at build
+    time that (a) every state reachable from 0 by whole tokens allows at
+    least one token — a dead state would mask ALL logits to -inf and
+    silently emit token 0 off-grammar — and (b) the accept state (EOS) is
+    reachable from every such state, so constrained generation can always
+    terminate. Both fail loudly instead of at decode time."""
     n_states, n_tokens = dfa.n_states, len(token_bytes)
     table = np.full((n_states, n_tokens), -1, np.int32)
     for tok, data in enumerate(token_bytes):
@@ -349,4 +391,40 @@ def make_token_table(
             nxt[valid] = dfa.table[states[valid], byte]
             states = nxt
         table[:, tok] = states
+    if check_liveness:
+        succ: Dict[int, set] = {}
+        seen = {0}
+        frontier = [0]
+        while frontier:
+            s = frontier.pop()
+            row = table[s]
+            nxt = set(np.unique(row[row >= 0]).tolist())
+            if not nxt:
+                raise ValueError(
+                    f"guided decoding dead state {s}: no token in this "
+                    f"{n_tokens}-entry vocab can continue the grammar "
+                    "(token table over-constrained — check the tokenizer's "
+                    "byte expansion)"
+                )
+            succ[s] = nxt
+            for t in nxt:
+                if t not in seen:
+                    seen.add(t)
+                    frontier.append(t)
+        # co-reachability: accept must be reachable from every live state
+        co = {dfa.accept_state}
+        changed = True
+        while changed:
+            changed = False
+            for s, nxt in succ.items():
+                if s not in co and nxt & co:
+                    co.add(s)
+                    changed = True
+        stuck = seen - co
+        if stuck:
+            raise ValueError(
+                f"guided decoding: EOS unreachable from state(s) "
+                f"{sorted(stuck)[:8]} — this vocab cannot close the "
+                "grammar from there (generation would never terminate)"
+            )
     return table

@@ -127,9 +127,12 @@ class GenerationServer(BaseLLM):
         # share a while_loop program
         groups: Dict[Tuple, List[int]] = {}
         for i, (_, kw, _f) in enumerate(batch):
+            # `is None` (not falsy-or): an explicit max_tokens=0 must stay
+            # a minimal cap, not balloon to the engine default (ADVICE r2)
+            mt = kw.get("max_tokens")
             key = (
                 kw.get("json_template"),
-                int(kw.get("max_tokens") or self.engine.max_new_tokens),
+                int(self.engine.max_new_tokens if mt is None else mt),
                 kw.get("temperature"),
             )
             groups.setdefault(key, []).append(i)

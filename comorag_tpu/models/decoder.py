@@ -99,29 +99,56 @@ def init_params(key: jax.Array, arch: DecoderArch) -> Dict[str, Any]:
     return params
 
 
-def param_shardings(mesh, tp_axis: str = "model", arch: Optional[DecoderArch] = None):
+def param_shardings(
+    mesh,
+    tp_axis: str = "model",
+    arch: Optional[DecoderArch] = None,
+    quantized: bool = False,
+):
     """Tensor-parallel NamedShardings (megatron split): q/k/v/gate/up on
     their head/intermediate output dim, o/down on their input dim; norms,
     embeddings and lm_head replicated. XLA inserts the all-reduces.
     Pass ``arch`` so the tree matches tied-embedding checkpoints (no
-    ``lm_head`` leaf)."""
+    ``lm_head`` leaf).
+
+    ``quantized=True`` emits ``QuantWeight(spec_q, spec_scale)`` entries
+    for the matmul weights (VERDICT r2 task #3 — 1/4-HBM weights AND TP
+    together): output-dim-sharded weights shard q and their per-output-
+    channel scale along the SAME dim; input-dim-sharded weights (o/down)
+    keep the scale replicated — the scale epilogue distributes over the
+    partial-sum all-reduce (``(Σ partialₛ)·scale = Σ(partialₛ·scale)``),
+    so per-shard application is exact."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def ns(*spec):
         return NamedSharding(mesh, P(*spec))
 
+    def w3(in_spec, out_spec):
+        """A [L, in, out] matmul weight; scale is [L, 1, out]."""
+        full = ns(None, in_spec, out_spec)
+        if not quantized:
+            return full
+        return QuantWeight(q=full, scale=ns(None, None, out_spec))
+
+    def w2(in_spec, out_spec):
+        """A [in, out] matmul weight (lm_head); scale is [1, out]."""
+        full = ns(in_spec, out_spec)
+        if not quantized:
+            return full
+        return QuantWeight(q=full, scale=ns(None, out_spec))
+
     tree = {
         "embed": ns(None, None),
         "layers": {
             "attn_norm": ns(None, None),
-            "qkv_w": ns(None, None, tp_axis),
-            "o_w": ns(None, tp_axis, None),
+            "qkv_w": w3(None, tp_axis),
+            "o_w": w3(tp_axis, None),
             "ffn_norm": ns(None, None),
-            "gateup_w": ns(None, None, tp_axis),
-            "down_w": ns(None, tp_axis, None),
+            "gateup_w": w3(None, tp_axis),
+            "down_w": w3(tp_axis, None),
         },
         "final_norm": ns(None),
-        "lm_head": ns(None, None),
+        "lm_head": w2(None, None),
     }
     if arch is not None and arch.tie_embeddings:
         tree.pop("lm_head")
@@ -514,6 +541,8 @@ def generate_speculative(
     limit: Optional[jnp.ndarray] = None,
     prefix: Optional[KVCache] = None,
     row_valid: Optional[jnp.ndarray] = None,
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
 ) -> SpecGenerateResult:
     """Greedy generation with self-speculative (prompt-lookup) decoding.
@@ -537,6 +566,18 @@ def generate_speculative(
     is exact vs ``generate(temperature=0)`` — same tokens, same lengths
     (modulo float-associativity argmax ties between the [B,1] and [B,K+1]
     forward shapes).
+
+    ``temperature > 0`` (VERDICT r2 #5) switches verification to
+    rejection sampling (vLLM ngram-speculative semantics): the draft
+    proposal is deterministic (q = δ_draft), so a draft token d is
+    accepted with prob ``min(1, p(d)/q(d)) = p(d)`` under the
+    temperature-scaled (and DFA-masked) target distribution, and on
+    rejection the next chunk's entry token resamples from
+    ``norm(max(p − δ_d, 0))`` — implemented exactly by carrying the
+    rejected token's logit as −inf into the next step's categorical
+    draw. The committed sequence is therefore distributed identically to
+    sequential sampling, while accepted drafts still commit multiple
+    tokens per device step.
     """
     b, p = input_ids.shape
     k_draft = int(draft_len)
@@ -558,22 +599,37 @@ def generate_speculative(
         jnp.asarray(limit, jnp.int32), max_new_tokens
     )
 
-    def masked_argmax(logits, state):
+    def masked_logits(logits, state):
         if token_table is not None:
             allowed = token_table[state] >= 0  # [B, V]
             logits = jnp.where(allowed, logits, -jnp.inf)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return logits
+
+    def masked_argmax(logits, state):
+        return jnp.argmax(masked_logits(logits, state), axis=-1).astype(jnp.int32)
 
     rows = jnp.arange(b)[:, None]
+    sampling = temperature > 0.0
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
 
     def cond(state):
-        i, _, _, done, _, _, _, _, _ = state
+        i, _, _, done, _, _, _, _, _, _ = state
         return (i < step_cap) & ~jnp.all(done)
 
     def body(state):
-        i, cache, last_logits, done, dfa, out, slot_valid, n_emit, hist = state
+        i, cache, last_logits, done, dfa, out, slot_valid, n_emit, hist, key = state
         live = ~done
-        tok0 = masked_argmax(last_logits, dfa)  # == sequential greedy's next token
+        key, k0, kacc = jax.random.split(key, 3)
+        if sampling:
+            # entry token ~ target distribution; a rejection in the PREVIOUS
+            # step left the rejected token's logit at -inf, so this draw is
+            # exactly norm(max(p - δ_rejected, 0))
+            tok0 = jax.random.categorical(
+                k0, masked_logits(last_logits, dfa) / temperature, axis=-1
+            ).astype(jnp.int32)
+        else:
+            tok0 = masked_argmax(last_logits, dfa)  # == sequential greedy's next token
 
         # ---- draft: continue the most recent (prev, tok0) 2-gram in history
         hend = p + n_emit  # [B] index of the next history write
@@ -606,18 +662,38 @@ def generate_speculative(
                 params, chunk, pos, attn, cache, starts, arch, compute_dtype
             )  # [B, W, V]
 
-            # verify: greedy token after each chunk prefix, DFA advanced along it
-            greedy, states_after = [], []
+            # verify: DFA advanced along the chunk; accepted prefix by
+            # greedy equality (temp 0) or rejection sampling (temp > 0)
+            states_after, greedy, pd = [], [], []
             s = dfa
             for u in range(w):  # static unroll, W is small
                 if token_table is not None:
                     s = jnp.maximum(token_table[s, chunk[:, u]], 0)
                 states_after.append(s)
-                greedy.append(masked_argmax(logits[:, u, :], s))
-            greedy = jnp.stack(greedy, axis=1)          # [B, W]
+                if sampling:
+                    if u < w - 1:
+                        probs = jax.nn.softmax(
+                            masked_logits(logits[:, u, :], s) / temperature, axis=-1
+                        )
+                        pd.append(
+                            jnp.take_along_axis(
+                                probs, chunk[:, u + 1][:, None], axis=1
+                            )[:, 0]
+                        )
+                else:
+                    greedy.append(masked_argmax(logits[:, u, :], s))
             states_after = jnp.stack(states_after, 1)   # [B, W]
-            match = (chunk[:, 1:] == greedy[:, :-1]).astype(jnp.int32)
+            if sampling:
+                # deterministic draft (q = δ_d) => accept with prob p(d)
+                accept_p = jnp.stack(pd, axis=1)        # [B, W-1]
+                match = (
+                    jax.random.uniform(kacc, accept_p.shape) < accept_p
+                ).astype(jnp.int32)
+            else:
+                greedy = jnp.stack(greedy, axis=1)      # [B, W]
+                match = (chunk[:, 1:] == greedy[:, :-1]).astype(jnp.int32)
             n_acc = 1 + jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # [B] in 1..W
+            n_acc0 = n_acc  # pre-clip acceptance count (rejection detection)
             # stop the accepted prefix at the first EOS, then at the budget
             is_eos = chunk == eos_id
             first_eos = jnp.min(
@@ -646,6 +722,19 @@ def generate_speculative(
                     dfa,
                 )
             nxt = jnp.take_along_axis(logits, last_idx[:, None, None], axis=1)[:, 0, :]
+            if sampling:
+                # rejection handoff: when the prefix ended on a REJECTED
+                # draft (not an EOS/budget clip), the next entry draw must
+                # exclude that token — norm(max(p − δ_d, 0)) — which is a
+                # -inf logit carried into the next step's categorical
+                rejected = live & (n_acc0 < w) & (n_acc == n_acc0)
+                rej_tok = jnp.take_along_axis(
+                    chunk, jnp.clip(n_acc, 0, w - 1)[:, None], axis=1
+                )[:, 0]
+                excl = (
+                    jnp.arange(nxt.shape[1])[None, :] == rej_tok[:, None]
+                ) & rejected[:, None]
+                nxt = jnp.where(excl, -jnp.inf, nxt)
             last_logits = jnp.where(live[:, None], nxt, last_logits)
             return (cache, last_logits, done, dfa, out, slot_valid, n_emit, hist)
 
@@ -656,15 +745,15 @@ def generate_speculative(
         # unconditional chunk step costs only ~1.3x a 1-token step.
         args = (cache, last_logits, done, dfa, out, slot_valid, n_emit, hist)
         new_args = commit_step(args, chunk_full)
-        return (i + 1, *new_args)
+        return (i + 1, *new_args, key)
 
     out0 = jnp.full((b, max_new_tokens), pad_id, jnp.int32)
     done0 = jnp.zeros((b,), bool) if row_valid is None else ~row_valid.astype(bool)
     dfa0 = jnp.zeros((b,), jnp.int32)
     n_emit0 = jnp.zeros((b,), jnp.int32)
     init = (jnp.int32(0), cache0, last_logits0, done0, dfa0, out0, slot_valid0,
-            n_emit0, hist0)
-    steps, _, _, _, _, out, _, n_emit, _ = jax.lax.while_loop(cond, body, init)
+            n_emit0, hist0, rng)
+    steps, _, _, _, _, out, _, n_emit, _, _ = jax.lax.while_loop(cond, body, init)
     return SpecGenerateResult(out, n_emit, steps)
 
 

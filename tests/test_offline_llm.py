@@ -75,7 +75,9 @@ def test_token_table_multibyte_tokens():
     """Sub-word product: a token is allowed iff its WHOLE byte expansion is."""
     dfa = compile_json_schema(JSON_TEMPLATES["ner"])
     vocab = [b'{"named_entities":[', b'"ab"', b']}', b'"', b'x', b'{', None]
-    table = make_token_table(dfa, vocab, eos_token_id=6)
+    # deliberately partial vocab: skip the liveness audit (which would —
+    # correctly — reject it: 'x' opens string states this vocab can't close)
+    table = make_token_table(dfa, vocab, eos_token_id=6, check_liveness=False)
     s = 0
     assert table[s, 0] >= 0          # the fused prefix token is legal at start
     assert table[s, 4] == -1         # bare 'x' is not
@@ -204,6 +206,38 @@ def test_tp_sharded_generation_matches_unsharded():
     a = plain.infer(msgs, max_tokens=16)
     b = sharded.infer(msgs, max_tokens=16)
     assert a.text == b.text
+
+
+def test_int8_tp_matches_single_device_int8():
+    """VERDICT r2 #3: QuantWeight leaves shard over the model axis (q and
+    per-output-channel scale together) instead of replicating — int8-TP
+    generation must match single-device int8 exactly (greedy)."""
+    from jax.sharding import NamedSharding
+
+    from comorag_tpu.parallel.mesh import build_mesh
+
+    mesh = build_mesh({"model": 2}, devices=jax.devices()[:2])
+    plain = JaxOfflineLLM(params=PARAMS, arch=ARCH, seed=0, param_dtype="int8")
+    sharded = JaxOfflineLLM(
+        params=PARAMS, arch=ARCH, seed=0, param_dtype="int8", mesh=mesh
+    )
+    # the quantized matmul weights really live sharded on the TP axis
+    qkv = sharded.params["layers"]["qkv_w"]
+    assert qkv.q.dtype == jnp.int8
+    assert isinstance(qkv.q.sharding, NamedSharding)
+    assert "model" in (qkv.q.sharding.spec[-1] or ())
+    assert "model" in (qkv.scale.sharding.spec[-1] or ())
+    down = sharded.params["layers"]["down_w"]
+    assert "model" in (down.q.sharding.spec[1] or ())
+
+    msgs = [{"role": "user", "content": "tell me about the harbor"}]
+    a = plain.infer(msgs, max_tokens=16)
+    b = sharded.infer(msgs, max_tokens=16)
+    assert a.text == b.text
+    # guided decoding composes with int8-TP too
+    g1 = plain.infer(msgs, max_tokens=24, json_template="ner")
+    g2 = sharded.infer(msgs, max_tokens=24, json_template="ner")
+    assert g1.text == g2.text
 
 
 # ----------------------------------------------------------------- interface
@@ -681,3 +715,275 @@ def test_speculative_matches_sequential_int8():
     qparams = quantize_params(PARAMS)
     ids = jnp.asarray([[257, 10, 20, 30, 40, 50]], jnp.int32)
     _spec_vs_sequential(qparams, ARCH, ids, jnp.ones_like(ids), max_new=16)
+
+
+# ------------------------------------------------- real subword vocab (r2 #4)
+def _tiny_bpe_tokenizer(tmp_path, drop_chars=""):
+    """A REAL HF byte-level-BPE tokenizer (GPT-2 class) built offline:
+    all 256 single-byte tokens through the bytes<->unicode alphabet,
+    plus multi-byte merged tokens that cross JSON structural boundaries
+    ('{"', '":[', '"],' ...). ``drop_chars`` removes every token touching
+    those bytes — for testing the over-constrained failure mode."""
+    import json as _json
+
+    from transformers import GPT2Tokenizer
+
+    from comorag_tpu.llm.jax_offline import _gpt2_byte_unicode
+
+    b2u = _gpt2_byte_unicode()
+
+    def enc(raw: bytes) -> str:
+        return "".join(b2u[b] for b in raw)
+
+    singles = [enc(bytes([b])) for b in range(256)]
+    merged_raw = [
+        b'{"', b'":[', b'"],', b'"]}', b'"},', b'named', b'_entities',
+        b'triples', b'Thought', b'Answer', b' the', b'\n\n', b'ab',
+        b'\xc3\xa9',  # e-acute: a multi-byte utf-8 token
+        b'":"', b'","',
+    ]
+    merged = [enc(m) for m in merged_raw]
+    vocab_toks = [t for t in singles + merged
+                  if not any(enc(c.encode()) in t for c in drop_chars)]
+    vocab = {t: i for i, t in enumerate(vocab_toks)}
+    vocab["<|endoftext|>"] = len(vocab)
+    (tmp_path / "vocab.json").write_text(_json.dumps(vocab))
+    merges = ["#version: 0.2"]
+    for t in merged:
+        if t in vocab and len(t) >= 2:
+            merges.append(f"{t[:1]} {t[1:]}")
+    (tmp_path / "merges.txt").write_text("\n".join(merges) + "\n")
+    return GPT2Tokenizer(
+        str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt"),
+        unk_token="<|endoftext|>", bos_token="<|endoftext|>", eos_token="<|endoftext|>",
+    )
+
+
+def test_hf_byte_level_bpe_token_bytes(tmp_path):
+    """ADVICE r2 #1: byte-level-BPE tokens invert through the full GPT-2
+    byte<->unicode map — newline/tab/high-byte tokens expand to their REAL
+    bytes, not corrupted two-marker replacements."""
+    tok = _tiny_bpe_tokenizer(tmp_path)
+    arch = DecoderArch.tiny(vocab_size=len(tok))
+    llm = JaxOfflineLLM(
+        params=init_params(jax.random.PRNGKey(0), arch), arch=arch, tokenizer=tok
+    )
+    tb = llm._hf_token_bytes()
+    inv = {v: k for k, v in tok.get_vocab().items()}
+
+    def tid(raw: bytes) -> int:
+        from comorag_tpu.llm.jax_offline import _gpt2_byte_unicode
+
+        b2u = _gpt2_byte_unicode()
+        return tok.get_vocab()["".join(b2u[b] for b in raw)]
+
+    assert tb[tid(b"\n\n")] == b"\n\n"          # 'ĊĊ', not spaces
+    assert tb[tid(b"\t")] == b"\t"              # 'ĉ'
+    assert tb[tid(b" the")] == b" the"          # 'Ġthe'
+    assert tb[tid(b"\xc3\xa9")] == b"\xc3\xa9"  # multi-byte utf-8 survives
+    assert tb[tok.eos_token_id] is None         # specials forbidden
+
+
+def test_token_table_full_vocab_all_templates(tmp_path):
+    """Every template's token table over the FULL real-BPE vocab passes
+    the liveness + EOS-reachability audit (ADVICE r2 #2 wired in)."""
+    tok = _tiny_bpe_tokenizer(tmp_path)
+    arch = DecoderArch.tiny(vocab_size=len(tok))
+    llm = JaxOfflineLLM(
+        params=init_params(jax.random.PRNGKey(0), arch), arch=arch, tokenizer=tok
+    )
+    token_bytes = llm._hf_token_bytes()
+    for name in JSON_TEMPLATES:
+        dfa = compile_json_schema(JSON_TEMPLATES[name])
+        table = make_token_table(dfa, token_bytes, eos_token_id=tok.eos_token_id)
+        assert table.shape == (dfa.n_states, len(tok))
+
+
+def test_token_table_overconstrained_vocab_fails_loudly(tmp_path):
+    """A vocab that cannot close an array (']' removed) must fail at BUILD
+    time, not silently emit off-grammar tokens at decode time."""
+    tok = _tiny_bpe_tokenizer(tmp_path, drop_chars="]")
+    arch = DecoderArch.tiny(vocab_size=len(tok))
+    llm = JaxOfflineLLM(
+        params=init_params(jax.random.PRNGKey(0), arch), arch=arch, tokenizer=tok
+    )
+    token_bytes = llm._hf_token_bytes()
+    dfa = compile_json_schema(JSON_TEMPLATES["ner"])
+    with pytest.raises(ValueError, match="dead state|EOS unreachable"):
+        make_token_table(dfa, token_bytes, eos_token_id=tok.eos_token_id)
+
+
+def test_guided_fuzz_walks_emit_valid_json(tmp_path):
+    """Property fuzz (r2 #4): random token walks through the product table
+    — including boundary-crossing merged tokens — always decode to
+    schema-valid JSON once EOS is reached."""
+    rng = np.random.default_rng(0)
+    tok = _tiny_bpe_tokenizer(tmp_path)
+    arch = DecoderArch.tiny(vocab_size=len(tok))
+    llm = JaxOfflineLLM(
+        params=init_params(jax.random.PRNGKey(0), arch), arch=arch, tokenizer=tok
+    )
+    token_bytes = llm._hf_token_bytes()
+    for name in ("ner", "triples", "qa_cot"):
+        dfa = compile_json_schema(JSON_TEMPLATES[name])
+        table = make_token_table(dfa, token_bytes, eos_token_id=tok.eos_token_id)
+        # distance-to-accept (in tokens) for biased, terminating walks
+        succ = {}
+        for s in range(dfa.n_states):
+            row = table[s]
+            succ[s] = np.unique(row[row >= 0])
+        dist = {dfa.accept_state: 0}
+        frontier = [dfa.accept_state]
+        while frontier:
+            t = frontier.pop(0)
+            for s in range(dfa.n_states):
+                if s not in dist and t in succ[s]:
+                    dist[s] = dist[t] + 1
+                    frontier.append(s)
+        used_multibyte = False
+        for _ in range(20):
+            state, emitted = 0, []
+            for _step in range(200):
+                if state == dfa.accept_state:
+                    break
+                row = table[state]
+                allowed = np.flatnonzero(row >= 0)
+                assert allowed.size > 0
+                if rng.random() < 0.5:  # bias toward closing the grammar
+                    d = np.asarray([dist.get(int(row[a]), 1 << 30) for a in allowed])
+                    choice = allowed[int(np.argmin(d))]
+                else:
+                    choice = int(rng.choice(allowed))
+                if token_bytes[choice] and len(token_bytes[choice]) > 1:
+                    used_multibyte = True
+                emitted.append(int(choice))
+                state = int(row[choice])
+            assert state == dfa.accept_state, (name, state)
+            text = b"".join(token_bytes[t] for t in emitted).decode("utf-8")
+            obj = json.loads(text)  # valid JSON, always
+            assert dfa.accepts(text.encode())
+            if name == "ner":
+                assert set(obj) == {"named_entities"}
+        assert used_multibyte, "fuzz never exercised a multi-byte token"
+
+
+def test_guided_generation_with_real_bpe_tokenizer(tmp_path):
+    """End-to-end: random weights + the real BPE tokenizer + guided NER
+    template -> the generated text IS schema-valid JSON."""
+    tok = _tiny_bpe_tokenizer(tmp_path)
+    arch = DecoderArch.tiny(vocab_size=len(tok))
+    llm = JaxOfflineLLM(
+        params=init_params(jax.random.PRNGKey(3), arch), arch=arch, tokenizer=tok
+    )
+    out = llm.infer(
+        [{"role": "user", "content": "extract entities"}],
+        max_tokens=48, json_template="ner",
+    )
+    obj = json.loads(out.text)
+    assert set(obj) == {"named_entities"}
+
+
+# ------------------------------------------- speculative sampling (r2 #5)
+def test_speculative_sampling_matches_sequential_distribution():
+    """Rejection-sampling speculative decode must leave the OUTPUT
+    DISTRIBUTION identical to sequential sampling: compare both empirical
+    joints of the first two emitted tokens against the exact model joint
+    on a small-vocab arch (TV distance), and require that draft tokens
+    actually get accepted (multi-token steps happened)."""
+    from comorag_tpu.models.decoder import generate_speculative
+
+    arch = DecoderArch(
+        vocab_size=6, hidden_size=32, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=64, max_seq_len=64,
+    )
+    params = init_params(jax.random.PRNGKey(7), arch)
+    temp, eos, pad = 0.7, 5, 0
+    # repetitive prompt -> the 2-gram lookup finds real draft matches
+    prompt = [1, 2, 3, 1, 2, 3, 1, 2]
+    B, P = 256, len(prompt)
+    ids = jnp.broadcast_to(jnp.asarray(prompt, jnp.int32), (B, P))
+    mask = jnp.ones((B, P), jnp.int32)
+
+    # exact joint over (t1, t2) / (eos, END) from the model itself
+    pos = jnp.arange(P, dtype=jnp.int32)[None, :]
+    attn = jnp.tril(jnp.ones((1, P, P), bool))
+    logits, _ = decoder_forward(
+        params, ids[:1], pos, attn, KVCache.zeros(arch, 1, P), jnp.int32(0), arch
+    )
+    p1 = np.asarray(jax.nn.softmax(logits[0, -1] / temp))
+    exact = {}
+    for t1 in range(arch.vocab_size):
+        if t1 == eos:
+            exact[(t1, -1)] = float(p1[t1])
+            continue
+        seq = prompt + [t1]
+        n = len(seq)
+        lg, _ = decoder_forward(
+            params, jnp.asarray([seq], jnp.int32),
+            jnp.arange(n, dtype=jnp.int32)[None, :],
+            jnp.tril(jnp.ones((1, n, n), bool)),
+            KVCache.zeros(arch, 1, n), jnp.int32(0), arch,
+        )
+        p2 = np.asarray(jax.nn.softmax(lg[0, -1] / temp))
+        for t2 in range(arch.vocab_size):
+            exact[(t1, t2)] = float(p1[t1] * p2[t2])
+
+    def empirical(speculative, n_rounds=16):
+        counts = {}
+        total_steps = total_toks = 0
+        for r in range(n_rounds):
+            key = jax.random.PRNGKey(100 + r + (1000 if speculative else 0))
+            if speculative:
+                res = generate_speculative(
+                    params, ids, mask, arch, max_new_tokens=4, eos_id=eos,
+                    pad_id=pad, draft_len=3, temperature=temp, rng=key,
+                )
+                total_steps += int(res.steps) * B
+                total_toks += int(np.sum(np.asarray(res.lengths)))
+            else:
+                res = generate(
+                    params, ids, mask, arch, max_new_tokens=4, eos_id=eos,
+                    pad_id=pad, temperature=temp, rng=key,
+                )
+            toks = np.asarray(res.tokens)
+            lens = np.asarray(res.lengths)
+            for i in range(B):
+                t1 = int(toks[i, 0])
+                t2 = int(toks[i, 1]) if lens[i] >= 2 and t1 != eos else -1
+                counts[(t1, t2)] = counts.get((t1, t2), 0) + 1
+        n = n_rounds * B
+        return {k: v / n for k, v in counts.items()}, total_steps, total_toks
+
+    emp_seq, _, _ = empirical(False)
+    emp_spec, _, _ = empirical(True)
+    keys = set(exact) | set(emp_seq) | set(emp_spec)
+    tv_seq = 0.5 * sum(abs(emp_seq.get(k, 0.0) - exact.get(k, 0.0)) for k in keys)
+    tv_spec = 0.5 * sum(abs(emp_spec.get(k, 0.0) - exact.get(k, 0.0)) for k in keys)
+    # sequential sampling ~ the sampling-noise floor; speculative must sit
+    # in the same band, not drift (a broken accept rule shows up as 2-3x)
+    assert tv_seq < 0.08, tv_seq
+    assert tv_spec < 0.08, tv_spec
+    # and drafts really do get accepted under sampling: single-row runs
+    # where emitted tokens exceed loop iterations (multi-token commits)
+    multi = 0
+    for r in range(32):
+        res = generate_speculative(
+            params, ids[:1], mask[:1], arch, max_new_tokens=4, eos_id=eos,
+            pad_id=pad, draft_len=3, temperature=temp,
+            rng=jax.random.PRNGKey(5000 + r),
+        )
+        if int(np.asarray(res.lengths)[0]) > int(res.steps):
+            multi += 1
+    assert multi > 0, "no sampled draft was ever accepted in 32 runs"
+
+
+def test_engine_speculative_sampling_route():
+    """speculative engines keep multi-token steps at temperature>0 and
+    still produce parseable guided JSON."""
+    llm = JaxOfflineLLM(seed=2, speculative=True, temperature=0.7)
+    out = llm.infer(
+        [{"role": "user", "content": "harbor lights"}],
+        max_tokens=24, json_template="ner",
+    )
+    assert out.metadata.get("decode_steps", 0) >= 1
+    json.loads(out.text)
