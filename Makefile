@@ -1,7 +1,13 @@
-.PHONY: test bench bench-e2e dryrun smoke eval-smoke
+.PHONY: test tpu-test bench bench-e2e dryrun smoke eval-smoke
 
 test:
 	python -m pytest tests/ -q
+
+# Compiled-TPU lane (VERDICT r2 #9): runs the Mosaic/compiled tests on the
+# REAL chip once per round so kernel regressions don't surface first in
+# bench runs. Needs the axon TPU; ~minutes on first compile (cache warms).
+tpu-test:
+	COMORAG_TEST_TPU=1 python -m pytest tests/test_tpu_compiled.py -q
 
 bench:
 	python bench.py

@@ -31,16 +31,31 @@ ensure_compile_cache()
 
 _EDGE_BUCKETS = (1024, 4096, 16384, 65536, 262144, 1048576)
 _NODE_BUCKETS = (128, 512, 2048, 8192, 32768, 131072)
-# Above the largest bucket, nodes round up in FINE steps: the [n_pad, B]
-# fp32 iteration state falls off a ~128 MB (v5e VMEM-size) cliff — the
-# per-arc gather runs ~13x slower once the state can't stay resident
-# (measured: 524288x64x4B=134MB -> 12.7s/12 iters; 458752x64=112MB ->
-# 0.95s, same graph). Coarse x4 rounding (400665 -> 524288 nodes) was
-# exactly what pushed the 200k-chunk corpus over the edge.
-_NODE_BUCKET_STEP = 32768
-# Batch chunking keeps n_pad * chunk * 4B under this budget (empirically
-# fast through 117 MB; the cliff sits between that and 134 MB).
-_STATE_BYTES_BUDGET = 112 * 2**20
+
+# Tuning constants live in a per-device-kind profile (VERDICT r2 #6):
+#  - state_bytes_budget: above the largest node bucket, nodes round up in
+#    FINE steps because the [n_pad, B] fp32 iteration state falls off a
+#    VMEM-residency cliff — on the measured v5e (128 MiB VMEM) the
+#    per-arc gather runs ~13x slower once the state exceeds ~117-134 MB
+#    (524288x64x4B=134MB -> 12.7s/12 iters; 458752x64=112MB -> 0.95s).
+#    Batch chunking keeps n_pad * chunk * 4B under the budget.
+#  - good_batch: XLA's batched-gather strategy is shape-dependent in the
+#    lane dim — measured 400k nodes/5.6M arcs: 1.3s at B=1, 1.6s at B=64
+#    but 3.6s at B=4 / 5.6s at B=16; mid widths pad up to this.
+#  - crossover_batch_arcs: batch x arcs where the device solve beats the
+#    native float64 host solver (12-point sweep, PERF.md).
+# Resolution order (env > probe cache > VMEM table > v5e fallback) is in
+# ops/device_profile.py; lazy so importing never touches the backend.
+_PROFILE = None
+
+
+def _profile():
+    global _PROFILE
+    if _PROFILE is None:
+        from comorag_tpu.ops.device_profile import resolve_profile
+
+        _PROFILE = resolve_profile()
+    return _PROFILE
 
 
 def _bucket(n: int, buckets, step: int = 0) -> int:
@@ -53,30 +68,21 @@ def _bucket(n: int, buckets, step: int = 0) -> int:
 
 def _max_batch_for_nodes(n_pad: int) -> int:
     """Largest power-of-two reset batch whose [n_pad, B] fp32 state stays
-    under the VMEM-residency budget (floor 1)."""
-    cap = max(1, _STATE_BYTES_BUDGET // (n_pad * 4))
+    under the device profile's VMEM-residency budget (floor 1)."""
+    cap = max(1, _profile().state_bytes_budget // (n_pad * 4))
     b = 1
     while b * 2 <= cap:
         b *= 2
     return b
 
 
-# XLA's batched-gather strategy is shape-dependent in the lane (batch)
-# dimension: measured on a 400k-node / 5.6M-arc graph, the fused solve
-# runs 1.3 s at B=1 and 1.6 s at B=64 but 3.6 s at B=4 and 5.6 s at
-# B=16 — mid-width minor dims hit a slow path. Device batches therefore
-# pad up to this width (zero reset columns iterate for free and are
-# sliced off), which also collapses the jit shape zoo to one program.
-_GOOD_BATCH = 64
-
-
 def _pad_batch(b: int, n_pad: int) -> int:
     """Device batch width to run at: B=1 keeps the fast single-column
-    shape; anything else pads to the measured good width, capped by the
+    shape; anything else pads to the profiled good width, capped by the
     VMEM budget."""
     if b <= 1:
         return b
-    return max(b, min(_GOOD_BATCH, _max_batch_for_nodes(n_pad)))
+    return max(b, min(_profile().good_batch, _max_batch_for_nodes(n_pad)))
 
 
 def _ppr_iterate_nb(src, dst, rate, is_dangling, resets_nb, alpha, tol,
@@ -290,7 +296,7 @@ class PPRGraph:
             self._w_host = np.asarray(weights, np.float32)
         else:
             self._native = None
-        self.n_pad = _bucket(max(n_nodes, 2), _NODE_BUCKETS, _NODE_BUCKET_STEP)
+        self.n_pad = _bucket(max(n_nodes, 2), _NODE_BUCKETS, _profile().node_bucket_step)
         self.max_iters = max_iters
         self.tol = tol
 
@@ -340,13 +346,22 @@ class PPRGraph:
             self._dangling = jnp.asarray(is_dangling)
 
     def routes_device(self, b: int) -> bool:
-        """Whether a b-reset batch solves on device (vs the native host
-        solver) under the measured crossover rule — see query()."""
+        """Whether a b-reset batch solves on device (vs the native float64
+        host solver) under the profiled crossover rule — see query().
+
+        Under a mesh the arc list is SHARDED: each device's per-step work
+        is arcs/n_shards (plus one psum), so the crossover compares the
+        per-shard arc count (VERDICT r2 weak #6 — the single-chip constant
+        over-counted sharded work by n_shards). This is also the mesh
+        path's float64 escape hatch: small-batch queries on an ``auto``
+        graph still route to the exact host solver."""
         if self._native is None or self.backend == "device":
             return True
         if self.backend == "native":
             return False
-        return b * max(len(self._src_host), 1) >= 16_000_000
+        shards = self.mesh.shape[self.axis] if self.mesh is not None else 1
+        arcs_per_shard = max(len(self._src_host) // max(shards, 1), 1)
+        return b * arcs_per_shard >= _profile().crossover_batch_arcs
 
     def query_topk(
         self,
