@@ -154,8 +154,14 @@ def encoder_forward(
     attention_mask: jnp.ndarray,  # [B, S] int32/bool
     arch: EncoderArch,
     compute_dtype=jnp.float32,
+    attention: str = "xla",       # "xla" | "pallas" | "pallas_interpret"
 ) -> jnp.ndarray:
-    """Token embeddings -> transformer stack (lax.scan) -> [B, S, H]."""
+    """Token embeddings -> transformer stack (lax.scan) -> [B, S, H].
+
+    ``attention="pallas"`` runs the fused VMEM-resident attention kernel
+    (ops/pallas_attention.py) — the [B, H, S, S] score tensor never hits
+    HBM. Inference-path only (the kernel has no VJP); training keeps the
+    XLA attention."""
     b, s = input_ids.shape
     h = arch.hidden_size
     heads = arch.num_heads
@@ -182,10 +188,18 @@ def encoder_forward(
         k = proj(layer["k_w"], layer["k_b"]).reshape(b, s, heads, head_dim).transpose(0, 2, 1, 3)
         v = proj(layer["v_w"], layer["v_b"]).reshape(b, s, heads, head_dim).transpose(0, 2, 1, 3)
 
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-        scores = scores / jnp.sqrt(float(head_dim)) + mask_bias
-        probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=compute_dtype)
+        if attention.startswith("pallas"):
+            from comorag_tpu.ops.pallas_attention import flash_encoder_attention
+
+            ctx = flash_encoder_attention(
+                q, k, v, attention_mask,
+                interpret=attention == "pallas_interpret",
+            )
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+            scores = scores / jnp.sqrt(float(head_dim)) + mask_bias
+            probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=compute_dtype)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
         attn_out = (jnp.dot(ctx, layer["o_w"].astype(compute_dtype), preferred_element_type=compute_dtype)
                     + layer["o_b"].astype(compute_dtype))
@@ -211,10 +225,13 @@ def encode_pooled(
     arch: EncoderArch,
     compute_dtype=jnp.float32,
     normalize: bool = True,
+    attention: str = "xla",
 ) -> jnp.ndarray:
     """Forward -> masked mean pooling -> (optional) L2 normalization.
     Pooling semantics match BGEEmbedding.mean_pooling (:15-28)."""
-    hidden = encoder_forward(params, input_ids, attention_mask, arch, compute_dtype)
+    hidden = encoder_forward(
+        params, input_ids, attention_mask, arch, compute_dtype, attention=attention
+    )
     mask = attention_mask[..., None].astype(jnp.float32)
     pooled = jnp.sum(hidden * mask, axis=1) / jnp.maximum(jnp.sum(mask, axis=1), 1e-9)
     if normalize:
@@ -334,6 +351,7 @@ class BGEJaxEncoder(BaseEncoder):
         batch_size: int = 32,
         mesh=None,
         compute_dtype=jnp.float32,
+        attention: str = "auto",  # "auto" | "xla" | "pallas"
     ):
         if params is None or arch is None:
             if model_name_or_path is None:
@@ -366,10 +384,23 @@ class BGEJaxEncoder(BaseEncoder):
         else:
             self._batch_sharding = None
 
+        # "auto": the fused attention kernel on a real single-device TPU
+        # backend, the XLA path elsewhere (CPU tests use
+        # attention="pallas_interpret" explicitly). Meshes keep XLA
+        # attention — GSPMD can't auto-partition a pallas_call; the
+        # sharded encode path would need a shard_map wrapper.
+        if attention == "auto":
+            on_tpu = jax.default_backend() not in ("cpu", "gpu")
+            attention = "pallas" if (on_tpu and mesh is None) else "xla"
+        self.attention = attention
         self._encode_fn = functools.partial(
-            jax.jit(encode_pooled, static_argnames=("arch", "compute_dtype", "normalize")),
+            jax.jit(
+                encode_pooled,
+                static_argnames=("arch", "compute_dtype", "normalize", "attention"),
+            ),
             arch=self.arch,
             compute_dtype=self.compute_dtype,
+            attention=self.attention,
         )
 
     # ------------------------------------------------------------- tokenize

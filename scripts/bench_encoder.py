@@ -16,9 +16,12 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -51,29 +54,40 @@ def main() -> None:
         for _ in range(args.texts)
     ]
 
+    # FLOPs per text at S=512: 12 layers x (4 QKVO + 2 FFN matmuls) +
+    # 2 attention matmuls per layer — the MFU denominator for v5e bf16
+    # peak (197 TFLOP/s)
+    h, i_sz, L, S = arch.hidden_size, arch.intermediate_size, arch.num_layers, 512
+    flops_text = 2 * S * L * (4 * h * h + 2 * h * i_sz) + 2 * L * (2 * S * S * h)
+    peak = 197e12
+
     for dtype_name, dtype in (("bf16", jnp.bfloat16), ("fp32", jnp.float32)):
-        enc = BGEJaxEncoder(
-            params=params,
-            arch=arch,
-            max_seq_len=512,
-            batch_size=args.batch,
-            compute_dtype=dtype,
-        )
-        enc.encode(texts[: args.batch])  # compile + warm
-        t0 = time.perf_counter()
-        out = enc.encode(texts)
-        dt = time.perf_counter() - t0
-        tps = len(texts) / dt
-        print(json.dumps({
-            "metric": "encoder_texts_per_s",
-            "dtype": dtype_name,
-            "seq": 512,
-            "batch": args.batch,
-            "texts": len(texts),
-            "value": round(tps, 1),
-            "wall_s": round(dt, 2),
-            "dim": int(out.shape[1]),
-        }), flush=True)
+        for attn in ("pallas", "xla"):
+            enc = BGEJaxEncoder(
+                params=params,
+                arch=arch,
+                max_seq_len=512,
+                batch_size=args.batch,
+                compute_dtype=dtype,
+                attention=attn,
+            )
+            enc.encode(texts[: args.batch])  # compile + warm
+            t0 = time.perf_counter()
+            out = enc.encode(texts)
+            dt = time.perf_counter() - t0
+            tps = len(texts) / dt
+            print(json.dumps({
+                "metric": "encoder_texts_per_s",
+                "dtype": dtype_name,
+                "attention": attn,
+                "seq": 512,
+                "batch": args.batch,
+                "texts": len(texts),
+                "value": round(tps, 1),
+                "wall_s": round(dt, 2),
+                "mfu_vs_bf16_peak": round(tps * flops_text / peak, 4),
+                "dim": int(out.shape[1]),
+            }), flush=True)
 
 
 if __name__ == "__main__":

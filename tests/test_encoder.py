@@ -199,3 +199,34 @@ def test_encode_device_matches_encode():
     dev = np.asarray(enc.encode_device(texts))
     assert dev.shape == host.shape
     np.testing.assert_allclose(host, dev, atol=1e-6)
+
+
+def test_pallas_attention_matches_xla(tiny):
+    """The fused VMEM-resident attention (ops/pallas_attention.py,
+    interpret mode on CPU) must match the XLA attention path, including
+    padded-key masking and bf16 compute."""
+    arch, params = tiny
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(2, arch.vocab_size, (8, 32)), jnp.int32)
+    mask = np.ones((8, 32), np.int32)
+    mask[3, 20:] = 0  # padded keys must be invisible
+    mask[7, 5:] = 0
+    mask = jnp.asarray(mask)
+
+    ref = encode_pooled(params, ids, mask, arch, attention="xla")
+    got = encode_pooled(params, ids, mask, arch, attention="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    ref16 = encode_pooled(params, ids, mask, arch, compute_dtype=jnp.bfloat16,
+                          attention="xla")
+    got16 = encode_pooled(params, ids, mask, arch, compute_dtype=jnp.bfloat16,
+                          attention="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(got16), np.asarray(ref16), rtol=2e-2, atol=2e-2)
+
+
+def test_encoder_auto_attention_resolves_xla_on_cpu(tiny):
+    arch, params = tiny
+    enc = BGEJaxEncoder(params=params, arch=arch, tokenizer=SimpleHashTokenizer())
+    assert enc.attention == "xla"  # CPU backend: kernel needs a real TPU
+    out = enc.encode(["hello world", "harbor lights"])
+    assert out.shape == (2, arch.hidden_size)

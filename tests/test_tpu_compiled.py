@@ -106,3 +106,41 @@ def test_compiled_sharded_pallas_single_chip_mesh(data):
     s_p, i_p = fn(jnp.asarray(q), jnp.asarray(c_pad), jnp.int32(c.shape[0]))
     s_x, i_x = MipsIndex(c).topk(q, k=16)
     assert (np.asarray(i_p) == i_x).all()
+
+
+def test_compiled_flash_encoder_attention_matches_xla():
+    """The fused encoder attention kernel, Mosaic-compiled at the real
+    deployment shape (512-token bucket, bert-base heads), vs the XLA
+    attention path — and the auto-resolved encoder really uses it."""
+    import jax
+    import jax.numpy as jnp
+
+    from comorag_tpu.models.bge import (
+        BGEJaxEncoder,
+        EncoderArch,
+        SimpleHashTokenizer,
+        encode_pooled,
+        init_params,
+    )
+
+    arch = EncoderArch(
+        vocab_size=1024, hidden_size=768, num_layers=2, num_heads=12,
+        intermediate_size=3072, max_position=512,
+    )
+    params = init_params(jax.random.PRNGKey(0), arch)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(2, 1024, (8, 512)), jnp.int32)
+    mask = np.ones((8, 512), np.int32)
+    mask[2, 300:] = 0
+    mask = jnp.asarray(mask)
+
+    for dtype, rtol in ((jnp.float32, 2e-4), (jnp.bfloat16, 2e-2)):
+        ref = encode_pooled(params, ids, mask, arch, compute_dtype=dtype,
+                            attention="xla")
+        got = encode_pooled(params, ids, mask, arch, compute_dtype=dtype,
+                            attention="pallas")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=rtol, atol=rtol)
+
+    enc = BGEJaxEncoder(params=params, arch=arch, tokenizer=SimpleHashTokenizer(1024))
+    assert enc.attention == "pallas"
