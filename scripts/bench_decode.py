@@ -132,14 +132,19 @@ def main() -> None:
 
         if dtype_name == "fp32":
             continue  # speculative rows: the two shipping dtypes only
-        for spec_mode, spec_ids, spec_table in (
-            ("spec_free", ids, None),            # acceptance ~0: overhead floor
-            ("spec_echo", echo_ids, lin_j),      # acceptance 1.0: upper bound
+        for spec_mode, spec_ids, spec_table, spec_temp in (
+            ("spec_free", ids, None, 0.0),          # acceptance ~0: overhead floor
+            ("spec_echo", echo_ids, lin_j, 0.0),    # acceptance 1.0: upper bound
+            # rejection-sampling verification (VERDICT r2 #5): the echo
+            # grammar leaves one legal token per state, so p(d)=1 and
+            # drafts still accept — sampled decoding keeps multi-token steps
+            ("spec_echo_t0.7", echo_ids, lin_j, 0.7),
         ):
             kwargs = dict(
                 arch=arch, max_new_tokens=args.new,
                 eos_id=arch.vocab_size - 1, pad_id=0, draft_len=7,
                 token_table=spec_table, compute_dtype=dtype,
+                temperature=spec_temp, rng=jax.random.PRNGKey(9),
             )
             r = spec_gen(params, spec_ids, mask, **kwargs)
             np.asarray(r.tokens)
@@ -155,6 +160,7 @@ def main() -> None:
                 "metric": "decode_tokens_per_s",
                 "dtype": dtype_name,
                 "mode": spec_mode,
+                "temperature": spec_temp,
                 "batch": args.batch,
                 "prompt": args.prompt,
                 "new_tokens": args.new,

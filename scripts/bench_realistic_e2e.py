@@ -1,0 +1,179 @@
+"""Realistic-stack end-to-end benchmark (VERDICT r2 #2).
+
+Every previous e2e number paired the hash encoder with the fake LLM; this
+run measures the reference's actual deployment shape
+(`/root/reference/main_vllm.py:10-95` — local embedder + in-process vLLM
+engine driving index + QA) rebuilt TPU-native:
+
+  - encoder: the REAL JAX BGE-class transformer at bert-base scale
+    (12L x 768h, 512-token window), loaded through the same HF-conversion
+    path the parity tests prove, random weights (zero egress — throughput
+    is weight-value independent);
+  - LLM: the in-process JAX generation engine at ~0.9B params, int8
+    weights, speculative decoding, guided-JSON OpenIE, behind the
+    window-batching GenerationServer (the meta loop calls it from 16
+    threads);
+  - pipeline: full index (embed -> timeline -> semantic tree -> guided
+    OpenIE -> graph) + tri-layer retrieval + the complete meta QA loop.
+
+Answer QUALITY is meaningless under random weights (the engine emits
+schema-valid but semantically empty JSON); what this measures is the
+real compute envelope: index wall per stage, probe fan-out QPS, and
+questions/s through the full loop. Results recorded in PERF.md
+("realistic stack").
+
+Usage: python scripts/bench_realistic_e2e.py [--chunks 10000] [--questions 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench_e2e import make_corpus  # noqa: E402  (same planted-gold corpus)
+
+from comorag_tpu.comorag import ComoRAG  # noqa: E402
+from comorag_tpu.config import ComoConfig  # noqa: E402
+from comorag_tpu.utils import trace  # noqa: E402
+
+
+def build_encoder(batch_size: int):
+    """bert-base-shaped JAX encoder through the HF conversion path."""
+    ckpt = "/tmp/bert-base-random"
+    if not os.path.exists(os.path.join(ckpt, "config.json")):
+        import torch  # noqa: F401
+        import transformers
+
+        model = transformers.BertModel(transformers.BertConfig()).eval()
+        model.save_pretrained(ckpt)
+    import jax.numpy as jnp
+
+    from comorag_tpu.models.bge import BGEJaxEncoder, load_hf_checkpoint
+
+    params, arch = load_hf_checkpoint(ckpt)
+    return BGEJaxEncoder(
+        params=params, arch=arch, max_seq_len=512, batch_size=batch_size,
+        compute_dtype=jnp.bfloat16,
+    )
+
+
+def build_llm(max_new_tokens: int):
+    """~0.9B-param llama-class engine: int8 weights, speculative decode,
+    byte vocab (hermetic), window-batching server."""
+    import jax
+
+    from comorag_tpu.llm.jax_offline import JaxOfflineLLM
+    from comorag_tpu.llm.serving import GenerationServer
+    from comorag_tpu.models.decoder import DecoderArch, init_params
+
+    arch = DecoderArch(
+        vocab_size=259,  # byte tokenizer vocab; embed/lm_head are the small part
+        hidden_size=2048,
+        num_layers=16,
+        num_heads=16,
+        num_kv_heads=8,
+        intermediate_size=5632,
+        max_seq_len=4096,
+    )
+    n_params = sum(
+        int(np.prod(p.shape))
+        for p in jax.tree.leaves(init_params(jax.random.PRNGKey(0), arch))
+    )
+    engine = JaxOfflineLLM(
+        params=init_params(jax.random.PRNGKey(0), arch),
+        arch=arch,
+        param_dtype="int8",
+        speculative=True,
+        max_new_tokens=max_new_tokens,
+        temperature=0.0,
+    )
+    return GenerationServer(engine), n_params
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunks", type=int, default=10_000)
+    ap.add_argument("--questions", type=int, default=16)
+    ap.add_argument("--probes", type=int, default=64)
+    ap.add_argument("--max_new_tokens", type=int, default=64,
+                    help="per-call decode cap (random weights never EOS on "
+                    "free-run prompts; real models stop near this length)")
+    ap.add_argument("--gmm_max_clusters", type=int, default=20)
+    args = ap.parse_args()
+
+    chunks, golds = make_corpus(args.chunks, args.probes)
+    tmp = tempfile.mkdtemp(prefix="bench_realistic_")
+    config = ComoConfig(
+        llm_name="jax-offline-0.9B",  # label only; instances injected below
+        embedding_model_name="bge:random-bert-base",
+        embedding_dim=768,
+        need_cluster=True,
+        response_format=True,
+        save_dir=os.path.join(tmp, "outputs"),
+        output_dir=os.path.join(tmp, "results"),
+        gmm_max_clusters=args.gmm_max_clusters,
+        gmm_em_iterations=30,
+        max_meta_loop_iterations=1,
+    )
+    t0 = time.perf_counter()
+    llm, n_params = build_llm(args.max_new_tokens)
+    encoder = build_encoder(batch_size=32)
+    setup_s = time.perf_counter() - t0
+    rag = ComoRAG(config, llm=llm, encoder=encoder)
+
+    t0 = time.perf_counter()
+    rag.index(chunks)
+    index_s = time.perf_counter() - t0
+    rag.engine.prepare()
+
+    queries = [g["query"] for g in golds]
+    rag.engine.tri_retrieve_batch(queries, ver_top_k=10)  # warmup/compile
+    t0 = time.perf_counter()
+    results = rag.engine.tri_retrieve_batch(queries, ver_top_k=10)
+    retrieve_s = time.perf_counter() - t0
+    hits = sum(
+        1 for g, res in zip(golds, results)
+        if any(g["token"] in d for d in res.veridical[:10])
+    )
+
+    n_q = min(args.questions, len(queries))
+    rag.try_answer(queries[:2])  # warmup
+    t0 = time.perf_counter()
+    rag.try_answer(queries[:n_q])
+    qa_s = time.perf_counter() - t0
+
+    spans = trace.summary()["spans"]
+    print(json.dumps({
+        "stack": "jax-bge-bert-base + jax-offline-int8-speculative",
+        "llm_params_b": round(n_params / 1e9, 2),
+        "chunks": args.chunks,
+        "setup_s": round(setup_s, 1),
+        "index_wall_s": round(index_s, 1),
+        "index_stages_s": {
+            k.split(".", 1)[1]: v["total_s"]
+            for k, v in spans.items() if k.startswith("index.")
+        },
+        "retrieval_recall_at_10": round(hits / len(golds), 4),
+        "fanout_qps": round(len(queries) / retrieve_s, 2),
+        "qa_loop_questions": n_q,
+        "qa_loop_qps": round(n_q / qa_s, 3),
+        "stores": {
+            "chunks": len(rag.ver_store),
+            "entities": len(rag.entity_store),
+            "facts": len(rag.fact_store),
+            "summaries": len(rag.sem_store) if rag.sem_store else 0,
+            "timeline": len(rag.epi_store) if rag.epi_store else 0,
+        },
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()
