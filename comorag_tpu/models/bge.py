@@ -184,23 +184,29 @@ def encoder_forward(
             return (jnp.dot(x, w.astype(compute_dtype), preferred_element_type=compute_dtype)
                     + bias.astype(compute_dtype))
 
-        q = proj(layer["q_w"], layer["q_b"]).reshape(b, s, heads, head_dim).transpose(0, 2, 1, 3)
-        k = proj(layer["k_w"], layer["k_b"]).reshape(b, s, heads, head_dim).transpose(0, 2, 1, 3)
-        v = proj(layer["v_w"], layer["v_b"]).reshape(b, s, heads, head_dim).transpose(0, 2, 1, 3)
-
         if attention.startswith("pallas"):
             from comorag_tpu.ops.pallas_attention import flash_encoder_attention
 
+            # projection-native [B, S, H] in and out: no transposes. The
+            # r3 trace showed the [B,H,S,dh] relayouts fusing into the
+            # following LayerNorm's reduce at ~13x its normal cost.
             ctx = flash_encoder_attention(
-                q, k, v, attention_mask,
+                proj(layer["q_w"], layer["q_b"]),
+                proj(layer["k_w"], layer["k_b"]),
+                proj(layer["v_w"], layer["v_b"]),
+                attention_mask,
+                num_heads=heads,
                 interpret=attention == "pallas_interpret",
             )
         else:
+            q = proj(layer["q_w"], layer["q_b"]).reshape(b, s, heads, head_dim).transpose(0, 2, 1, 3)
+            k = proj(layer["k_w"], layer["k_b"]).reshape(b, s, heads, head_dim).transpose(0, 2, 1, 3)
+            v = proj(layer["v_w"], layer["v_b"]).reshape(b, s, heads, head_dim).transpose(0, 2, 1, 3)
             scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
             scores = scores / jnp.sqrt(float(head_dim)) + mask_bias
             probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
             ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=compute_dtype)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
         attn_out = (jnp.dot(ctx, layer["o_w"].astype(compute_dtype), preferred_element_type=compute_dtype)
                     + layer["o_b"].astype(compute_dtype))
         x1 = _layer_norm((x + attn_out).astype(jnp.float32), layer["attn_ln_scale"], layer["attn_ln_bias"], eps)
@@ -209,6 +215,16 @@ def encoder_forward(
         ffn = (jnp.dot(x1, layer["ffn_in_w"].astype(compute_dtype), preferred_element_type=compute_dtype)
                + layer["ffn_in_b"].astype(compute_dtype))
         ffn = jax.nn.gelu(ffn, approximate=False)
+        if attention.startswith("pallas"):
+            # ONE barrier after gelu: with the fused-attention graph shape
+            # XLA swallowed LN + ffn_in + gelu + ffn_out + residual into a
+            # single EmitAllBatchInSublanes windowed-conv kernel at
+            # ~4.4 ms/layer (~35% MXU, r3 trace). This split emits ffn_out
+            # as a clean MXU matmul (98.6 -> 29.8 ms over the trace).
+            # Barriers around EVERY stage were measured WORSE (990 vs
+            # 1096 texts/s): the materialized [B,S,4H] mid tensors cost
+            # more than the extra fusion saved. Numerics-neutral.
+            ffn = jax.lax.optimization_barrier(ffn)
         ffn = (jnp.dot(ffn, layer["ffn_out_w"].astype(compute_dtype), preferred_element_type=compute_dtype)
                + layer["ffn_out_b"].astype(compute_dtype))
         x2 = _layer_norm((x1 + ffn).astype(jnp.float32), layer["ffn_ln_scale"], layer["ffn_ln_bias"], eps)
