@@ -112,6 +112,8 @@ class ComoRAG:
             self.config.save_dir, f"openie_results_ner_{self.config.llm_name.replace('/', '_')}.json"
         )
         self._engine: Optional[RetrievalEngine] = None
+        # set by try_answer: the cross-question retrieval-coalescing window
+        self._retrieval_front = None
 
     # ------------------------------------------------------------------ index
     def pre_openie(self, docs: Sequence[str]) -> int:
@@ -321,8 +323,11 @@ class ComoRAG:
         probe_agent = ProbeAgent(self.llm, self.prompts)
         pool = MemoryPool(encoder=self.encoder, agent=pool_agent)
 
+        # concurrent questions route through the coalescing window
+        # (try_answer installs it); single-question flows hit the engine
+        retriever = self._retrieval_front or self.engine
         with trace.span("qa.initial_retrieve"):
-            retrieved = self.engine.tri_retrieve(query, pool.get_all_hashes())
+            retrieved = retriever.tri_retrieve(query, pool.get_all_hashes())
         self.mem_encode(query, retrieved.as_docs(), pool)
 
         ver_context = "\n".join(v for n in pool.get_temp_nodes_by_type(NodeType.VER) for v in (n.original_content or []))
@@ -394,7 +399,7 @@ class ComoRAG:
             # (probes x {fact-score, DPR, PPR, episodic} — SURVEY.md §7.1),
             # vs the reference's sequential per-probe retrievals.
             with trace.span("qa.probe_fanout_retrieve"):
-                fan_out = self.engine.tri_retrieve_batch(probes, pool_hashes)
+                fan_out = retriever.tri_retrieve_batch(probes, pool_hashes)
             for probe, retrieved_probe in zip(probes, fan_out):
                 self.mem_encode(query + " " + probe, retrieved_probe.as_docs(), pool, probe=probe)
 
@@ -450,12 +455,28 @@ class ComoRAG:
         self.engine.prepare()
         max_workers = min(16, max(1, len(queries)))
         solutions: List[Optional[QuerySolution]] = [None] * len(queries)
-        with ThreadPoolExecutor(max_workers=max_workers) as pool:
-            futures = {
-                pool.submit(self.meta_control_loop, i, q): i for i, q in enumerate(queries)
-            }
-            for future in as_completed(futures):
-                q_idx, solution, _ = future.result()
-                solutions[q_idx] = solution
+        # Coalesce the question threads' retrieval calls into shared
+        # device batches (RetrievalWindow): sixteen concurrent ~3-probe
+        # fan-outs otherwise each pad their PPR batch to the 64-column
+        # good width — one merged solve does the work of sixteen. Rows
+        # keep per-question pool filters, so results are identical.
+        window = None
+        if max_workers > 1:
+            from comorag_tpu.retrieval.engine import RetrievalWindow
+
+            window = RetrievalWindow(self.engine)
+            self._retrieval_front = window
+        try:
+            with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                futures = {
+                    pool.submit(self.meta_control_loop, i, q): i for i, q in enumerate(queries)
+                }
+                for future in as_completed(futures):
+                    q_idx, solution, _ = future.result()
+                    solutions[q_idx] = solution
+        finally:
+            self._retrieval_front = None
+            if window is not None:
+                window.close()
         trace.dump(os.path.join(self.config.output_dir, "trace.json"))
         return [s for s in solutions if s is not None]

@@ -367,12 +367,18 @@ class RetrievalEngine:
         ver_top_k: Optional[int] = None,
         sem_top_k: Optional[int] = None,
         epi_top_k: Optional[int] = None,
+        pool_hashes_rows: Optional[Sequence[Optional[Dict[str, List[str]]]]] = None,
     ) -> List[RetrievalResult]:
         """The batched probe fan-out (SURVEY.md §7.1's idiomatic shift): the
         whole fan-out encodes in one batch, scores each memory layer with
         ONE device call, and solves every probe's PPR in ONE batched call —
         vs the reference's ~9 sequential per-probe retrievals per iteration
-        (ComoRAG.py:356-358)."""
+        (ComoRAG.py:356-358).
+
+        ``pool_hashes_rows`` gives each row its OWN pool filter (the pool
+        hashes are a post-retrieval dedup, so rows from different
+        questions merge safely — the RetrievalWindow uses this to coalesce
+        concurrent meta-loop fan-outs into one device batch)."""
         self.prepare()
         cfg = self.config
         ver_top_k = ver_top_k or cfg.qa_ver_top_k
@@ -381,6 +387,13 @@ class RetrievalEngine:
         pool_hashes = pool_hashes or {}
         queries = list(queries)
         b = len(queries)
+
+        def seen_rows(layer: str) -> List[set]:
+            if pool_hashes_rows is None:
+                shared = set(pool_hashes.get(layer, []))
+                return [shared] * b
+            return [set((ph or {}).get(layer, [])) for ph in pool_hashes_rows]
+
         results = [RetrievalResult() for _ in range(b)]
         if b == 0:
             return results
@@ -510,7 +523,7 @@ class RetrievalEngine:
                         doc_scores = ppr_scores[row][self.passage_node_idxs]
                         sorted_doc_ids[qi] = _top_order(doc_scores, ver_top_k)
 
-        ver_seen = set(pool_hashes.get("veridical", []))
+        ver_seen_rows = seen_rows("veridical")
         k_ver = min(ver_top_k, dpr_norm.shape[1]) if dpr_norm.size else 0
         # fallback rows only, partial selection: a full [B, N] argsort is
         # seconds of host time at 100k chunks x 64 probes
@@ -524,8 +537,8 @@ class RetrievalEngine:
             # dedup is a silent no-op (ComoRAG.py:504-505 vs memory_utils.py:41).
             # Here both sides hash with the node-type prefix so consolidation
             # actually deduplicates.
-            if ver_seen:
-                top_docs = [d for d in top_docs if content_hash(d, "veridical-") not in ver_seen]
+            if ver_seen_rows[qi]:
+                top_docs = [d for d in top_docs if content_hash(d, "veridical-") not in ver_seen_rows[qi]]
             # chronological re-sort by insertion order
             top_docs.sort(key=lambda d: self.ver_store.order_of(self.ver_store.key_for(d)))
             results[qi].veridical = top_docs
@@ -533,23 +546,142 @@ class RetrievalEngine:
         # ---- semantic branch: one device top-k for the whole fan-out ------
         if sem_handle is not None:
             _, sem_ids = sem_handle.result()
-            sem_seen = set(pool_hashes.get("semantical", []))
+            sem_seen_rows = seen_rows("semantical")
             for qi in range(b):
                 top_sem = [self.sem_store.get_text(self.summary_node_keys[i]) for i in sem_ids[qi]]
-                if sem_seen:
-                    top_sem = [s for s in top_sem if content_hash(s, "semantical-") not in sem_seen]
+                if sem_seen_rows[qi]:
+                    top_sem = [s for s in top_sem if content_hash(s, "semantical-") not in sem_seen_rows[qi]]
                 results[qi].semantic = top_sem
 
         # ---- episodic branch: one top-k call for the whole fan-out --------
         if epi_handle is not None:
             _, epi_idx = epi_handle.result()
             epi_keys = self.epi_store.get_all_ids()
-            epi_seen = set(pool_hashes.get("episodic", []))
+            epi_seen_rows = seen_rows("episodic")
             for qi in range(b):
                 top_epi = [self.epi_store.get_text(epi_keys[i]) for i in epi_idx[qi]]
-                if epi_seen:
-                    top_epi = [e for e in top_epi if content_hash(e, "episodic-") not in epi_seen]
+                if epi_seen_rows[qi]:
+                    top_epi = [e for e in top_epi if content_hash(e, "episodic-") not in epi_seen_rows[qi]]
                 top_epi.sort(key=lambda e: self.epi_store.order_of(self.epi_store.key_for(e)))
                 results[qi].episodic = top_epi
 
         return results
+
+
+class RetrievalWindow:
+    """Cross-question fan-out coalescing (r3).
+
+    ``try_answer`` runs up to 16 question threads (the reference's
+    concurrency envelope, ComoRAG.py:436-437), and each thread's meta
+    loop issues its own ``tri_retrieve_batch`` — on the impasse path a
+    ~3-probe fan-out whose PPR batch pads to the 64-column good width
+    (ops/ppr.py). Sixteen concurrent 3-row calls therefore run sixteen
+    64-wide solves where ONE would do. This window collects concurrent
+    calls for a few milliseconds, merges same-top-k groups into one
+    engine batch (each row keeps its own pool filter via
+    ``pool_hashes_rows``), and splits the results — the same
+    request-window design as llm/serving.GenerationServer, for the
+    retrieval side.
+
+    Rows are computed independently throughout the engine (per-row
+    encode, per-row rerank, independent PPR columns), so merged results
+    are identical to separate calls.
+    """
+
+    def __init__(self, engine: RetrievalEngine, window_ms: float = 4.0, max_rows: int = 64):
+        import threading
+        from concurrent.futures import Future  # noqa: F401  (typing)
+
+        self.engine = engine
+        self.window_s = window_ms / 1000.0
+        self.max_rows = max_rows
+        self._lock = threading.Condition()
+        self._queue: list = []  # (queries, pool_hashes, (vk, sk, ek), Future)
+        self._closed = False
+        self._thread = threading.Thread(target=self._run, daemon=True, name="retrieval-window")
+        self._thread.start()
+
+    # ------------------------------------------------------------ interface
+    def submit(self, queries, pool_hashes=None, ver_top_k=None, sem_top_k=None, epi_top_k=None):
+        from concurrent.futures import Future
+
+        fut: Future = Future()
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("RetrievalWindow is closed")
+            self._queue.append((list(queries), pool_hashes, (ver_top_k, sem_top_k, epi_top_k), fut))
+            self._lock.notify()
+        return fut
+
+    def tri_retrieve_batch(self, queries, pool_hashes=None, ver_top_k=None,
+                           sem_top_k=None, epi_top_k=None):
+        return self.submit(queries, pool_hashes, ver_top_k, sem_top_k, epi_top_k).result()
+
+    def tri_retrieve(self, query, pool_hashes=None, ver_top_k=None,
+                     sem_top_k=None, epi_top_k=None):
+        return self.tri_retrieve_batch([query], pool_hashes, ver_top_k, sem_top_k, epi_top_k)[0]
+
+    def close(self) -> None:
+        with self._lock:
+            self._closed = True
+            self._lock.notify()
+        self._thread.join(timeout=30)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------------ scheduler
+    def _drain(self):
+        import time
+
+        with self._lock:
+            while not self._queue and not self._closed:
+                self._lock.wait()
+            if not self._queue:
+                return []
+            deadline = time.monotonic() + self.window_s
+            rows = sum(len(q) for q, _, _, _ in self._queue)
+            while rows < self.max_rows and not self._closed:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                self._lock.wait(timeout=remaining)
+                rows = sum(len(q) for q, _, _, _ in self._queue)
+            batch, self._queue = self._queue, []
+            return batch
+
+    def _run(self) -> None:
+        while True:
+            batch = self._drain()
+            if not batch:
+                if self._closed:
+                    return
+                continue
+            groups: Dict[tuple, list] = {}
+            for req in batch:
+                groups.setdefault(req[2], []).append(req)
+            for (vk, sk, ek), reqs in groups.items():
+                try:
+                    queries, rows_ph = [], []
+                    for q, ph, _, _ in reqs:
+                        queries.extend(q)
+                        rows_ph.extend([ph] * len(q))
+                    out = self.engine.tri_retrieve_batch(
+                        queries, ver_top_k=vk, sem_top_k=sk, epi_top_k=ek,
+                        pool_hashes_rows=rows_ph,
+                    )
+                    at = 0
+                    for q, _, _, fut in reqs:
+                        if not fut.set_running_or_notify_cancel():
+                            at += len(q)
+                            continue
+                        fut.set_result(out[at : at + len(q)])
+                        at += len(q)
+                except Exception as e:  # noqa: BLE001 — fail futures, keep the thread
+                    logger.warning("retrieval window group failed: %s", e)
+                    for _, _, _, fut in reqs:
+                        if fut.set_running_or_notify_cancel():
+                            fut.set_exception(e)

@@ -65,9 +65,15 @@ def build_encoder(batch_size: int):
     )
 
 
-def build_llm(max_new_tokens: int):
+def build_llm(max_new_tokens: int, temperature: float):
     """~0.9B-param llama-class engine: int8 weights, speculative decode,
-    byte vocab (hermetic), window-batching server."""
+    byte vocab (hermetic), window-batching server.
+
+    temperature defaults to 0.7: GREEDY decoding on random weights
+    deterministically closes the guided-JSON arrays immediately (zero
+    entities -> no graph), while sampling emits non-degenerate entity
+    strings so the graph/PPR stages see realistic sizes. Speculative
+    decoding composes with sampling (rejection-sampled verification)."""
     import jax
 
     from comorag_tpu.llm.jax_offline import JaxOfflineLLM
@@ -93,7 +99,7 @@ def build_llm(max_new_tokens: int):
         param_dtype="int8",
         speculative=True,
         max_new_tokens=max_new_tokens,
-        temperature=0.0,
+        temperature=temperature,
     )
     return GenerationServer(engine), n_params
 
@@ -107,6 +113,7 @@ def main() -> None:
                     help="per-call decode cap (random weights never EOS on "
                     "free-run prompts; real models stop near this length)")
     ap.add_argument("--gmm_max_clusters", type=int, default=20)
+    ap.add_argument("--temperature", type=float, default=0.7)
     args = ap.parse_args()
 
     chunks, golds = make_corpus(args.chunks, args.probes)
@@ -124,7 +131,7 @@ def main() -> None:
         max_meta_loop_iterations=1,
     )
     t0 = time.perf_counter()
-    llm, n_params = build_llm(args.max_new_tokens)
+    llm, n_params = build_llm(args.max_new_tokens, args.temperature)
     encoder = build_encoder(batch_size=32)
     setup_s = time.perf_counter() - t0
     rag = ComoRAG(config, llm=llm, encoder=encoder)

@@ -214,3 +214,60 @@ def test_compact_fact_fetch_matches_full_scores(rag):
         for k in c.linked_phrases:
             assert abs(c.linked_phrases[k] - f.linked_phrases[k]) < 1e-5
         assert c.rerank_log["facts_after_rerank"] == f.rerank_log["facts_after_rerank"]
+
+
+def test_retrieval_window_coalesces_and_matches(rag):
+    """r3 RetrievalWindow: concurrent per-question retrievals merge into
+    shared engine batches AND return exactly what direct calls return."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from comorag_tpu.retrieval.engine import RetrievalWindow
+
+    engine = rag.engine
+    engine.prepare()
+    queries = [
+        "Who did Mara pull from the freezing water?",
+        "What did the Harbor Guild offer Mara?",
+        "What did Tomas forge in the village smithy?",
+        "Who taught Mara to read the star charts?",
+    ]
+    direct = [engine.tri_retrieve(q) for q in queries]
+
+    calls = []
+    orig = engine.tri_retrieve_batch
+
+    def counting(qs, *a, **k):
+        calls.append(len(qs))
+        return orig(qs, *a, **k)
+
+    engine.tri_retrieve_batch = counting
+    try:
+        with RetrievalWindow(engine, window_ms=250.0) as win:
+            with ThreadPoolExecutor(max_workers=4) as tp:
+                futs = [tp.submit(win.tri_retrieve, q) for q in queries]
+                got = [f.result() for f in futs]
+    finally:
+        engine.tri_retrieve_batch = orig
+
+    for d, g in zip(direct, got):
+        assert d.veridical == g.veridical
+        assert d.semantic == g.semantic
+        assert d.episodic == g.episodic
+    assert sum(calls) == len(queries)
+    assert len(calls) < len(queries), f"no coalescing happened: {calls}"
+
+
+def test_per_row_pool_filters(rag):
+    """pool_hashes_rows: each merged row applies its OWN pool dedup."""
+    from comorag_tpu.utils.hashing import content_hash
+
+    engine = rag.engine
+    engine.prepare()
+    q = "Who did Mara pull from the freezing water?"
+    base = engine.tri_retrieve_batch([q, q])
+    assert base[0].veridical == base[1].veridical
+    top_doc = base[0].veridical[0]
+    ph = {"veridical": [content_hash(top_doc, "veridical-")]}
+    out = engine.tri_retrieve_batch([q, q], pool_hashes_rows=[ph, None])
+    assert top_doc not in out[0].veridical
+    assert top_doc in out[1].veridical
