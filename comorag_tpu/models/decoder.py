@@ -236,9 +236,16 @@ def decoder_forward(
     write_index: jnp.ndarray,    # scalar int32 slot OR [B] per-row slots
     arch: DecoderArch,
     compute_dtype=jnp.float32,
+    last_only: bool = False,     # logits for the final position only ([B, 1, V])
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One forward chunk (prefill S=P or decode S=1) against a static-shape
     KV cache of T slots. Returns logits [B, S, V] and the updated cache.
+
+    ``last_only=True`` (prefill callers that only need the next-token
+    logits) runs the lm_head on the final position alone — at 0.9B scale
+    a full-bucket prefill otherwise materializes a [B, P, V] fp32 logits
+    tensor (0.5 GB at B=8/P=512) and pays B*P*H*V head FLOPs for rows
+    that are thrown away.
 
     The same program serves prefill and decode — only S differs, so the
     jit cache holds exactly two programs per (B, T) shape. All control
@@ -331,6 +338,8 @@ def decoder_forward(
         (params["layers"], jnp.arange(arch.num_layers, dtype=jnp.int32)),
     )
     x = _rms_norm(x, params["final_norm"], arch.rms_norm_eps)
+    if last_only:
+        x = x[:, -1:, :]
     head = params["embed"].T if arch.tie_embeddings else params["lm_head"]
     # operands stay in compute dtype (casting the [H, V] head to fp32 every
     # decode step costs ~2x the head's HBM traffic; TPU fp32 matmuls
@@ -349,6 +358,12 @@ def decoder_forward(
 
 
 # ----------------------------------------------------------------- generate
+# Prefill query-chunk width: bounds the live [B, heads, C, total] score
+# slab (one full-bucket pass at B=8/P=4032 on a 0.9B model allocates
+# 17 GB and OOMs the chip — see _prefill_batch).
+_PREFILL_CHUNK = 512
+
+
 class GenerateResult(NamedTuple):
     tokens: jnp.ndarray   # [B, max_new_tokens] int32, pad_id after EOS
     lengths: jnp.ndarray  # [B] int32: emitted tokens incl. EOS
@@ -371,9 +386,25 @@ def prefill_prefix(
     positions = jnp.arange(p0, dtype=jnp.int32)[None, :]
     attn = jnp.tril(jnp.ones((1, p0, p0), bool))
     cache = KVCache.zeros(arch, 1, p0, compute_dtype)
-    _, cache = decoder_forward(
-        params, ids, positions, attn, cache, jnp.int32(0), arch, compute_dtype
-    )
+    if p0 <= _PREFILL_CHUNK or p0 % _PREFILL_CHUNK:
+        _, cache = decoder_forward(
+            params, ids, positions, attn, cache, jnp.int32(0), arch, compute_dtype,
+            last_only=True,
+        )
+        return cache
+    for ci in range(p0 // _PREFILL_CHUNK):  # bound the score slab (see _prefill_batch)
+        lo = ci * _PREFILL_CHUNK
+        _, cache = decoder_forward(
+            params,
+            ids[:, lo : lo + _PREFILL_CHUNK],
+            positions[:, lo : lo + _PREFILL_CHUNK],
+            attn[:, lo : lo + _PREFILL_CHUNK, :],
+            cache,
+            jnp.int32(lo),
+            arch,
+            compute_dtype,
+            last_only=True,
+        )
     return cache
 
 
@@ -416,9 +447,34 @@ def _prefill_batch(
     attn = jnp.pad(attn, ((0, 0), (0, 0), (p0, total - p0 - p)), constant_values=False)
     if p0:
         attn = attn.at[:, :, :p0].set(True)
-    logits, cache = decoder_forward(
-        params, input_ids, positions, attn, cache, jnp.int32(p0), arch, compute_dtype
-    )
+    # Query-chunked prefill (r3): one full-bucket call materializes
+    # [B, heads, P, total] fp32 attention scores — 17 GB at B=8/P=4032 on
+    # a 0.9B model, which OOMed 16 GB HBM (found by the realistic-stack
+    # run's long summarization prompts). Chunking the QUERY rows bounds
+    # the live score slab at [B, heads, C, total] while the KV cache
+    # builds incrementally; lm_head runs on the last position only.
+    chunk = _PREFILL_CHUNK
+    if p <= chunk:
+        logits, cache = decoder_forward(
+            params, input_ids, positions, attn, cache, jnp.int32(p0), arch,
+            compute_dtype, last_only=True,
+        )
+    else:
+        assert p % chunk == 0, (p, chunk)  # prompt buckets are powers of two
+        for ci in range(p // chunk):
+            lo = ci * chunk
+            last = ci == p // chunk - 1
+            logits, cache = decoder_forward(
+                params,
+                input_ids[:, lo : lo + chunk],
+                positions[:, lo : lo + chunk],
+                attn[:, lo : lo + chunk, :],
+                cache,
+                jnp.int32(p0 + lo),
+                arch,
+                compute_dtype,
+                last_only=last,
+            )
     last_logits = logits[:, -1, :]  # left-padded: slot base-1 is the last prompt token
 
     slot_valid = jnp.pad(

@@ -93,10 +93,13 @@ def build_llm(max_new_tokens: int, temperature: float):
         int(np.prod(p.shape))
         for p in jax.tree.leaves(init_params(jax.random.PRNGKey(0), arch))
     )
+    import jax.numpy as jnp
+
     engine = JaxOfflineLLM(
         params=init_params(jax.random.PRNGKey(0), arch),
         arch=arch,
         param_dtype="int8",
+        compute_dtype=jnp.bfloat16,  # the shipped fast path: int8 weights, bf16 compute
         speculative=True,
         max_new_tokens=max_new_tokens,
         temperature=temperature,

@@ -987,3 +987,35 @@ def test_engine_speculative_sampling_route():
     )
     assert out.metadata.get("decode_steps", 0) >= 1
     json.loads(out.text)
+
+
+# ---------------------------------------------------- chunked prefill (r3)
+def test_chunked_prefill_matches_naive_long_prompt():
+    """Prompts past _PREFILL_CHUNK prefill in query chunks (bounded score
+    slab; the full-bucket pass OOMed 16 GB HBM at 0.9B/B=8/P=4032) — the
+    decode must still match the no-cache oracle token for token, and the
+    speculative loop must match sequential greedy."""
+    from comorag_tpu.models.decoder import _PREFILL_CHUNK, generate_speculative
+
+    assert _PREFILL_CHUNK == 512
+    rng = np.random.default_rng(4)
+    prompt = [257] + rng.integers(0, 200, 700).astype(int).tolist()
+    steps = 6
+    oracle = _naive_greedy(PARAMS, prompt, steps)
+
+    P = 1024  # > _PREFILL_CHUNK -> two chunks, with left padding
+    ids = np.full((1, P), PAD, np.int32)
+    mask = np.zeros((1, P), np.int32)
+    ids[0, P - len(prompt):] = prompt
+    mask[0, P - len(prompt):] = 1
+    result = generate(
+        PARAMS, jnp.asarray(ids), jnp.asarray(mask), ARCH,
+        max_new_tokens=steps, eos_id=EOS, pad_id=PAD,
+    )
+    assert np.asarray(result.tokens)[0].tolist() == oracle
+
+    spec = generate_speculative(
+        PARAMS, jnp.asarray(ids), jnp.asarray(mask), ARCH,
+        max_new_tokens=steps, eos_id=EOS, pad_id=PAD, draft_len=3,
+    )
+    assert np.asarray(spec.tokens)[0].tolist() == oracle
