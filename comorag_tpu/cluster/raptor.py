@@ -26,6 +26,7 @@ import numpy as np
 from comorag_tpu.llm.summarize import Summarizer
 from comorag_tpu.ops.gmm import fit_gmm_bic
 from comorag_tpu.ops.projection import random_projection
+from comorag_tpu.utils import trace
 from comorag_tpu.utils.logging import get_logger
 
 logger = get_logger(__name__)
@@ -145,17 +146,20 @@ class SemanticTree:
         level_texts = texts
         level_embeddings = embeddings if embeddings is not None and len(embeddings) == len(texts) else None
         for level in range(max_levels):
-            embeddings = level_embeddings if level_embeddings is not None else self._encode(level_texts)
+            with trace.span("semantic_tree.encode"):
+                embeddings = level_embeddings if level_embeddings is not None else self._encode(level_texts)
             level_embeddings = None  # only level 0 is precomputed
-            clusters = two_level_soft_cluster(
-                embeddings,
-                threshold=self.threshold,
-                reduction_dim=self.reduction_dim,
-                max_clusters=self.max_clusters,
-                seed=self.seed,
-                em_iters=self.em_iters,
-            )
-            summaries = self._summarize_clusters(level_texts, clusters)
+            with trace.span("semantic_tree.cluster"):
+                clusters = two_level_soft_cluster(
+                    embeddings,
+                    threshold=self.threshold,
+                    reduction_dim=self.reduction_dim,
+                    max_clusters=self.max_clusters,
+                    seed=self.seed,
+                    em_iters=self.em_iters,
+                )
+            with trace.span("semantic_tree.summarize"):
+                summaries = self._summarize_clusters(level_texts, clusters)
             logger.info("Semantic tree level %d: %d -> %d", level, len(level_texts), len(summaries))
             if not summaries:
                 break
