@@ -73,7 +73,8 @@ def main() -> None:
 
     spec_gen = jax.jit(
         generate_speculative,
-        static_argnames=("arch", "max_new_tokens", "eos_id", "pad_id", "draft_len", "compute_dtype"),
+        static_argnames=("arch", "max_new_tokens", "eos_id", "pad_id", "draft_len",
+                         "temperature", "compute_dtype"),
     )
     # speculative upper bound: a linear DFA forcing one fixed byte string
     # that is also planted in the prompt -> drafts always come true
