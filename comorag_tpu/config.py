@@ -98,6 +98,10 @@ class ComoConfig:
     # and to single-pass otherwise; None disables the scan copy entirely.
     scan_dtype: Optional[Literal["auto", "int8", "bfloat16"]] = "auto"
     topk_block_rows: int = 512        # corpus rows per Pallas tile in the MIPS kernel (benched default)
+    # quantized KV cache for the in-process engine (vLLM kv_cache_dtype
+    # counterpart): int8 per-(token, head) symmetric — halves/quarters the
+    # decode loop's cache stream, which dominates past ~2.5k context
+    kv_cache_dtype: Optional[Literal["int8"]] = None
     compute_dtype: Literal["float32", "bfloat16"] = "float32"
     ppr_max_iterations: int = 128     # power-iteration cap; damping 0.5 converges ~2^-128
     ppr_tolerance: float = 1e-10

@@ -38,6 +38,7 @@ def get_llm(config, mesh=None) -> BaseLLM:
             compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
             param_dtype=jnp.bfloat16 if bf16 else None,
             speculative=bool(getattr(config, "speculative_decoding", False)),
+            kv_dtype=getattr(config, "kv_cache_dtype", None),
         )
         # the meta loop calls infer() from up to 16 question threads
         # (ComoRAG.try_answer); the window scheduler turns those into

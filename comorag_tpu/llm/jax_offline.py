@@ -132,6 +132,7 @@ class JaxOfflineLLM(BaseLLM):
         param_dtype=None,
         speculative: bool = False,
         draft_len: int = 7,
+        kv_dtype=None,  # None (compute dtype) | "int8": quantized KV cache
     ):
         from comorag_tpu.models.decoder import (
             DecoderArch,
@@ -165,6 +166,7 @@ class JaxOfflineLLM(BaseLLM):
         )
         self.temperature = temperature
         self.compute_dtype = compute_dtype
+        self.kv_dtype = "int8" if kv_dtype in ("int8", jnp.int8) else None
         self._rng = jax.random.PRNGKey(seed)
         # infer() may be called from up to 16 question threads
         # (ComoRAG.try_answer); the rng split and prefix LRU are the
@@ -214,7 +216,7 @@ class JaxOfflineLLM(BaseLLM):
             generate,
             static_argnames=(
                 "arch", "max_new_tokens", "eos_id", "pad_id", "temperature",
-                "compute_dtype",
+                "compute_dtype", "kv_dtype",
             ),
         )
         # self-speculative (prompt-lookup) decoding: exact at temp 0,
@@ -227,7 +229,7 @@ class JaxOfflineLLM(BaseLLM):
             generate_speculative,
             static_argnames=(
                 "arch", "max_new_tokens", "eos_id", "pad_id", "draft_len",
-                "temperature", "compute_dtype",
+                "temperature", "compute_dtype", "kv_dtype",
             ),
         )
 
@@ -350,7 +352,8 @@ class JaxOfflineLLM(BaseLLM):
             return None, 0
         key = tuple(first[:p0])
         cache = prefill_prefix(
-            self.params, jnp.asarray(list(key), jnp.int32), self.arch, self.compute_dtype
+            self.params, jnp.asarray(list(key), jnp.int32), self.arch,
+            self.compute_dtype, kv_dtype=self.kv_dtype,
         )
         self._prefix_lru[key] = cache
         if len(self._prefix_lru) > self._prefix_lru_max:
@@ -409,6 +412,7 @@ class JaxOfflineLLM(BaseLLM):
             limit=jnp.int32(requested),
             prefix=prefix_cache,
             compute_dtype=self.compute_dtype,
+            kv_dtype=self.kv_dtype,
         )
         if self.speculative:
             # temp 0: exact greedy verification; temp > 0: rejection-

@@ -227,6 +227,48 @@ class KVCache(NamedTuple):
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
+class QuantKVCache(NamedTuple):
+    """int8 KV cache with per-(token, head) symmetric scales — the vLLM
+    ``kv_cache_dtype`` counterpart (opt-in, engine ``kv_dtype="int8"``).
+
+    Decode is memory-bound and at long context the cache read dominates
+    even the int8 weights (r3 decode profile: 336 MB KV vs 821 MB weights
+    per step at T=640; past T~2.5k the cache is the larger stream). int8
+    halves/quarters that traffic; the dequant (convert + broadcast scale
+    multiply) fuses into the attention dot's operand read exactly like
+    QuantWeight's does."""
+
+    k: jnp.ndarray        # [L, B, T, kv_heads, head_dim] int8
+    v: jnp.ndarray        # int8
+    k_scale: jnp.ndarray  # [L, B, T, kv_heads] f32
+    v_scale: jnp.ndarray  # f32
+
+    @classmethod
+    def zeros(cls, arch: DecoderArch, batch: int, max_len: int, dtype=None):
+        shape = (arch.num_layers, batch, max_len, arch.num_kv_heads, arch.head_dim)
+        sshape = shape[:-1]
+        return cls(
+            jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+            jnp.zeros(sshape, jnp.float32), jnp.zeros(sshape, jnp.float32),
+        )
+
+
+def _quant_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(token, head) symmetric int8: x [B, S, kvh, hd] ->
+    (q int8, scale [B, S, kvh] f32)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = amax / 127.0 + 1e-12
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return q, scale[..., 0]
+
+
+def make_kv_cache(arch: DecoderArch, batch: int, max_len: int, compute_dtype,
+                  kv_dtype: Optional[str] = None):
+    if kv_dtype in ("int8", jnp.int8):
+        return QuantKVCache.zeros(arch, batch, max_len)
+    return KVCache.zeros(arch, batch, max_len, compute_dtype)
+
+
 def decoder_forward(
     params: Dict[str, Any],
     input_ids: jnp.ndarray,      # [B, S] int32
@@ -258,6 +300,7 @@ def decoder_forward(
     b, s = input_ids.shape
     heads, kv_heads, hd = arch.num_heads, arch.num_kv_heads, arch.head_dim
     groups = heads // kv_heads
+    quant_kv = isinstance(cache, QuantKVCache)
 
     x = params["embed"][input_ids].astype(compute_dtype)
     mask_bias = jnp.where(attn_mask, 0.0, -1e30).astype(jnp.float32)  # [B, S, T]
@@ -270,7 +313,10 @@ def decoder_forward(
         # XLA's loop buffer reuse) rather than streaming through xs/ys —
         # stacked ys re-materialize the whole cache every decode step,
         # which was measured as the dominant per-step cost at 1B scale.
-        x, k_all, v_all = carry
+        if quant_kv:
+            x, k_all, v_all, ks_all, vs_all = carry
+        else:
+            x, k_all, v_all = carry
         layer, li = layer_in
 
         def dot(inp, w):
@@ -294,18 +340,44 @@ def decoder_forward(
         q = _rope(q, positions, arch.rope_theta)
         k = _rope(k, positions, arch.rope_theta)
 
+        if quant_kv:
+            k_w, k_s = _quant_kv(k)
+            v_w, v_s = _quant_kv(v)
+        else:
+            k_w, v_w = k, v
         if jnp.ndim(write_index) == 0:
-            k_all = jax.lax.dynamic_update_slice(k_all, k[None], (li, 0, write_index, 0, 0))
-            v_all = jax.lax.dynamic_update_slice(v_all, v[None], (li, 0, write_index, 0, 0))
+            k_all = jax.lax.dynamic_update_slice(k_all, k_w[None], (li, 0, write_index, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(v_all, v_w[None], (li, 0, write_index, 0, 0))
+            if quant_kv:
+                ks_all = jax.lax.dynamic_update_slice(ks_all, k_s[None], (li, 0, write_index, 0))
+                vs_all = jax.lax.dynamic_update_slice(vs_all, v_s[None], (li, 0, write_index, 0))
         else:
             # per-row slot starts (speculative decode): a small scatter of
             # B*S rows; the carried cache is aliased so it updates in place
             rows = jnp.arange(b)[:, None]
             cols = write_index[:, None] + jnp.arange(s)[None, :]
-            k_all = k_all.at[li, rows, cols].set(k)
-            v_all = v_all.at[li, rows, cols].set(v)
+            k_all = k_all.at[li, rows, cols].set(k_w)
+            v_all = v_all.at[li, rows, cols].set(v_w)
+            if quant_kv:
+                ks_all = ks_all.at[li, rows, cols].set(k_s)
+                vs_all = vs_all.at[li, rows, cols].set(v_s)
         k_cache = jax.lax.dynamic_index_in_dim(k_all, li, axis=0, keepdims=False)
         v_cache = jax.lax.dynamic_index_in_dim(v_all, li, axis=0, keepdims=False)
+        if quant_kv:
+            # The bare int8->compute convert fuses into the dot's operand
+            # read (the measured-at-floor QuantWeight pattern); the scales
+            # apply as EPILOGUES on the score-shaped tensors ([.., T] per
+            # head — 64x smaller than the caches), never on the operands:
+            # an operand-side `cache * scale` materialized a full bf16
+            # copy and measured SLOWER than the unquantized cache.
+            #   scores = (q @ k_q^T) * k_scale_t   (exact: scale is per t)
+            #   ctx    = (probs * v_scale_t) @ v_q (exact: fold into p_t)
+            k_scale = jax.lax.dynamic_index_in_dim(ks_all, li, axis=0, keepdims=False)
+            v_scale = jax.lax.dynamic_index_in_dim(vs_all, li, axis=0, keepdims=False)
+            k_cache = k_cache.astype(compute_dtype)
+            v_cache = v_cache.astype(compute_dtype)
+            k_epi = k_scale.transpose(0, 2, 1)[:, None, :, None, :]  # [B,1,kvh,1,T]
+            v_epi = v_scale.transpose(0, 2, 1)[:, None, :, None, :]
 
         # GQA: keep the cache in kv-head layout and fold the group axis
         # into the einsum — expanding kv->q heads with a repeat would
@@ -316,8 +388,13 @@ def decoder_forward(
             "bskgd,btkd->bskgt", qg, k_cache,
             preferred_element_type=jnp.float32, precision=prec,
         )
+        if quant_kv:
+            scores = scores * k_epi
         scores = scores / jnp.sqrt(float(hd)) + mask_bias[:, :, None, None, :]
-        probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
+        probs = jax.nn.softmax(scores, axis=-1)
+        if quant_kv:
+            probs = probs * v_epi
+        probs = probs.astype(compute_dtype)
         ctx = jnp.einsum(
             "bskgt,btkd->bskgd", probs, v_cache,
             preferred_element_type=compute_dtype, precision=prec,
@@ -330,11 +407,14 @@ def decoder_forward(
         gu = dot(xn, layer["gateup_w"])
         ffn = dot(jax.nn.silu(gu[..., :i_dim]) * gu[..., i_dim:], layer["down_w"])
         x = x + ffn
+        if quant_kv:
+            return (x, k_all, v_all, ks_all, vs_all), None
         return (x, k_all, v_all), None
 
-    (x, new_k, new_v), _ = jax.lax.scan(
+    carry0 = (x, *cache)
+    (x, *new_cache), _ = jax.lax.scan(
         one_layer,
-        (x, cache.k, cache.v),
+        carry0,
         (params["layers"], jnp.arange(arch.num_layers, dtype=jnp.int32)),
     )
     x = _rms_norm(x, params["final_norm"], arch.rms_norm_eps)
@@ -354,7 +434,7 @@ def decoder_forward(
             x.astype(compute_dtype), head.astype(compute_dtype),
             preferred_element_type=jnp.float32, precision=prec,
         )
-    return logits, KVCache(new_k, new_v)
+    return logits, type(cache)(*new_cache)
 
 
 # ----------------------------------------------------------------- generate
@@ -374,6 +454,7 @@ def prefill_prefix(
     prefix_ids: jnp.ndarray,  # [P0] or [1, P0] int32, no padding
     arch: DecoderArch,
     compute_dtype=jnp.float32,
+    kv_dtype: Optional[str] = None,
 ) -> KVCache:
     """Prefill a SHARED prompt prefix once at batch 1; the returned cache
     (T = P0 slots) broadcasts across any later batch via ``generate``'s
@@ -385,7 +466,7 @@ def prefill_prefix(
     p0 = ids.shape[1]
     positions = jnp.arange(p0, dtype=jnp.int32)[None, :]
     attn = jnp.tril(jnp.ones((1, p0, p0), bool))
-    cache = KVCache.zeros(arch, 1, p0, compute_dtype)
+    cache = make_kv_cache(arch, 1, p0, compute_dtype, kv_dtype)
     if p0 <= _PREFILL_CHUNK or p0 % _PREFILL_CHUNK:
         _, cache = decoder_forward(
             params, ids, positions, attn, cache, jnp.int32(0), arch, compute_dtype,
@@ -416,6 +497,7 @@ def _prefill_batch(
     total: int,               # static cache slots
     prefix: Optional[KVCache],
     compute_dtype,
+    kv_dtype: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, KVCache, jnp.ndarray, jnp.ndarray]:
     """Shared prompt prefill for the sequential and speculative decode
     loops: builds the static cache (broadcasting a shared-prefix cache into
@@ -423,17 +505,20 @@ def _prefill_batch(
     returns (last_logits [B,V], cache, slot_valid [B,total], row_len [B])."""
     b, p = input_ids.shape
     p0 = 0 if prefix is None else prefix.k.shape[2]
-    cache = KVCache.zeros(arch, b, total, compute_dtype)
+    cache = make_kv_cache(arch, b, total, compute_dtype, kv_dtype)
     if prefix is not None:
-        l, _, _, kvh, hd_ = prefix.k.shape
-        cache = KVCache(
-            jax.lax.dynamic_update_slice(
-                cache.k, jnp.broadcast_to(prefix.k, (l, b, p0, kvh, hd_)), (0, 0, 0, 0, 0)
-            ),
-            jax.lax.dynamic_update_slice(
-                cache.v, jnp.broadcast_to(prefix.v, (l, b, p0, kvh, hd_)), (0, 0, 0, 0, 0)
-            ),
+        assert type(prefix) is type(cache), (
+            "prefix cache kind must match kv_dtype (rebuild the prefix "
+            f"cache: got {type(prefix).__name__} for kv_dtype={kv_dtype!r})"
         )
+
+        def _place(dst, src):
+            tgt = (src.shape[0], b) + tuple(src.shape[2:])
+            return jax.lax.dynamic_update_slice(
+                dst, jnp.broadcast_to(src, tgt), (0,) * dst.ndim
+            )
+
+        cache = type(cache)(*(_place(d, s) for d, s in zip(cache, prefix)))
     valid = prompt_mask.astype(bool)  # [B, P]
     # Positions are PER-ROW token indices (cumsum over valid tokens), not
     # slot indices: left-padded rows must sit at positions p0, p0+1, ...
@@ -500,6 +585,7 @@ def generate(
     prefix: Optional[KVCache] = None,  # shared-prefix cache from prefill_prefix
     row_valid: Optional[jnp.ndarray] = None,  # [B] bool: False = batch-pad row
     compute_dtype=jnp.float32,
+    kv_dtype: Optional[str] = None,  # None (compute dtype) | "int8" (QuantKVCache)
 ) -> GenerateResult:
     """Batched constrained generation: prefill once, then a
     ``lax.while_loop`` of single-token steps against the static KV cache,
@@ -521,7 +607,7 @@ def generate(
     if rng is None:
         rng = jax.random.PRNGKey(0)
     last_logits, cache, slot_valid0, row_len = _prefill_batch(
-        params, input_ids, prompt_mask, arch, total, prefix, compute_dtype
+        params, input_ids, prompt_mask, arch, total, prefix, compute_dtype, kv_dtype
     )
 
     def sample(logits, state, key):
@@ -600,6 +686,7 @@ def generate_speculative(
     temperature: float = 0.0,
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    kv_dtype: Optional[str] = None,
 ) -> SpecGenerateResult:
     """Greedy generation with self-speculative (prompt-lookup) decoding.
 
@@ -643,7 +730,7 @@ def generate_speculative(
     # +c slack: the last live iteration may write a full chunk past the cap
     total = base + max_new_tokens + c
     last_logits0, cache0, slot_valid0, row_len = _prefill_batch(
-        params, input_ids, prompt_mask, arch, total, prefix, compute_dtype
+        params, input_ids, prompt_mask, arch, total, prefix, compute_dtype, kv_dtype
     )
 
     # token history for the n-gram lookup: row prompt (left-padded, same

@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--new", type=int, default=128)
     ap.add_argument("--layers", type=int, default=16)
     ap.add_argument("--hidden", type=int, default=2048)
+    ap.add_argument("--dtypes", default="int8,bf16,fp32",
+                    help="comma-separated subset for targeted reruns")
+    ap.add_argument("--skip_spec", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -55,7 +58,8 @@ def main() -> None:
 
     gen = jax.jit(
         generate,
-        static_argnames=("arch", "max_new_tokens", "eos_id", "pad_id", "temperature", "compute_dtype"),
+        static_argnames=("arch", "max_new_tokens", "eos_id", "pad_id", "temperature",
+                         "compute_dtype", "kv_dtype"),
     )
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(1, 30000, (args.batch, args.prompt)), jnp.int32)
@@ -93,19 +97,27 @@ def main() -> None:
     echo_ids[:, plant_at:plant_at + len(planted)] = planted  # plant the echo source mid-prompt
     echo_ids = jnp.asarray(echo_ids)
 
+    wanted = set(args.dtypes.split(","))
     for dtype_name, dtype in (("int8", jnp.bfloat16), ("bf16", jnp.bfloat16), ("fp32", jnp.float32)):
+        if dtype_name not in wanted:
+            continue
         params = init_params(jax.random.PRNGKey(0), arch)
         if dtype_name == "int8":
             params = quantize_params(params)
             params["embed"] = params["embed"].astype(jnp.bfloat16)
         elif dtype == jnp.bfloat16:
             params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
-        for guided, tab in (("free", None), ("guided_json", table_j)):
+        modes = [("free", None, None), ("guided_json", table_j, None)]
+        if dtype_name == "int8":
+            # quantized KV cache (vLLM kv_cache_dtype counterpart): the
+            # cache stream dominates past ~2.5k context (decode profile)
+            modes.append(("free_kv_int8", None, "int8"))
+        for guided, tab, kv in modes:
             kwargs = dict(
                 arch=arch, max_new_tokens=args.new,
                 eos_id=arch.vocab_size - 1, pad_id=0,
                 temperature=0.7, rng=jax.random.PRNGKey(1),
-                token_table=tab, compute_dtype=dtype,
+                token_table=tab, compute_dtype=dtype, kv_dtype=kv,
             )
             r = gen(params, ids, mask, **kwargs)
             np.asarray(r.tokens)  # drain (block_until_ready is unreliable through the tunnel)
@@ -131,7 +143,7 @@ def main() -> None:
                 "prompt_tokens_per_s_same_wall": round(prefill_tps, 1),
             }), flush=True)
 
-        if dtype_name == "fp32":
+        if dtype_name == "fp32" or args.skip_spec:
             continue  # speculative rows: the two shipping dtypes only
         for spec_mode, spec_ids, spec_table, spec_temp in (
             ("spec_free", ids, None, 0.0),          # acceptance ~0: overhead floor

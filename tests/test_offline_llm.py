@@ -1019,3 +1019,79 @@ def test_chunked_prefill_matches_naive_long_prompt():
         max_new_tokens=steps, eos_id=EOS, pad_id=PAD, draft_len=3,
     )
     assert np.asarray(spec.tokens)[0].tolist() == oracle
+
+
+# -------------------------------------------------- int8 KV cache (r3)
+def test_quant_kv_cache_roundtrip_and_forward_close():
+    """QuantKVCache (vLLM kv_cache_dtype counterpart): per-(token, head)
+    int8 KV quantization round-trips within 1/127 relative, and a full
+    forward against the quant cache stays close to the exact cache."""
+    from comorag_tpu.models.decoder import QuantKVCache, _quant_kv, make_kv_cache
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 5, 2, 16)).astype(np.float32))
+    q, s = _quant_kv(x)
+    assert q.dtype == jnp.int8 and s.shape == (2, 5, 2)
+    deq = np.asarray(q, np.float32) * np.asarray(s)[..., None]
+    # error bound of symmetric int8: half a quantization step of the
+    # row's amax (near-zero elements have large RELATIVE error by design)
+    amax = np.abs(np.asarray(x)).max(axis=-1, keepdims=True)
+    assert (np.abs(deq - np.asarray(x)) / amax).max() <= 0.5 / 127 + 1e-6
+
+    prompt = [257, 72, 101, 108, 108, 111, 44, 99]
+    n = len(prompt)
+    ids = jnp.asarray([prompt], jnp.int32)
+    positions = jnp.arange(n, dtype=jnp.int32)[None, :]
+    attn = jnp.tril(jnp.ones((1, n, n), bool))
+    exact_logits, _ = decoder_forward(
+        PARAMS, ids, positions, attn, KVCache.zeros(ARCH, 1, n), jnp.int32(0), ARCH
+    )
+    qcache = make_kv_cache(ARCH, 1, n, jnp.float32, "int8")
+    assert isinstance(qcache, QuantKVCache)
+    q_logits, q_after = decoder_forward(
+        PARAMS, ids, positions, attn, qcache, jnp.int32(0), ARCH
+    )
+    assert isinstance(q_after, QuantKVCache)
+    np.testing.assert_allclose(
+        np.asarray(q_logits), np.asarray(exact_logits), rtol=0.05, atol=0.05
+    )
+
+
+def test_quant_kv_generation_tracks_exact():
+    """Greedy decode with the int8 KV cache follows the exact-cache decode
+    closely on the tiny arch (sequential AND speculative paths, plus the
+    prefix cache and the chunked long-prompt prefill)."""
+    from comorag_tpu.models.decoder import generate_speculative
+
+    prompt = [257] + list(range(65, 85))
+    ids = jnp.asarray([prompt], jnp.int32)
+    mask = jnp.ones_like(ids)
+    kw = dict(arch=ARCH, max_new_tokens=12, eos_id=EOS, pad_id=PAD)
+    exact = generate(PARAMS, ids, mask, **kw)
+    quant = generate(PARAMS, ids, mask, kv_dtype="int8", **kw)
+    e, q = np.asarray(exact.tokens)[0], np.asarray(quant.tokens)[0]
+    match = np.mean(e[:8] == q[:8])  # small logit gaps may flip late tokens
+    assert match >= 0.75, (e.tolist(), q.tolist())
+
+    spec = generate_speculative(PARAMS, ids, mask, draft_len=3, kv_dtype="int8", **kw)
+    s = np.asarray(spec.tokens)[0]
+    assert np.mean(q[:8] == s[:8]) >= 0.75, (q.tolist(), s.tolist())
+
+
+def test_engine_int8_kv_generates():
+    """Engine-level kv_dtype="int8": generation + guided JSON + prefix
+    caching all run; guided output is schema-valid regardless of KV error."""
+    llm = JaxOfflineLLM(seed=0, kv_dtype="int8", speculative=True)
+    out = llm.infer(
+        [{"role": "user", "content": "extract the entities now"}],
+        max_tokens=24, json_template="ner",
+    )
+    json.loads(out.text)
+    # batched prompts share a header -> prefix cache built with quant KV
+    msgs = [
+        [{"role": "system", "content": "x" * 200},
+         {"role": "user", "content": f"item {i}"}]
+        for i in range(3)
+    ]
+    outs = llm.batch_infer(msgs, max_tokens=8)
+    assert len(outs) == 3 and all(isinstance(o.text, str) for o in outs)
