@@ -155,13 +155,16 @@ def encoder_forward(
     arch: EncoderArch,
     compute_dtype=jnp.float32,
     attention: str = "xla",       # "xla" | "pallas" | "pallas_interpret"
+    ffn: str = "auto",            # "auto" (follow attention) | "xla" | "pallas"
 ) -> jnp.ndarray:
     """Token embeddings -> transformer stack (lax.scan) -> [B, S, H].
 
     ``attention="pallas"`` runs the fused VMEM-resident attention kernel
     (ops/pallas_attention.py) — the [B, H, S, S] score tensor never hits
-    HBM. Inference-path only (the kernel has no VJP); training keeps the
-    XLA attention."""
+    HBM — and (``ffn="auto"``) the fused FFN kernel (ops/pallas_ffn.py)
+    alongside it. Inference-path only (the kernels have no VJP); training
+    keeps the XLA graph."""
+    from comorag_tpu.ops.pallas_ffn import fused_encoder_ffn, fused_ffn_supported
     b, s = input_ids.shape
     h = arch.hidden_size
     heads = arch.num_heads
@@ -178,6 +181,17 @@ def encoder_forward(
     x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], eps).astype(compute_dtype)
 
     mask_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e30).astype(compute_dtype)
+
+    # The fused FFN kernel rides the same flag as the fused attention
+    # (both are the inference hot path; both fall back for Mosaic-illegal
+    # tiny shapes). ffn="xla" opts out for A/B benching.
+    if ffn == "auto":
+        use_pallas_ffn = attention.startswith("pallas") and fused_ffn_supported(
+            b * s, h, arch.intermediate_size
+        )
+    else:
+        use_pallas_ffn = ffn.startswith("pallas")
+    ffn_interpret = attention == "pallas_interpret" or ffn == "pallas_interpret"
 
     def one_layer(x, layer):
         def proj(w, bias):
@@ -209,9 +223,28 @@ def encoder_forward(
             ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
         attn_out = (jnp.dot(ctx, layer["o_w"].astype(compute_dtype), preferred_element_type=compute_dtype)
                     + layer["o_b"].astype(compute_dtype))
+
+        if use_pallas_ffn:
+            # Fused VMEM-resident half-layer (ops/pallas_ffn.py): LN ->
+            # ffn_in -> gelu -> ffn_out -> residual -> LN in one row-tiled
+            # program — the [B, S, 4H] gelu mid tensor never touches HBM
+            # and both LNs stop paying their own [B, S, H] round-trips.
+            # XLA's best achievable here was an EmitAllBatchInSublanes
+            # windowed-conv fusion at ~1.8 ms/layer vs the ~0.7 ms matmul
+            # entitlement (r3 trace).
+            x2 = fused_encoder_ffn(
+                x + attn_out,
+                layer["attn_ln_scale"], layer["attn_ln_bias"],
+                layer["ffn_in_w"].astype(compute_dtype), layer["ffn_in_b"],
+                layer["ffn_out_w"].astype(compute_dtype), layer["ffn_out_b"],
+                layer["ffn_ln_scale"], layer["ffn_ln_bias"],
+                eps=eps,
+                interpret=ffn_interpret,
+            )
+            return x2.astype(compute_dtype), None
+
         x1 = _layer_norm((x + attn_out).astype(jnp.float32), layer["attn_ln_scale"], layer["attn_ln_bias"], eps)
         x1 = x1.astype(compute_dtype)
-
         ffn = (jnp.dot(x1, layer["ffn_in_w"].astype(compute_dtype), preferred_element_type=compute_dtype)
                + layer["ffn_in_b"].astype(compute_dtype))
         ffn = jax.nn.gelu(ffn, approximate=False)
@@ -242,11 +275,13 @@ def encode_pooled(
     compute_dtype=jnp.float32,
     normalize: bool = True,
     attention: str = "xla",
+    ffn: str = "auto",
 ) -> jnp.ndarray:
     """Forward -> masked mean pooling -> (optional) L2 normalization.
     Pooling semantics match BGEEmbedding.mean_pooling (:15-28)."""
     hidden = encoder_forward(
-        params, input_ids, attention_mask, arch, compute_dtype, attention=attention
+        params, input_ids, attention_mask, arch, compute_dtype,
+        attention=attention, ffn=ffn,
     )
     mask = attention_mask[..., None].astype(jnp.float32)
     pooled = jnp.sum(hidden * mask, axis=1) / jnp.maximum(jnp.sum(mask, axis=1), 1e-9)
@@ -412,7 +447,7 @@ class BGEJaxEncoder(BaseEncoder):
         self._encode_fn = functools.partial(
             jax.jit(
                 encode_pooled,
-                static_argnames=("arch", "compute_dtype", "normalize", "attention"),
+                static_argnames=("arch", "compute_dtype", "normalize", "attention", "ffn"),
             ),
             arch=self.arch,
             compute_dtype=self.compute_dtype,

@@ -275,3 +275,45 @@ def test_synonymy_k_limit_matches_full_topk():
     assert set(got) == set(want)
     for kv in want:
         assert abs(got[kv] - want[kv]) < 1e-4
+
+
+def test_synonymy_edge_cases_match_loop_semantics():
+    """The vectorized thresholding must keep the consumer's skip rules:
+    queries with <=2 alphanumeric chars are dropped entirely, empty-text
+    neighbors are skipped WITHOUT consuming the max_neighbors budget, and
+    self-hits are skipped likewise."""
+    rng = np.random.default_rng(7)
+    n, d, mn, thr = 40, 8, 2, 0.3
+    embs = rng.standard_normal((n, d)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    keys = [f"entity-{i}" for i in range(n)]
+    texts = [f"entity number {i}" for i in range(n)]
+    texts[3] = "a-b"       # <=2 alnum chars: filtered as a query...
+    texts[11] = ""         # empty: filtered as query AND as neighbor
+    texts[12] = ""
+
+    b = GraphBuilder()
+    b.add_synonymy_edges(keys, texts, embs, topk=n, sim_threshold=thr,
+                         max_neighbors=mn)
+
+    sims = embs @ embs.T
+    want = {}
+    for qi in range(n):
+        if len([c for c in texts[qi] if c.isalnum()]) <= 2:
+            continue
+        order = np.argsort(-sims[qi], kind="stable")
+        num = 0
+        for ni in order:
+            if sims[qi, ni] < thr or num >= mn:
+                break
+            if ni == qi or not texts[int(ni)]:
+                continue  # skipped, budget NOT consumed
+            want[(keys[qi], keys[int(ni)])] = float(sims[qi, ni])
+            num += 1
+    assert set(b.stats) == set(want)
+    # the short-text query emitted nothing; empty-text nodes appear as no
+    # (q, empty) edge anywhere
+    assert not any(k[0] == keys[3] for k in b.stats)
+    assert not any(k[1] in (keys[11], keys[12]) for k in b.stats)
+    for kv in want:
+        assert abs(b.stats[kv] - want[kv]) < 1e-4

@@ -224,6 +224,81 @@ def test_pallas_attention_matches_xla(tiny):
     np.testing.assert_allclose(np.asarray(got16), np.asarray(ref16), rtol=2e-2, atol=2e-2)
 
 
+def test_pallas_ffn_matches_xla_reference():
+    """The fused FFN half-layer (ops/pallas_ffn.py, interpret mode on
+    CPU) must match the unfused LN->matmul->gelu->matmul->residual->LN
+    composition in fp32 and bf16."""
+    from comorag_tpu.ops.pallas_ffn import fused_encoder_ffn, fused_ffn_supported
+
+    h, inter = 128, 256
+    rng = np.random.default_rng(1)
+    xres = rng.normal(size=(8, 32, h)).astype(np.float32)
+    w1 = rng.normal(scale=0.05, size=(h, inter)).astype(np.float32)
+    b1 = rng.normal(scale=0.05, size=(inter,)).astype(np.float32)
+    w2 = rng.normal(scale=0.05, size=(inter, h)).astype(np.float32)
+    b2 = rng.normal(scale=0.05, size=(h,)).astype(np.float32)
+    s1, n1 = rng.normal(1, 0.1, (h,)).astype(np.float32), rng.normal(0, 0.1, (h,)).astype(np.float32)
+    s2, n2 = rng.normal(1, 0.1, (h,)).astype(np.float32), rng.normal(0, 0.1, (h,)).astype(np.float32)
+    assert fused_ffn_supported(8 * 32, h, inter)
+
+    def ln(x, s, b, eps=1e-12):
+        m = x.mean(-1, keepdims=True)
+        c = x - m
+        return c / np.sqrt((c * c).mean(-1, keepdims=True) + eps) * s + b
+
+    for dt, rtol in ((jnp.float32, 2e-5), (jnp.bfloat16, 2e-2)):
+        xr = jnp.asarray(xres, dt)
+        x1 = ln(np.asarray(xr, np.float32), s1, n1).astype(
+            np.float32 if dt == jnp.float32 else np.float32
+        )
+        # match the kernel's post-LN1 cast to compute dtype
+        x1 = np.asarray(jnp.asarray(x1, dt), np.float32)
+        mid = x1 @ np.asarray(jnp.asarray(w1, dt), np.float32) + b1
+        from scipy.special import erf as _scipy_erf
+
+        mid = 0.5 * mid * (1.0 + _scipy_erf(mid / np.sqrt(2.0)))
+        mid = np.asarray(jnp.asarray(mid, dt), np.float32)
+        f = mid @ np.asarray(jnp.asarray(w2, dt), np.float32) + b2
+        ref = ln(x1 + f, s2, n2)
+
+        got = fused_encoder_ffn(
+            xr, s1, n1, jnp.asarray(w1, dt), b1, jnp.asarray(w2, dt), b2,
+            s2, n2, interpret=True,
+        )
+        assert got.shape == xr.shape and got.dtype == xr.dtype
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), ref, rtol=rtol, atol=rtol * 4
+        )
+
+
+def test_pallas_ffn_in_encoder_matches_xla():
+    """encoder_forward with attention=pallas_interpret + ffn=auto runs
+    BOTH fused kernels (arch is 128-divisible) and must match the pure
+    XLA path end to end."""
+    from comorag_tpu.ops.pallas_ffn import fused_ffn_supported
+
+    arch = EncoderArch(vocab_size=64, hidden_size=128, num_layers=2,
+                       num_heads=2, intermediate_size=256, max_position=64)
+    params = init_params(jax.random.PRNGKey(3), arch)
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(2, arch.vocab_size, (8, 32)), jnp.int32)
+    mask = np.ones((8, 32), np.int32)
+    mask[2, 17:] = 0
+    mask = jnp.asarray(mask)
+    assert fused_ffn_supported(8 * 32, arch.hidden_size, arch.intermediate_size)
+
+    ref = encode_pooled(params, ids, mask, arch, attention="xla", ffn="xla")
+    got = encode_pooled(params, ids, mask, arch, attention="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+    # FFN kernel forced alongside XLA attention isolates the FFN kernel
+    got_ffn_only = encode_pooled(params, ids, mask, arch, attention="xla",
+                                 ffn="pallas_interpret")
+    np.testing.assert_allclose(
+        np.asarray(got_ffn_only), np.asarray(ref), rtol=3e-5, atol=3e-5
+    )
+
+
 def test_encoder_auto_attention_resolves_xla_on_cpu(tiny):
     arch, params = tiny
     enc = BGEJaxEncoder(params=params, arch=arch, tokenizer=SimpleHashTokenizer())
