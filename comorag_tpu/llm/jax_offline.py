@@ -3,7 +3,7 @@
 
 Where the reference wraps the vLLM CUDA engine (tensor_parallel_size /
 pipeline_parallel_size ints, guided JSON via ``guided_options_request``),
-this engine IS the model: a pure-JAX llama-class decoder
+this engine IS the model: a pure-JAX llama-/qwen2-class decoder
 (models/decoder.py) with
 
   - real batched generation: one prefill + one ``lax.while_loop`` decode

@@ -49,6 +49,11 @@ class DecoderArch:
     rope_theta: float = 10000.0
     rms_norm_eps: float = 1e-5
     tie_embeddings: bool = False
+    # Qwen2-class checkpoints (the other major open llama-lineage family
+    # the reference's vLLM route accepts) add a bias to q/k/v only —
+    # everything else (RMSNorm, SwiGLU, RoPE, GQA, tied-embed option)
+    # already matches this decoder. Fused like qkv_w: one [q|k|v] vector.
+    qkv_bias: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -94,6 +99,8 @@ def init_params(key: jax.Array, arch: DecoderArch) -> Dict[str, Any]:
         },
         "final_norm": jnp.ones((h,)),
     }
+    if arch.qkv_bias:
+        params["layers"]["qkv_b"] = norm(keys[2], (l, q_dim + 2 * kv_dim))
     if not arch.tie_embeddings:
         params["lm_head"] = norm(jax.random.fold_in(keys[0], 1), (h, arch.vocab_size))
     return params
@@ -152,6 +159,10 @@ def param_shardings(
     }
     if arch is not None and arch.tie_embeddings:
         tree.pop("lm_head")
+    if arch is not None and arch.qkv_bias:
+        # bias splits along the same fused output dim as qkv_w's columns;
+        # never quantized (quantize_params leaves non-"_w" leaves float)
+        tree["layers"]["qkv_b"] = ns(None, tp_axis)
     return tree
 
 
@@ -334,6 +345,8 @@ def decoder_forward(
         kv_dim = kv_heads * hd
         xn = _rms_norm(x, layer["attn_norm"], arch.rms_norm_eps)
         qkv = dot(xn, layer["qkv_w"])
+        if arch.qkv_bias:
+            qkv = qkv + layer["qkv_b"].astype(qkv.dtype)
         q = qkv[..., :q_dim].reshape(b, s, heads, hd)
         k = qkv[..., q_dim:q_dim + kv_dim].reshape(b, s, kv_heads, hd)
         v = qkv[..., q_dim + kv_dim:].reshape(b, s, kv_heads, hd)
@@ -902,9 +915,12 @@ def generate_speculative(
 
 # ------------------------------------------------------- HF weight conversion
 def load_hf_decoder_checkpoint(model_name_or_path: str) -> Tuple[Dict[str, Any], DecoderArch]:
-    """Convert a local HuggingFace llama-family causal-LM checkpoint into
-    this module's parameter tree. Torch (CPU) is used only at load time —
-    the reference's engine keeps torch in the serving path
+    """Convert a local HuggingFace llama-family OR qwen2-family causal-LM
+    checkpoint into this module's parameter tree (the two open families
+    the reference's vLLM route is actually pointed at — vllm_offline.py
+    accepts any HF name; both share this decoder's RMSNorm/SwiGLU/RoPE/GQA
+    skeleton, qwen2 adding only the qkv bias). Torch (CPU) is used only at
+    load time — the reference's engine keeps torch in the serving path
     (vllm_offline.py:2), ours does not."""
     import numpy as np
     from transformers import AutoConfig, AutoModelForCausalLM
@@ -913,7 +929,13 @@ def load_hf_decoder_checkpoint(model_name_or_path: str) -> Tuple[Dict[str, Any],
     model = AutoModelForCausalLM.from_pretrained(model_name_or_path)
     state = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
 
+    # bias presence is read off the weights, not the config: llama-family
+    # configs carry attention_bias (default False), qwen2 has bias always
+    # and no such flag
+    qkv_bias = "model.layers.0.self_attn.q_proj.bias" in state
+
     arch = DecoderArch(
+        qkv_bias=qkv_bias,
         vocab_size=hf_config.vocab_size,
         hidden_size=hf_config.hidden_size,
         num_layers=hf_config.num_hidden_layers,
@@ -958,6 +980,14 @@ def load_hf_decoder_checkpoint(model_name_or_path: str) -> Tuple[Dict[str, Any],
         },
         "final_norm": jnp.asarray(state["model.norm.weight"]),
     }
+    if qkv_bias:
+        params["layers"]["qkv_b"] = jnp.asarray(np.stack([
+            np.concatenate([
+                state[prefix.format(i) + f"self_attn.{p}_proj.bias"]
+                for p in ("q", "k", "v")
+            ])
+            for i in range(arch.num_layers)
+        ]))
     if not arch.tie_embeddings:
         params["lm_head"] = jnp.asarray(state["lm_head.weight"].T)
     return params, arch

@@ -5,6 +5,7 @@ Covers the JAX decoder (KV-cache correctness, EOS stop, TP sharding),
 the JSON-schema -> byte-DFA compiler, and the JaxOfflineLLM interface
 (batched guided generation, per-row independence)."""
 
+import dataclasses
 import json
 
 import jax
@@ -194,6 +195,58 @@ def test_hf_llama_checkpoint_parity(tmp_path):
     logits, _ = decoder_forward(params, ids, positions, attn, cache, jnp.int32(0), arch)
     got = np.asarray(logits[0])
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)
+
+
+def test_hf_qwen2_checkpoint_parity(tmp_path):
+    """Convert a random tiny HF qwen2 (GQA + qkv bias) checkpoint and
+    compare logits — the second open model family the jax:<ckpt> route
+    accepts (the reference's vLLM path takes any HF name)."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    from comorag_tpu.models.decoder import load_hf_decoder_checkpoint
+
+    cfg = Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0, rms_norm_eps=1e-5,
+        tie_word_embeddings=True,
+    )
+    torch.manual_seed(1)
+    model = Qwen2ForCausalLM(cfg).eval()
+    model.save_pretrained(tmp_path / "tiny_qwen2")
+    params, arch = load_hf_decoder_checkpoint(str(tmp_path / "tiny_qwen2"))
+    assert arch.qkv_bias and arch.tie_embeddings
+    assert params["layers"]["qkv_b"].shape == (2, 4 * 16 + 2 * 2 * 16)
+
+    prompt = [9, 2, 77, 31, 5, 120, 64, 8]
+    with torch.no_grad():
+        ref = model(torch.tensor([prompt])).logits[0].numpy()
+
+    n = len(prompt)
+    ids = jnp.asarray([prompt], jnp.int32)
+    positions = jnp.arange(n, dtype=jnp.int32)[None, :]
+    attn = jnp.tril(jnp.ones((1, n, n), bool))
+    cache = KVCache.zeros(arch, 1, n)
+    logits, _ = decoder_forward(params, ids, positions, attn, cache, jnp.int32(0), arch)
+    np.testing.assert_allclose(np.asarray(logits[0]), ref, atol=2e-4, rtol=2e-3)
+
+
+def test_qkv_bias_tp_generation_matches_unsharded():
+    """TP sharding of the fused qkv bias (same column split as qkv_w)
+    must keep generation exact."""
+    from comorag_tpu.models.decoder import DecoderArch, init_params
+    from comorag_tpu.parallel.mesh import build_mesh
+
+    arch = dataclasses.replace(ARCH, qkv_bias=True)
+    params = init_params(jax.random.PRNGKey(11), arch)
+    mesh = build_mesh({"model": 2}, devices=jax.devices()[:2])
+    plain = JaxOfflineLLM(params=params, arch=arch, seed=0)
+    sharded = JaxOfflineLLM(params=params, arch=arch, seed=0, mesh=mesh)
+    msgs = [{"role": "user", "content": "tell me about the lantern"}]
+    a = plain.infer(msgs, max_tokens=16)
+    b = sharded.infer(msgs, max_tokens=16)
+    assert a.text == b.text
 
 
 def test_tp_sharded_generation_matches_unsharded():
