@@ -254,25 +254,29 @@ class ComoRAG:
 
     def _build_graph(self, chunk_ids, chunk_triples, per_chunk_entities) -> None:
         builder = GraphBuilder()
-        builder.add_fact_edges(chunk_ids, chunk_triples)
-        builder.add_passage_edges(chunk_ids, per_chunk_entities)
+        with trace.span("graph.fact_edges"):
+            builder.add_fact_edges(chunk_ids, chunk_triples)
+        with trace.span("graph.passage_edges"):
+            builder.add_passage_edges(chunk_ids, per_chunk_entities)
         entity_keys = self.entity_store.get_all_ids()
         entity_texts = self.entity_store.get_all_texts()
         if len(entity_keys) >= 2:
-            builder.add_synonymy_edges(
-                entity_keys,
-                entity_texts,
-                self.entity_store.matrix,
-                mesh=self.mesh,
-                topk=self.config.synonymy_edge_topk,
-                sim_threshold=self.config.synonymy_edge_sim_threshold,
-                query_batch_size=self.config.synonymy_edge_query_batch_size,
-                key_batch_size=self.config.synonymy_edge_key_batch_size,
-            )
+            with trace.span("graph.synonymy_edges"):
+                builder.add_synonymy_edges(
+                    entity_keys,
+                    entity_texts,
+                    self.entity_store.matrix,
+                    mesh=self.mesh,
+                    topk=self.config.synonymy_edge_topk,
+                    sim_threshold=self.config.synonymy_edge_sim_threshold,
+                    query_batch_size=self.config.synonymy_edge_query_batch_size,
+                    key_batch_size=self.config.synonymy_edge_key_batch_size,
+                )
         node_names = list(entity_keys) + list(chunk_ids)
         if self.config.need_cluster and self.sem_store is not None:
             node_names += list(self.sem_store.get_all_ids())
-        self.graph = builder.finalize(node_names, directed=self.config.is_directed_graph)
+        with trace.span("graph.finalize"):
+            self.graph = builder.finalize(node_names, directed=self.config.is_directed_graph)
         self.graph.save(self._graph_prefix)
         logger.info("Graph: %s", self.graph.info())
 

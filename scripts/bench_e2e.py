@@ -161,6 +161,9 @@ def main() -> None:
         "semantic_tree_breakdown_s": {
             k.split(".", 1)[1]: v["total_s"] for k, v in spans.items() if k.startswith("semantic_tree.")
         },
+        "graph_breakdown_s": {
+            k.split(".", 1)[1]: v["total_s"] for k, v in spans.items() if k.startswith("graph.")
+        },
         "retrieval_recall_at_10": round(recall, 4),
         "fanout_retrieve_s": round(retrieve_s, 3),
         "fanout_qps": round(len(queries) / retrieve_s, 2),
