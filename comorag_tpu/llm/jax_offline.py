@@ -146,7 +146,16 @@ class JaxOfflineLLM(BaseLLM):
             if tokenizer is None:
                 from transformers import AutoTokenizer
 
-                tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+                try:
+                    tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+                except Exception:
+                    # some checkpoints ship slow-only tokenizer files whose
+                    # fast (tokenizers-rust) conversion fails; the engine
+                    # only needs encode/decode + get_vocab, which the slow
+                    # classes provide
+                    tokenizer = AutoTokenizer.from_pretrained(
+                        model_name_or_path, use_fast=False
+                    )
         elif params is None or arch is None:
             # hermetic engine: tiny random weights, byte vocab — used by
             # tests, benches, and the offline-OpenIE dryrun path

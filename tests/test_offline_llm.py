@@ -812,6 +812,42 @@ def _tiny_bpe_tokenizer(tmp_path, drop_chars=""):
     )
 
 
+def test_qwen2_checkpoint_route_end_to_end(tmp_path):
+    """The jax:<ckpt> route on a qwen2-family checkpoint WITH a real
+    byte-level-BPE tokenizer saved beside it: load, guided-JSON infer,
+    schema-valid output. This is the full path `get_llm("jax:<dir>")`
+    exercises minus the factory string parsing."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    tok = _tiny_bpe_tokenizer(tmp_path)
+    cfg = Qwen2Config(
+        vocab_size=len(tok), hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, tie_word_embeddings=True,
+        bos_token_id=tok.bos_token_id, eos_token_id=tok.eos_token_id,
+    )
+    torch.manual_seed(2)
+    ckpt = tmp_path / "tiny_qwen2_full"
+    Qwen2ForCausalLM(cfg).eval().save_pretrained(ckpt)
+    tok.save_pretrained(ckpt)
+
+    llm = JaxOfflineLLM(model_name_or_path=str(ckpt))
+    assert llm.arch.qkv_bias
+    out = llm.infer(
+        [{"role": "user", "content": "extract entities"}],
+        max_tokens=48, json_template="ner",
+    )
+    # the constrained decode may exhaust the budget mid-string (random
+    # weights), but every emitted byte must stay ON the schema DFA — the
+    # point is that a REAL byte-level-BPE vocab steers correctly
+    dfa = compile_json_schema(JSON_TEMPLATES["ner"])
+    state = dfa.walk(out.text.encode())
+    assert state >= 0, f"off-grammar output: {out.text!r}"
+    if state == dfa.accept_state:
+        assert isinstance(json.loads(out.text).get("named_entities"), list)
+
+
 def test_hf_byte_level_bpe_token_bytes(tmp_path):
     """ADVICE r2 #1: byte-level-BPE tokens invert through the full GPT-2
     byte<->unicode map — newline/tab/high-byte tokens expand to their REAL
