@@ -270,6 +270,22 @@ def test_pallas_ffn_matches_xla_reference():
             np.asarray(got, np.float32), ref, rtol=rtol, atol=rtol * 4
         )
 
+    # minimum-tile path: 24 rows -> tn=8 (the smallest Mosaic-legal tile)
+    from comorag_tpu.ops.pallas_ffn import ffn_block_rows
+
+    assert ffn_block_rows(24) == 8 and ffn_block_rows(12) == 4
+    assert not fused_ffn_supported(12, h, inter)  # tn<8 falls back to XLA
+    small = jnp.asarray(xres[:1, :24, :])  # [1, 24, 128]
+    got_small = fused_encoder_ffn(
+        small, s1, n1, w1, b1, w2, b2, s2, n2, interpret=True
+    )
+    big = fused_encoder_ffn(
+        jnp.asarray(xres), s1, n1, w1, b1, w2, b2, s2, n2, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_small), np.asarray(big[:1, :24, :]), rtol=2e-5, atol=1e-4
+    )
+
 
 def test_pallas_ffn_in_encoder_matches_xla():
     """encoder_forward with attention=pallas_interpret + ffn=auto runs
