@@ -99,6 +99,8 @@ class SemanticTree:
         seed: int = 224,
         em_iters: int = 60,
         batch_size: int = 32,
+        max_context_tokens: int = 3500,
+        token_counter=None,
     ):
         self.encoder = encoder
         self.summarizer = summarizer
@@ -108,6 +110,10 @@ class SemanticTree:
         self.seed = seed
         self.em_iters = em_iters
         self.batch_size = batch_size
+        self.max_context_tokens = max_context_tokens
+        from comorag_tpu.utils.text import TokenCounter
+
+        self.tokens = token_counter or TokenCounter()
 
     def _encode(self, texts: Sequence[str]) -> np.ndarray:
         out = []
@@ -119,7 +125,14 @@ class SemanticTree:
         contexts = []
         for cluster in clusters:
             ordered = [texts[i] for i, _ in cluster.sorted_members()]
-            combined = "".join(f"{' '.join(t.splitlines())}\n\n" for t in ordered)
+            # budget the PROMPT: highest-membership texts first, stop at
+            # max_context_tokens (the reference concatenates the whole
+            # cluster unbounded, cluster_utils.py:563-568 — ~500k tokens
+            # at 200k-chunk scale; see config.summary_context_max_tokens)
+            kept = self.tokens.truncate_by_budget(ordered, self.max_context_tokens)
+            if not kept and ordered:
+                kept = ordered[:1]  # a single over-budget text still summarizes
+            combined = "".join(f"{' '.join(t.splitlines())}\n\n" for t in kept)
             contexts.append(combined)
         summaries = self.summarizer.batch_summarize(contexts)
         return [s for s in summaries if s]

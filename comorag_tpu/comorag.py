@@ -205,6 +205,8 @@ class ComoRAG:
             seed=self.config.cluster_seed,
             em_iters=self.config.gmm_em_iterations,
             batch_size=self.config.embedding_batch_size,
+            max_context_tokens=self.config.summary_context_max_tokens,
+            token_counter=self.tokens,
         )
         all_summaries, final_summary = tree.build(
             self.ver_store.get_all_texts(), max_levels=5, embeddings=self.ver_store.matrix

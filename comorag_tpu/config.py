@@ -110,6 +110,14 @@ class ComoConfig:
     cluster_threshold: float = 0.01   # soft-membership threshold (ComoRAG.py:140)
     reduction_dimension: int = 10     # random-projection target dim (ComoRAG.py:139)
     cluster_seed: int = 224           # reference RANDOM_SEED (cluster_utils.py:17)
+    # Token budget for a cluster-summary PROMPT context (highest-membership
+    # texts first). The reference concatenates the whole cluster unbounded
+    # (cluster_utils.py:563-568) — at 200k chunks a cluster context reaches
+    # ~2 MB / ~500k tokens, beyond any model's window (documented quirk,
+    # not reproduced). The default guards the pathological tail while
+    # leaving moderate clusters whole; set it near the serving model's
+    # window for small-context engines (jax-offline: 4096).
+    summary_context_max_tokens: int = 60_000
     max_concurrent_llm: int = 16      # async LLM request pool width
 
     def __post_init__(self) -> None:

@@ -242,6 +242,39 @@ def test_topk_block_rows_wired(tmp_path):
     assert rag.engine.ver_index.tile_n == 256
 
 
+def test_summary_context_budget_caps_cluster_prompts():
+    """summary_context_max_tokens bounds the cluster-summary PROMPT,
+    keeping the highest-membership texts (the reference concatenates the
+    whole cluster unbounded — ~500k tokens at 200k chunks)."""
+    from comorag_tpu.cluster.raptor import SemanticTree, SoftCluster
+    from comorag_tpu.llm.summarize import Summarizer
+    from comorag_tpu.utils.text import TokenCounter
+
+    captured = []
+
+    class CaptureLLM:
+        def batch_infer(self, batch, **kw):
+            from comorag_tpu.llm.base import LLMResponse
+
+            captured.extend(m[-1]["content"] for m in batch)
+            return [LLMResponse(text="s") for _ in batch]
+
+    texts = [f"text number {i} " + "filler word " * 30 for i in range(50)]
+    cluster = SoftCluster(id=0, members={i: 1.0 - i * 0.01 for i in range(50)})
+    counter = TokenCounter()
+
+    tree = SemanticTree(None, Summarizer(CaptureLLM()), max_context_tokens=200)
+    tree._summarize_clusters(texts, [cluster])
+    small = captured.pop()
+    assert texts[0].split()[2] in small          # top-membership text kept
+    assert counter.count(small) < 200 + 80       # instruction preamble slack
+    assert "text number 49" not in small         # tail dropped
+
+    tree_big = SemanticTree(None, Summarizer(CaptureLLM()), max_context_tokens=100_000)
+    tree_big._summarize_clusters(texts, [cluster])
+    assert all(f"text number {i}" in captured[-1] for i in range(50))  # no budget hit
+
+
 def test_synonymy_k_limit_matches_full_topk():
     """Retrieving only top-(max_neighbors + margin) neighbors must yield
     exactly the edges the full synonymy_edge_topk retrieval yields — the
