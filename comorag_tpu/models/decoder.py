@@ -54,6 +54,15 @@ class DecoderArch:
     # everything else (RMSNorm, SwiGLU, RoPE, GQA, tied-embed option)
     # already matches this decoder. Fused like qkv_w: one [q|k|v] vector.
     qkv_bias: bool = False
+    # RoPE frequency rescaling, as a hashable tuple so the frozen arch
+    # stays a valid static jit argument:
+    #   ("llama3", factor, low_freq_factor, high_freq_factor, orig_max_pos)
+    #   ("linear", factor)
+    # Llama-3.1+ checkpoints — including the reference's default serving
+    # model `meta-llama/Llama-3.3-70B-Instruct` (vllm_offline.py:37) —
+    # ship the "llama3" variant; ignoring it would silently mis-rotate
+    # every position past the pretraining window.
+    rope_scaling: Optional[Tuple] = None
 
     @property
     def head_dim(self) -> int:
@@ -173,13 +182,47 @@ def _rms_norm(x, scale, eps):
     return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * scale.astype(x.dtype)
 
 
-def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+def _rope_inv_freq(hd: int, theta: float, scaling: Optional[Tuple]) -> jnp.ndarray:
+    """Per-channel inverse frequencies, with optional HF-style rescaling.
+
+    Matches transformers' ``modeling_rope_utils`` "linear" and "llama3"
+    init functions (the latter is what llama-3.1+ configs carry as
+    ``rope_scaling={"rope_type": "llama3", ...}``). All inputs are static,
+    so XLA constant-folds the whole computation.
+    """
+    freqs = 1.0 / (theta ** (jnp.arange(0, hd // 2, dtype=jnp.float32) * 2.0 / hd))
+    if scaling is None:
+        return freqs
+    kind = scaling[0]
+    if kind == "linear":
+        return freqs / float(scaling[1])
+    if kind == "llama3":
+        _, factor, low_ff, high_ff, orig_max = scaling
+        low_wavelen = orig_max / low_ff
+        high_wavelen = orig_max / high_ff
+        wavelen = 2.0 * jnp.pi / freqs
+        # long waves (beyond the pretraining window) slow by `factor`,
+        # short waves stay, the band between interpolates smoothly
+        smooth = (orig_max / wavelen - low_ff) / (high_ff - low_ff)
+        smoothed = (1.0 - smooth) * freqs / factor + smooth * freqs
+        out = jnp.where(wavelen > low_wavelen, freqs / factor, freqs)
+        mid = (wavelen <= low_wavelen) & (wavelen >= high_wavelen)
+        return jnp.where(mid, smoothed, out)
+    raise ValueError(f"unsupported rope_scaling kind: {kind!r}")
+
+
+def _rope(
+    x: jnp.ndarray,
+    positions: jnp.ndarray,
+    theta: float,
+    scaling: Optional[Tuple] = None,
+) -> jnp.ndarray:
     """HF-convention rotary embedding (half-split rotate, not interleaved).
 
     x: [B, S, heads, head_dim]; positions: [B, S] int32.
     """
     hd = x.shape[-1]
-    freqs = 1.0 / (theta ** (jnp.arange(0, hd // 2, dtype=jnp.float32) * 2.0 / hd))
+    freqs = _rope_inv_freq(hd, theta, scaling)
     angles = positions[..., None].astype(jnp.float32) * freqs  # [B, S, hd/2]
     cos = jnp.cos(angles)[:, :, None, :].astype(x.dtype)
     sin = jnp.sin(angles)[:, :, None, :].astype(x.dtype)
@@ -350,8 +393,8 @@ def decoder_forward(
         q = qkv[..., :q_dim].reshape(b, s, heads, hd)
         k = qkv[..., q_dim:q_dim + kv_dim].reshape(b, s, kv_heads, hd)
         v = qkv[..., q_dim + kv_dim:].reshape(b, s, kv_heads, hd)
-        q = _rope(q, positions, arch.rope_theta)
-        k = _rope(k, positions, arch.rope_theta)
+        q = _rope(q, positions, arch.rope_theta, arch.rope_scaling)
+        k = _rope(k, positions, arch.rope_theta, arch.rope_scaling)
 
         if quant_kv:
             k_w, k_s = _quant_kv(k)
@@ -934,6 +977,32 @@ def load_hf_decoder_checkpoint(model_name_or_path: str) -> Tuple[Dict[str, Any],
     # and no such flag
     qkv_bias = "model.layers.0.self_attn.q_proj.bias" in state
 
+    # rope_scaling: llama-3.1+ configs carry {"rope_type": "llama3", ...}
+    # (older HF versions spelled the key "type"). Unsupported kinds fail
+    # LOUDLY — silently dropping the rescale would load a checkpoint whose
+    # logits drift with position, the worst kind of wrong.
+    rs = getattr(hf_config, "rope_scaling", None)
+    rope_scaling = None
+    if rs:
+        kind = rs.get("rope_type", rs.get("type", "default"))
+        if kind in ("default", None):
+            rope_scaling = None
+        elif kind == "linear":
+            rope_scaling = ("linear", float(rs["factor"]))
+        elif kind == "llama3":
+            rope_scaling = (
+                "llama3",
+                float(rs["factor"]),
+                float(rs["low_freq_factor"]),
+                float(rs["high_freq_factor"]),
+                float(rs["original_max_position_embeddings"]),
+            )
+        else:
+            raise ValueError(
+                f"rope_scaling type {kind!r} is not supported by the JAX "
+                "decoder (supported: default, linear, llama3)"
+            )
+
     arch = DecoderArch(
         qkv_bias=qkv_bias,
         vocab_size=hf_config.vocab_size,
@@ -944,6 +1013,7 @@ def load_hf_decoder_checkpoint(model_name_or_path: str) -> Tuple[Dict[str, Any],
         intermediate_size=hf_config.intermediate_size,
         max_seq_len=hf_config.max_position_embeddings,
         rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+        rope_scaling=rope_scaling,
         rms_norm_eps=hf_config.rms_norm_eps,
         tie_embeddings=bool(getattr(hf_config, "tie_word_embeddings", False)),
     )

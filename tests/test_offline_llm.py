@@ -197,6 +197,84 @@ def test_hf_llama_checkpoint_parity(tmp_path):
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)
 
 
+def test_hf_llama3_rope_scaling_parity(tmp_path):
+    """llama-3.1+ checkpoints rescale RoPE frequencies
+    (rope_scaling={"rope_type": "llama3", ...}) — the reference's default
+    serving model Llama-3.3-70B ships exactly this. Logits must match HF
+    at positions past the smoothing band, where the rescale actually
+    bites (original_max_position_embeddings=32 here, prompt length 48)."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from comorag_tpu.models.decoder import load_hf_decoder_checkpoint
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_theta=10000.0, rms_norm_eps=1e-5,
+        tie_word_embeddings=False,
+        rope_scaling={
+            "rope_type": "llama3", "factor": 8.0,
+            "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+            "original_max_position_embeddings": 32,
+        },
+    )
+    torch.manual_seed(3)
+    model = LlamaForCausalLM(cfg).eval()
+    model.save_pretrained(tmp_path / "tiny_llama3")
+    params, arch = load_hf_decoder_checkpoint(str(tmp_path / "tiny_llama3"))
+    assert arch.rope_scaling == ("llama3", 8.0, 1.0, 4.0, 32.0)
+
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(0, 128, size=48).tolist()
+    with torch.no_grad():
+        ref = model(torch.tensor([prompt])).logits[0].numpy()
+
+    n = len(prompt)
+    ids = jnp.asarray([prompt], jnp.int32)
+    positions = jnp.arange(n, dtype=jnp.int32)[None, :]
+    attn = jnp.tril(jnp.ones((1, n, n), bool))
+    cache = KVCache.zeros(arch, 1, n)
+    logits, _ = decoder_forward(params, ids, positions, attn, cache, jnp.int32(0), arch)
+    np.testing.assert_allclose(np.asarray(logits[0]), ref, atol=2e-4, rtol=2e-3)
+
+    # the rescale is NOT a no-op: unscaled arch must disagree out here
+    plain = dataclasses.replace(arch, rope_scaling=None)
+    logits_plain, _ = decoder_forward(
+        params, ids, positions, attn, KVCache.zeros(plain, 1, n), jnp.int32(0), plain
+    )
+    # small because the model is tiny+random, but well above the 2e-4/2e-3
+    # parity band the scaled run just met
+    assert np.abs(np.asarray(logits_plain[0]) - ref).max() > 1.5e-3
+
+
+def test_hf_rope_scaling_linear_and_unsupported(tmp_path):
+    """'linear' rescaling divides every frequency by `factor`; unsupported
+    kinds (yarn/longrope/dynamic) must fail loudly, never load wrong."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from comorag_tpu.models.decoder import (
+        _rope_inv_freq,
+        load_hf_decoder_checkpoint,
+    )
+
+    f0 = np.asarray(_rope_inv_freq(16, 10000.0, None))
+    f2 = np.asarray(_rope_inv_freq(16, 10000.0, ("linear", 2.0)))
+    np.testing.assert_allclose(f2, f0 / 2.0, rtol=1e-6)
+
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=64,
+        rope_scaling={"rope_type": "yarn", "factor": 2.0},
+    )
+    model = LlamaForCausalLM(cfg).eval()
+    model.save_pretrained(tmp_path / "tiny_yarn")
+    with pytest.raises(ValueError, match="yarn"):
+        load_hf_decoder_checkpoint(str(tmp_path / "tiny_yarn"))
+
+
 def test_hf_qwen2_checkpoint_parity(tmp_path):
     """Convert a random tiny HF qwen2 (GQA + qkv bias) checkpoint and
     compare logits — the second open model family the jax:<ckpt> route
@@ -846,6 +924,44 @@ def test_qwen2_checkpoint_route_end_to_end(tmp_path):
     assert state >= 0, f"off-grammar output: {out.text!r}"
     if state == dfa.accept_state:
         assert isinstance(json.loads(out.text).get("named_entities"), list)
+
+
+def test_chat_template_used_when_tokenizer_has_one(tmp_path):
+    """A checkpoint tokenizer's own chat_template drives prompt rendering
+    (the reference delegates to tokenizer.apply_chat_template,
+    vllm_offline.py:14-25); its output embeds special tokens, so the
+    encode step must not prepend a second BOS. Tokenizers without a
+    template keep the explicit generic framing."""
+    tok = _tiny_bpe_tokenizer(tmp_path)
+    arch = DecoderArch.tiny(vocab_size=len(tok))
+    llm = JaxOfflineLLM(
+        params=init_params(jax.random.PRNGKey(0), arch), arch=arch, tokenizer=tok
+    )
+    msgs = [{"role": "user", "content": "ab"}]
+
+    # no template -> generic framing, specials added on encode
+    from comorag_tpu.llm.jax_offline import render_chat
+
+    text, sp = llm._render(msgs)
+    assert text == render_chat(msgs) and sp is True
+
+    # a llama-3-flavored template: BOS + role headers in the STRING
+    tok.chat_template = (
+        "{{ bos_token }}{% for m in messages %}"
+        "[{{ m['role'] }}]{{ m['content'] }}{% endfor %}"
+        "{% if add_generation_prompt %}[assistant]{% endif %}"
+    )
+    text, sp = llm._render(msgs)
+    assert text.startswith(tok.bos_token) and "[assistant]" in text
+    assert sp is False
+    ids = llm._ids(text, sp)
+    # exactly one BOS: the template's own, none prepended by encode
+    assert ids.count(tok.bos_token_id) == 1 and ids[0] == tok.bos_token_id
+
+    # a broken template falls back to the generic framing, not an error
+    tok.chat_template = "{{ undefined_fn(messages) }}"
+    text, sp = llm._render(msgs)
+    assert text == render_chat(msgs) and sp is True
 
 
 def test_hf_byte_level_bpe_token_bytes(tmp_path):
