@@ -22,7 +22,7 @@ this engine IS the model: a pure-JAX llama-/qwen2-class decoder
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -243,11 +243,34 @@ class JaxOfflineLLM(BaseLLM):
         )
 
     # ----------------------------------------------------------- tokenizer
-    def _ids(self, text: str) -> List[int]:
+    def _render(self, messages: Messages) -> Tuple[str, bool]:
+        """Render a chat with the checkpoint's OWN template when the
+        tokenizer carries one (the reference delegates to
+        ``tokenizer.apply_chat_template``, vllm_offline.py:14-25 — an
+        instruct model answers its trained framing, not a generic one).
+        Returns ``(text, add_special_tokens)``: a template's output
+        already embeds its special tokens (BOS headers etc.), so the
+        encode step must not prepend a second set."""
+        tok = self.tokenizer
+        if getattr(tok, "chat_template", None):
+            try:
+                text = tok.apply_chat_template(
+                    list(messages), tokenize=False, add_generation_prompt=True
+                )
+                return text, False
+            except Exception as exc:  # malformed/unrenderable template
+                if not getattr(self, "_warned_template", False):
+                    self._warned_template = True
+                    logger.warning(
+                        "chat template failed (%s); using generic framing", exc
+                    )
+        return render_chat(messages), True
+
+    def _ids(self, text: str, add_special: bool = True) -> List[int]:
         tok = self.tokenizer
         if isinstance(tok, ByteTokenizer):
             return [tok.bos_token_id] + tok.encode(text)
-        return tok(text, add_special_tokens=True)["input_ids"]
+        return tok(text, add_special_tokens=add_special)["input_ids"]
 
     def _special_ids(self):
         tok = self.tokenizer
@@ -467,11 +490,13 @@ class JaxOfflineLLM(BaseLLM):
 
     # ---------------------------------------------------------- interface
     def infer(self, messages: Messages, **gen_kwargs) -> LLMResponse:
+        text, sp = self._render(messages)
         return self._generate_batch(
-            [render_chat(messages)],
+            [text],
             max_tokens=int(gen_kwargs.get("max_tokens", self.max_new_tokens)),
             json_template=gen_kwargs.get("json_template"),
             temperature=gen_kwargs.get("temperature"),
+            id_rows=[self._ids(text, sp)],
         )[0]
 
     def batch_infer(self, batch: Sequence[Messages], **gen_kwargs) -> List[LLMResponse]:
@@ -480,7 +505,8 @@ class JaxOfflineLLM(BaseLLM):
         short and long prompts don't share one worst-case grid."""
         if not batch:
             return []
-        prompts = [render_chat(m) for m in batch]
+        rendered = [self._render(m) for m in batch]
+        prompts = [t for t, _ in rendered]
         max_tokens = int(gen_kwargs.get("max_tokens", self.max_new_tokens))
         template = gen_kwargs.get("json_template")
         temperature = gen_kwargs.get("temperature")
@@ -490,7 +516,7 @@ class JaxOfflineLLM(BaseLLM):
         # by TOTAL length would scatter it into single-row groups and the
         # prefix machinery (and its batching win) never engages. Shared
         # header present -> one group; remainder padding spread is bounded.
-        id_rows = [self._ids(p) for p in prompts]
+        id_rows = [self._ids(t, sp) for t, sp in rendered]
         common = _common_prefix_len(id_rows)
         groups: Dict[int, List[int]] = {}
         if (common // 64) * 64 >= self.prefix_cache_min:
