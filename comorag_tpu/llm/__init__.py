@@ -12,7 +12,7 @@ def get_llm(config, mesh=None) -> BaseLLM:
       - ``jax-offline``             -> in-process TPU engine, hermetic tiny
                                        weights (tests/benches/dryruns)
       - ``jax:<local checkpoint>``  -> in-process TPU engine on a local
-                                       llama- or qwen2-family checkpoint, optionally
+                                       llama-, qwen2/3- or gemma-family checkpoint, optionally
                                        tensor-parallel over ``mesh``
       - anything else              -> OpenAI-compatible HTTP client
     """

@@ -20,7 +20,8 @@ CUDA engine, the model itself is JAX:
   - tensor-parallel parameter shardings over a mesh ``model`` axis
     (vLLM's ``tensor_parallel_size`` int, vllm_offline.py:37-45, becomes
     real ``NamedSharding``s — XLA inserts the collectives);
-  - weight import from a local HuggingFace llama-family checkpoint
+  - weight import from a local HuggingFace llama-, qwen2/3- or
+    gemma-family checkpoint
     (``load_hf_decoder_checkpoint``), torch used only at load time.
 """
 
@@ -63,10 +64,21 @@ class DecoderArch:
     # ship the "llama3" variant; ignoring it would silently mis-rotate
     # every position past the pretraining window.
     rope_scaling: Optional[Tuple] = None
+    # Family knobs beyond the llama skeleton (all static, all composing
+    # with the same scan/KV-cache/TP machinery):
+    #   qwen3-class: per-head RMSNorm on q and k before RoPE, and an
+    #     explicit head_dim decoupled from hidden/heads;
+    #   gemma-class: embeddings scaled by sqrt(hidden), RMSNorm applies
+    #     (1 + w), and the MLP gate runs tanh-GeLU instead of SiLU.
+    qk_norm: bool = False
+    head_dim_override: Optional[int] = None
+    embed_scale: bool = False
+    rms_unit_offset: bool = False
+    mlp_act: str = "silu"  # "silu" | "gelu_tanh" | "gelu"
 
     @property
     def head_dim(self) -> int:
-        return self.hidden_size // self.num_heads
+        return self.head_dim_override or self.hidden_size // self.num_heads
 
     @classmethod
     def tiny(cls, vocab_size: int = 259) -> "DecoderArch":
@@ -110,6 +122,9 @@ def init_params(key: jax.Array, arch: DecoderArch) -> Dict[str, Any]:
     }
     if arch.qkv_bias:
         params["layers"]["qkv_b"] = norm(keys[2], (l, q_dim + 2 * kv_dim))
+    if arch.qk_norm:
+        params["layers"]["q_norm"] = jnp.ones((l, arch.head_dim))
+        params["layers"]["k_norm"] = jnp.ones((l, arch.head_dim))
     if not arch.tie_embeddings:
         params["lm_head"] = norm(jax.random.fold_in(keys[0], 1), (h, arch.vocab_size))
     return params
@@ -172,14 +187,23 @@ def param_shardings(
         # bias splits along the same fused output dim as qkv_w's columns;
         # never quantized (quantize_params leaves non-"_w" leaves float)
         tree["layers"]["qkv_b"] = ns(None, tp_axis)
+    if arch is not None and arch.qk_norm:
+        # per-head_dim vectors, identical for every (sharded) head
+        tree["layers"]["q_norm"] = ns(None, None)
+        tree["layers"]["k_norm"] = ns(None, None)
     return tree
 
 
 # ------------------------------------------------------------------ forward
-def _rms_norm(x, scale, eps):
+def _rms_norm(x, scale, eps, unit_offset: bool = False):
     x32 = x.astype(jnp.float32)
     var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
-    return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * scale.astype(x.dtype)
+    normed = x32 * jax.lax.rsqrt(var + eps)
+    if unit_offset:
+        # gemma-class: weight is an offset from 1, applied in fp32 before
+        # the downcast (matches HF GemmaRMSNorm's operation order)
+        return (normed * (1.0 + scale.astype(jnp.float32))).astype(x.dtype)
+    return normed.astype(x.dtype) * scale.astype(x.dtype)
 
 
 def _rope_inv_freq(hd: int, theta: float, scaling: Optional[Tuple]) -> jnp.ndarray:
@@ -357,6 +381,8 @@ def decoder_forward(
     quant_kv = isinstance(cache, QuantKVCache)
 
     x = params["embed"][input_ids].astype(compute_dtype)
+    if arch.embed_scale:
+        x = x * jnp.asarray(arch.hidden_size ** 0.5, compute_dtype)
     mask_bias = jnp.where(attn_mask, 0.0, -1e30).astype(jnp.float32)  # [B, S, T]
     # fp32 operands silently truncate to bf16 on the TPU MXU unless HIGHEST
     # (CLAUDE.md numerics trap); bf16 compute keeps the fast default.
@@ -386,13 +412,18 @@ def decoder_forward(
 
         q_dim = heads * hd
         kv_dim = kv_heads * hd
-        xn = _rms_norm(x, layer["attn_norm"], arch.rms_norm_eps)
+        xn = _rms_norm(x, layer["attn_norm"], arch.rms_norm_eps, arch.rms_unit_offset)
         qkv = dot(xn, layer["qkv_w"])
         if arch.qkv_bias:
             qkv = qkv + layer["qkv_b"].astype(qkv.dtype)
         q = qkv[..., :q_dim].reshape(b, s, heads, hd)
         k = qkv[..., q_dim:q_dim + kv_dim].reshape(b, s, kv_heads, hd)
         v = qkv[..., q_dim + kv_dim:].reshape(b, s, kv_heads, hd)
+        if arch.qk_norm:
+            # qwen3-class: per-head RMSNorm over head_dim, pre-RoPE; the
+            # [hd] weight broadcasts over heads, so it is TP-replicable
+            q = _rms_norm(q, layer["q_norm"], arch.rms_norm_eps)
+            k = _rms_norm(k, layer["k_norm"], arch.rms_norm_eps)
         q = _rope(q, positions, arch.rope_theta, arch.rope_scaling)
         k = _rope(k, positions, arch.rope_theta, arch.rope_scaling)
 
@@ -459,9 +490,17 @@ def decoder_forward(
         x = x + attn_out
 
         i_dim = arch.intermediate_size
-        xn = _rms_norm(x, layer["ffn_norm"], arch.rms_norm_eps)
+        xn = _rms_norm(x, layer["ffn_norm"], arch.rms_norm_eps, arch.rms_unit_offset)
         gu = dot(xn, layer["gateup_w"])
-        ffn = dot(jax.nn.silu(gu[..., :i_dim]) * gu[..., i_dim:], layer["down_w"])
+        if arch.mlp_act == "silu":
+            act = jax.nn.silu
+        elif arch.mlp_act == "gelu_tanh":  # gemma's gelu_pytorch_tanh
+            act = lambda g: jax.nn.gelu(g, approximate=True)  # noqa: E731
+        elif arch.mlp_act == "gelu":
+            act = lambda g: jax.nn.gelu(g, approximate=False)  # noqa: E731
+        else:
+            raise ValueError(f"unknown mlp_act {arch.mlp_act!r}")
+        ffn = dot(act(gu[..., :i_dim]) * gu[..., i_dim:], layer["down_w"])
         x = x + ffn
         if quant_kv:
             return (x, k_all, v_all, ks_all, vs_all), None
@@ -473,7 +512,7 @@ def decoder_forward(
         carry0,
         (params["layers"], jnp.arange(arch.num_layers, dtype=jnp.int32)),
     )
-    x = _rms_norm(x, params["final_norm"], arch.rms_norm_eps)
+    x = _rms_norm(x, params["final_norm"], arch.rms_norm_eps, arch.rms_unit_offset)
     if last_only:
         x = x[:, -1:, :]
     head = params["embed"].T if arch.tie_embeddings else params["lm_head"]
@@ -958,7 +997,7 @@ def generate_speculative(
 
 # ------------------------------------------------------- HF weight conversion
 def load_hf_decoder_checkpoint(model_name_or_path: str) -> Tuple[Dict[str, Any], DecoderArch]:
-    """Convert a local HuggingFace llama-family OR qwen2-family causal-LM
+    """Convert a local HuggingFace llama-, qwen2-, qwen3- or gemma-family causal-LM
     checkpoint into this module's parameter tree (the two open families
     the reference's vLLM route is actually pointed at — vllm_offline.py
     accepts any HF name; both share this decoder's RMSNorm/SwiGLU/RoPE/GQA
@@ -976,6 +1015,32 @@ def load_hf_decoder_checkpoint(model_name_or_path: str) -> Tuple[Dict[str, Any],
     # configs carry attention_bias (default False), qwen2 has bias always
     # and no such flag
     qkv_bias = "model.layers.0.self_attn.q_proj.bias" in state
+
+    # Family detection. Everything here shares the llama weight naming;
+    # the knobs differ. Unsupported families fail LOUDLY — gemma2/3 add
+    # sandwich norms / softcapping / sliding windows this forward does
+    # not compute, and loading them "mostly right" is worse than an error.
+    model_type = getattr(hf_config, "model_type", "llama")
+    supported = {"llama", "mistral", "qwen2", "qwen3", "gemma"}
+    if model_type not in supported:
+        raise ValueError(
+            f"model_type {model_type!r} is not supported by the JAX decoder "
+            f"(supported: {sorted(supported)})"
+        )
+    is_gemma = model_type == "gemma"
+    qk_norm = "model.layers.0.self_attn.q_norm.weight" in state
+
+    act = (
+        getattr(hf_config, "hidden_activation", None)
+        or getattr(hf_config, "hidden_act", "silu")
+    )
+    act_map = {"silu": "silu", "gelu_pytorch_tanh": "gelu_tanh", "gelu": "gelu"}
+    if act not in act_map:
+        raise ValueError(f"unsupported hidden activation {act!r}")
+
+    hd_cfg = getattr(hf_config, "head_dim", None)
+    default_hd = hf_config.hidden_size // hf_config.num_attention_heads
+    head_dim_override = hd_cfg if hd_cfg and hd_cfg != default_hd else None
 
     # rope_scaling: llama-3.1+ configs carry {"rope_type": "llama3", ...}
     # (older HF versions spelled the key "type"). Unsupported kinds fail
@@ -1014,6 +1079,11 @@ def load_hf_decoder_checkpoint(model_name_or_path: str) -> Tuple[Dict[str, Any],
         max_seq_len=hf_config.max_position_embeddings,
         rope_theta=getattr(hf_config, "rope_theta", 10000.0),
         rope_scaling=rope_scaling,
+        qk_norm=qk_norm,
+        head_dim_override=head_dim_override,
+        embed_scale=is_gemma,
+        rms_unit_offset=is_gemma,
+        mlp_act=act_map[act],
         rms_norm_eps=hf_config.rms_norm_eps,
         tie_embeddings=bool(getattr(hf_config, "tie_word_embeddings", False)),
     )
@@ -1058,6 +1128,9 @@ def load_hf_decoder_checkpoint(model_name_or_path: str) -> Tuple[Dict[str, Any],
             ])
             for i in range(arch.num_layers)
         ]))
+    if qk_norm:
+        params["layers"]["q_norm"] = stack(prefix + "self_attn.q_norm.weight", transpose=False)
+        params["layers"]["k_norm"] = stack(prefix + "self_attn.k_norm.weight", transpose=False)
     if not arch.tie_embeddings:
         params["lm_head"] = jnp.asarray(state["lm_head.weight"].T)
     return params, arch

@@ -310,6 +310,88 @@ def test_hf_qwen2_checkpoint_parity(tmp_path):
     np.testing.assert_allclose(np.asarray(logits[0]), ref, atol=2e-4, rtol=2e-3)
 
 
+def test_hf_qwen3_checkpoint_parity(tmp_path):
+    """qwen3-class: per-head q/k RMSNorm before RoPE and an explicit
+    head_dim decoupled from hidden/heads (here 32 vs hidden/heads=16).
+    Third open family the jax:<ckpt> route accepts."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    from comorag_tpu.models.decoder import load_hf_decoder_checkpoint
+
+    cfg = Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=128, rope_theta=10000.0,
+        rms_norm_eps=1e-5, tie_word_embeddings=True,
+    )
+    torch.manual_seed(4)
+    model = Qwen3ForCausalLM(cfg).eval()
+    model.save_pretrained(tmp_path / "tiny_qwen3")
+    params, arch = load_hf_decoder_checkpoint(str(tmp_path / "tiny_qwen3"))
+    assert arch.qk_norm and arch.head_dim == 32 and not arch.qkv_bias
+    assert params["layers"]["q_norm"].shape == (2, 32)
+
+    prompt = [11, 4, 99, 23, 7, 115, 60, 2, 88]
+    with torch.no_grad():
+        ref = model(torch.tensor([prompt])).logits[0].numpy()
+
+    n = len(prompt)
+    ids = jnp.asarray([prompt], jnp.int32)
+    positions = jnp.arange(n, dtype=jnp.int32)[None, :]
+    attn = jnp.tril(jnp.ones((1, n, n), bool))
+    cache = KVCache.zeros(arch, 1, n)
+    logits, _ = decoder_forward(params, ids, positions, attn, cache, jnp.int32(0), arch)
+    np.testing.assert_allclose(np.asarray(logits[0]), ref, atol=2e-4, rtol=2e-3)
+
+
+def test_hf_gemma_checkpoint_parity(tmp_path):
+    """gemma-class: sqrt(hidden)-scaled embeddings, (1+w) RMSNorm,
+    tanh-GeLU MLP, tied embeddings. Fourth open family for jax:<ckpt>.
+    gemma2/gemma3 (sandwich norms, softcapping) must refuse to load."""
+    torch = pytest.importorskip("torch")
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    from comorag_tpu.models.decoder import load_hf_decoder_checkpoint
+
+    cfg = GemmaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+        rms_norm_eps=1e-6, tie_word_embeddings=True,
+    )
+    torch.manual_seed(5)
+    model = GemmaForCausalLM(cfg).eval()
+    model.save_pretrained(tmp_path / "tiny_gemma")
+    params, arch = load_hf_decoder_checkpoint(str(tmp_path / "tiny_gemma"))
+    assert arch.embed_scale and arch.rms_unit_offset
+    assert arch.mlp_act == "gelu_tanh" and arch.tie_embeddings
+    assert arch.num_kv_heads == 1  # gemma-2b-style MQA
+
+    prompt = [3, 44, 9, 127, 16, 2, 71]
+    with torch.no_grad():
+        ref = model(torch.tensor([prompt])).logits[0].numpy()
+
+    n = len(prompt)
+    ids = jnp.asarray([prompt], jnp.int32)
+    positions = jnp.arange(n, dtype=jnp.int32)[None, :]
+    attn = jnp.tril(jnp.ones((1, n, n), bool))
+    cache = KVCache.zeros(arch, 1, n)
+    logits, _ = decoder_forward(params, ids, positions, attn, cache, jnp.int32(0), arch)
+    np.testing.assert_allclose(np.asarray(logits[0]), ref, atol=3e-4, rtol=2e-3)
+
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    cfg2 = Gemma2Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=64,
+    )
+    Gemma2ForCausalLM(cfg2).eval().save_pretrained(tmp_path / "tiny_gemma2")
+    with pytest.raises(ValueError, match="gemma2"):
+        load_hf_decoder_checkpoint(str(tmp_path / "tiny_gemma2"))
+
+
 def test_qkv_bias_tp_generation_matches_unsharded():
     """TP sharding of the fused qkv bias (same column split as qkv_w)
     must keep generation exact."""
@@ -333,6 +415,26 @@ def test_tp_sharded_generation_matches_unsharded():
     mesh = build_mesh({"model": 2}, devices=jax.devices()[:2])
     plain = JaxOfflineLLM(params=PARAMS, arch=ARCH, seed=0)
     sharded = JaxOfflineLLM(params=PARAMS, arch=ARCH, seed=0, mesh=mesh)
+    msgs = [{"role": "user", "content": "tell me about the harbor"}]
+    a = plain.infer(msgs, max_tokens=16)
+    b = sharded.infer(msgs, max_tokens=16)
+    assert a.text == b.text
+
+
+def test_qwen3_class_tp_generation_matches_unsharded():
+    """qk-norm + decoupled head_dim (the qwen3-class knobs) compose with
+    TP sharding: the per-head_dim norm weights replicate, the fused qkv
+    columns shard, generation stays exact."""
+    from comorag_tpu.models.decoder import DecoderArch, init_params
+    from comorag_tpu.parallel.mesh import build_mesh
+
+    arch = dataclasses.replace(
+        DecoderArch.tiny(), qk_norm=True, head_dim_override=32
+    )
+    params = init_params(jax.random.PRNGKey(2), arch)
+    mesh = build_mesh({"model": 2}, devices=jax.devices()[:2])
+    plain = JaxOfflineLLM(params=params, arch=arch, seed=0)
+    sharded = JaxOfflineLLM(params=params, arch=arch, seed=0, mesh=mesh)
     msgs = [{"role": "user", "content": "tell me about the harbor"}]
     a = plain.infer(msgs, max_tokens=16)
     b = sharded.infer(msgs, max_tokens=16)
