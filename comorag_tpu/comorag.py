@@ -153,8 +153,10 @@ class ComoRAG:
         facts = sorted({tuple(t) for triples in chunk_triples for t in triples if len(t) == 3})
 
         logger.info("Encoding %d entities, %d facts", len(entity_nodes), len(facts))
-        self.entity_store.insert_strings(entity_nodes)
-        self.fact_store.insert_strings([json.dumps(list(f)) for f in facts])
+        with trace.span("index.encode_entities"):
+            self.entity_store.insert_strings(entity_nodes)
+        with trace.span("index.encode_facts"):
+            self.fact_store.insert_strings([json.dumps(list(f)) for f in facts])
 
         if not cfg.skip_graph:
             with trace.span("index.graph"):

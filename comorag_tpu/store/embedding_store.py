@@ -6,6 +6,15 @@ parquet persistence, insertion-order preserved. The TPU-first difference:
 embeddings live in ONE contiguous ``np.ndarray [N, dim]`` (not a Python list
 of row arrays), so the retrieval engine can ship the whole matrix to device
 memory / shard it over the mesh with zero repacking.
+
+On-disk layout (both parquet): ``vdb_{ns}.parquet`` holds hash_id+content;
+``vdb_{ns}_vec.parquet`` holds the matrix as ONE flat float32 column with
+``dim`` in the schema metadata. The reference embeds list<float> rows in
+the row table (embedding_store.py:60-66) — measured here, that layout's
+per-row Python materialization plus parquet list-level decode cost ~800 s
+of a 200k-corpus index wall (539k facts x 1024 dims); the flat column
+round-trips the same data in seconds. Legacy single-file stores (an
+``embedding`` list column) still load.
 """
 
 from __future__ import annotations
@@ -21,6 +30,27 @@ from comorag_tpu.utils.logging import get_logger
 logger = get_logger(__name__)
 
 
+def _column_to_matrix(col) -> np.ndarray:
+    """An arrow column of ``fixed_size_list<float>`` (what `_save` writes)
+    or legacy ``list<float>`` rows -> contiguous [N, dim] float32, without
+    materializing N*dim Python objects (`to_pylist` measured minutes at
+    539k x 1024). Ragged legacy layouts fall back to the slow path."""
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if pa.types.is_fixed_size_list(arr.type):
+        dim = arr.type.list_size
+        values = arr.flatten().to_numpy(zero_copy_only=False)
+        return np.ascontiguousarray(values, np.float32).reshape(n, dim)
+    if pa.types.is_list(arr.type):
+        offsets = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+        if offsets.size and (offsets == offsets[0]).all() and offsets[0] > 0:
+            values = arr.flatten().to_numpy(zero_copy_only=False)
+            return np.ascontiguousarray(values, np.float32).reshape(n, int(offsets[0]))
+    return np.asarray(arr.to_pylist(), dtype=np.float32)
+
+
 class EmbeddingStore:
     def __init__(self, encoder, directory: str, batch_size: int, namespace: str):
         self.encoder = encoder
@@ -28,6 +58,7 @@ class EmbeddingStore:
         self.namespace = namespace
         os.makedirs(directory, exist_ok=True)
         self.path = os.path.join(directory, f"vdb_{namespace}.parquet")
+        self.vec_path = os.path.join(directory, f"vdb_{namespace}_vec.parquet")
 
         self.hash_ids: List[str] = []
         self.texts: List[str] = []
@@ -46,10 +77,14 @@ class EmbeddingStore:
         self.texts = table.column("content").to_pylist()
         stored_fp = (table.schema.metadata or {}).get(b"encoder_fingerprint", b"").decode()
         want_fp = getattr(self.encoder, "fingerprint", "")
-        if want_fp and stored_fp != want_fp and self.texts:
+        vectors = self._load_vectors(table)
+        if self.texts and (
+            (want_fp and stored_fp != want_fp) or vectors is None
+        ):
             # vectors were produced by a different (or older) embedding
-            # function; scoring new queries against them silently degrades
-            # every ranking. The TEXTS may be expensive LLM artifacts
+            # function — or the vector artifact is missing entirely;
+            # scoring new queries against them silently degrades every
+            # ranking. The TEXTS may be expensive LLM artifacts
             # (summaries, timeline windows) — keep them, re-encode only.
             logger.warning(
                 "%s: stored vectors have encoder fingerprint %r but the "
@@ -63,28 +98,53 @@ class EmbeddingStore:
             self._index = {h: i for i, h in enumerate(self.hash_ids)}
             self._save()
             return
-        emb_rows = table.column("embedding").to_pylist()
-        if emb_rows:
-            self._matrix = np.asarray(emb_rows, dtype=np.float32)
+        self._matrix = vectors
         self._index = {h: i for i, h in enumerate(self.hash_ids)}
         logger.info("Loaded %d records from %s", len(self.hash_ids), self.path)
+
+    def _load_vectors(self, table) -> Optional[np.ndarray]:
+        """[N, dim] from the flat sidecar (fast path) or a legacy embedded
+        ``embedding`` column; None when texts exist but vectors don't."""
+        import pyarrow.parquet as pq
+
+        if os.path.exists(self.vec_path):
+            vt = pq.read_table(self.vec_path)
+            dim = int((vt.schema.metadata or {}).get(b"dim", b"0") or 0)
+            vals = vt.column("values").combine_chunks().to_numpy(zero_copy_only=False)
+            if dim and vals.size == len(self.texts) * dim:
+                return np.ascontiguousarray(vals, np.float32).reshape(-1, dim)
+            logger.warning(
+                "%s: vector sidecar is inconsistent (dim=%d, %d values for "
+                "%d rows) — re-encoding", self.vec_path, dim, vals.size, len(self.texts),
+            )
+            return None
+        if "embedding" in table.column_names and len(self.texts):
+            col = table.column("embedding")
+            return _column_to_matrix(col)
+        return None
 
     def _save(self) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        emb = self._matrix if self._matrix is not None else np.zeros((0, 0), np.float32)
-        table = pa.table(
-            {
-                "hash_id": self.hash_ids,
-                "content": self.texts,
-                "embedding": [row for row in emb.tolist()],
-            }
-        )
         fp = getattr(self.encoder, "fingerprint", "")
+        table = pa.table({"hash_id": self.hash_ids, "content": self.texts})
         if fp:
             table = table.replace_schema_metadata({b"encoder_fingerprint": fp.encode()})
         pq.write_table(table, self.path)
+
+        emb = self._matrix if self._matrix is not None else np.zeros((0, 0), np.float32)
+        flat = np.ascontiguousarray(emb, np.float32).reshape(-1)
+        vec_tab = pa.table({"values": pa.array(flat)}).replace_schema_metadata(
+            {b"dim": str(emb.shape[1] if emb.size else 0).encode(),
+             b"encoder_fingerprint": fp.encode()}
+        )
+        # dictionary encoding is useless on float vectors and slows both
+        # directions; light zstd wins back the wire/disk bytes
+        pq.write_table(
+            vec_tab, self.vec_path,
+            use_dictionary=False, compression="zstd", compression_level=1,
+        )
 
     def clear(self) -> None:
         """Drop all rows and the on-disk artifact (used when a derived
@@ -93,8 +153,9 @@ class EmbeddingStore:
         self.texts = []
         self._matrix = None
         self._index = {}
-        if os.path.exists(self.path):
-            os.remove(self.path)
+        for p in (self.path, self.vec_path):
+            if os.path.exists(p):
+                os.remove(p)
 
     # ------------------------------------------------------------ insertion
     def key_for(self, text: str) -> str:

@@ -49,6 +49,45 @@ def test_store_dedup_and_persistence(tmp_path):
     assert len(store2) == 4
 
 
+def test_store_loads_legacy_list_column(tmp_path):
+    """Parquet written by the old per-row list<float> layout (pre the
+    zero-copy FixedSizeList save path) must load to the identical matrix,
+    and a re-save upgrades the file in place."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    enc = HashEncoder(dim=16)
+    texts = ["alpha", "beta", "gamma"]
+    rows = enc.encode(texts).astype(np.float32)
+    table = pa.table(
+        {
+            "hash_id": [content_hash(t, prefix="chunk-") for t in texts],
+            "content": texts,
+            "embedding": [r for r in rows.tolist()],  # legacy layout
+        }
+    ).replace_schema_metadata({b"encoder_fingerprint": enc.fingerprint.encode()})
+    pq.write_table(table, str(tmp_path / "vdb_chunk.parquet"))
+
+    store = EmbeddingStore(enc, str(tmp_path), batch_size=2, namespace="chunk")
+    assert len(store) == 3
+    np.testing.assert_allclose(store.matrix, rows, atol=1e-6)
+
+    store.insert_strings(["delta"])  # re-save upgrades to the new layout
+    assert (tmp_path / "vdb_chunk_vec.parquet").exists()
+    main = pq.read_table(str(tmp_path / "vdb_chunk.parquet"))
+    assert "embedding" not in main.column_names
+    store2 = EmbeddingStore(enc, str(tmp_path), batch_size=2, namespace="chunk")
+    assert len(store2) == 4
+    np.testing.assert_allclose(store2.matrix[:3], rows, atol=1e-6)
+
+    # a main table without vectors (sidecar deleted) re-encodes on load
+    (tmp_path / "vdb_chunk_vec.parquet").unlink()
+    store3 = EmbeddingStore(enc, str(tmp_path), batch_size=2, namespace="chunk")
+    assert len(store3) == 4
+    np.testing.assert_allclose(store3.matrix[:3], rows, atol=1e-6)
+    assert (tmp_path / "vdb_chunk_vec.parquet").exists()  # re-saved
+
+
 def test_json_repair_roundtrip():
     broken = '{"named_entities": ["a", "b", "c'
     fixed = repair_json(broken)
