@@ -25,6 +25,7 @@ note); LLM fan-out is a bounded pool.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from concurrent.futures import ThreadPoolExecutor, as_completed
@@ -256,7 +257,48 @@ class ComoRAG:
         triple_results = {d["idx"]: d["extracted_triples"] for d in existing_docs}
         return ner_results, triple_results
 
+    def _graph_fingerprint(self, chunk_ids, chunk_triples) -> str:
+        """Content fingerprint of every graph-builder input: a warm
+        ``index()`` call on an unchanged corpus must not pay the rebuild
+        (~96 s at 200k chunks, dominated by the synonymy KNN). Ids are
+        themselves content hashes, so hashing them captures the texts;
+        the encoder fingerprint captures the vectors the synonymy stage
+        scores; the knobs capture everything else that shapes edges."""
+        h = hashlib.md5()
+        for part in (
+            "|".join(chunk_ids),
+            "|".join(
+                ";".join(",".join(t) for t in triples) for triples in chunk_triples
+            ),
+            "|".join(self.entity_store.get_all_ids()),
+            "|".join(self.fact_store.get_all_ids()),
+            "|".join(self.sem_store.get_all_ids()) if self.sem_store is not None else "",
+            getattr(self.encoder, "fingerprint", ""),
+            repr((
+                self.config.synonymy_edge_topk,
+                self.config.synonymy_edge_sim_threshold,
+                self.config.synonymy_edge_query_batch_size,
+                self.config.synonymy_edge_key_batch_size,
+                self.config.is_directed_graph,
+                self.config.need_cluster,
+            )),
+        ):
+            h.update(part.encode())
+            h.update(b"\x00")
+        return h.hexdigest()
+
     def _build_graph(self, chunk_ids, chunk_triples, per_chunk_entities) -> None:
+        meta_path = self._graph_prefix + "_meta.json"
+        fp = self._graph_fingerprint(chunk_ids, chunk_triples)
+        if self.graph is not None:
+            try:
+                with open(meta_path, encoding="utf-8") as f:
+                    stored = json.load(f).get("fingerprint")
+            except (OSError, json.JSONDecodeError):
+                stored = None
+            if stored == fp:
+                logger.info("Graph up to date (%s) — skipping rebuild", self.graph.info())
+                return
         builder = GraphBuilder()
         with trace.span("graph.fact_edges"):
             builder.add_fact_edges(chunk_ids, chunk_triples)
@@ -282,6 +324,10 @@ class ComoRAG:
         with trace.span("graph.finalize"):
             self.graph = builder.finalize(node_names, directed=self.config.is_directed_graph)
         self.graph.save(self._graph_prefix)
+        tmp_meta = meta_path + ".tmp"
+        with open(tmp_meta, "w", encoding="utf-8") as f:
+            json.dump({"fingerprint": fp}, f)
+        os.replace(tmp_meta, meta_path)  # atomic, like the semantic-tree meta
         logger.info("Graph: %s", self.graph.info())
 
     # ----------------------------------------------------------------- engine

@@ -164,6 +164,11 @@ def main() -> None:
         "graph_breakdown_s": {
             k.split(".", 1)[1]: v["total_s"] for k, v in spans.items() if k.startswith("graph.")
         },
+        # cumulative across warmup + QA loops — RELATIVE weights are the
+        # signal (which retrieve stage dominates the fan-out), not walls
+        "retrieve_breakdown_s": {
+            k.split(".", 1)[1]: v["total_s"] for k, v in spans.items() if k.startswith("retrieve.")
+        },
         "retrieval_recall_at_10": round(recall, 4),
         "fanout_retrieve_s": round(retrieve_s, 3),
         "fanout_qps": round(len(queries) / retrieve_s, 2),

@@ -94,13 +94,40 @@ def test_meta_loop_answers(rag):
     assert os.path.exists(os.path.join(details, "qa_output_0.txt"))
 
 
-def test_index_resume_is_idempotent(rag):
-    # Re-indexing the same docs must not duplicate anything (content hashes).
+def test_index_resume_is_idempotent(rag, monkeypatch):
+    # Re-indexing the same docs must not duplicate anything (content hashes)
+    # — and must not REBUILD the graph (the warm-index path at 200k chunks
+    # pays ~96 s of synonymy KNN without the fingerprint skip).
+    from comorag_tpu.graph import builder as builder_mod
+
+    def boom(*a, **k):
+        raise AssertionError("graph rebuilt on an unchanged corpus")
+
+    monkeypatch.setattr(builder_mod.GraphBuilder, "add_fact_edges", boom)
     n_chunks = len(rag.ver_store)
     n_facts = len(rag.fact_store)
+    n_arcs = rag.graph.n_arcs
     rag.index(CORPUS)
     assert len(rag.ver_store) == n_chunks
     assert len(rag.fact_store) == n_facts
+    assert rag.graph.n_arcs == n_arcs
+
+
+def test_index_graph_rebuilds_on_corpus_change(tmp_path):
+    """A grown corpus fails the graph fingerprint and rebuilds."""
+    config = ComoConfig(
+        llm_name="fake",
+        embedding_model_name="hash",
+        embedding_dim=128,
+        save_dir=str(tmp_path / "outputs"),
+        output_dir=str(tmp_path / "results"),
+    )
+    rag = ComoRAG(config)
+    rag.index(CORPUS)
+    nodes_before = rag.graph.n_nodes
+    rag.index(CORPUS + ["Newly arrived: Captain Wren docked the Petrel at dawn."])
+    assert len(rag.ver_store) == len(CORPUS) + 1
+    assert rag.graph.n_nodes > nodes_before
 
 
 def test_reload_from_disk(rag):
