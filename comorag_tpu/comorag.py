@@ -146,12 +146,13 @@ class ComoRAG:
 
         with trace.span("index.openie"):
             ner_results, triple_results = self._run_openie()
-        chunk_ids = self.ver_store.get_all_ids()
-        chunk_triples = [
-            [text_processing(t) for t in triple_results[cid]] for cid in chunk_ids
-        ]
-        entity_nodes, per_chunk_entities = _unique_entities(chunk_triples)
-        facts = sorted({tuple(t) for triples in chunk_triples for t in triples if len(t) == 3})
+        with trace.span("index.fact_prep"):
+            chunk_ids = self.ver_store.get_all_ids()
+            chunk_triples = [
+                [text_processing(t) for t in triple_results[cid]] for cid in chunk_ids
+            ]
+            entity_nodes, per_chunk_entities = _unique_entities(chunk_triples)
+            facts = sorted({tuple(t) for triples in chunk_triples for t in triples if len(t) == 3})
 
         logger.info("Encoding %d entities, %d facts", len(entity_nodes), len(facts))
         with trace.span("index.encode_entities"):

@@ -180,6 +180,36 @@ def make_packed_topk_min(k: int, int8: bool = False):
     return fn
 
 
+def make_packed_stats_from_scores(k: int):
+    """Top-k + masked row MIN + masked row SUM from a PRECOMPUTED dense
+    score buffer, packed into one [P, 2k+2] int32 transfer.
+
+    The probe fan-out's DPR stage consumes only (a) each row's min-max
+    normalized SUM (a scalar prior weight), (b) top-k fallback candidates
+    — while the dense [P, N] buffer itself must stay ON DEVICE to seed
+    the fused PPR prior. Downloading the full matrix for the host
+    normalize measured ~93 s of a 32-question QA loop at 200k chunks
+    (engine.py dense_ranking span); this reduces it to one small packed
+    fetch. Layout: [k score bits | min | sum | k idx]."""
+
+    @jax.jit
+    def fn(scores, n_valid):
+        k_eff = min(k, scores.shape[1])
+        vals, idx = _select_topk(_mask_padded(scores, n_valid), k_eff, True)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
+        valid = col_ids < n_valid
+        row_min = jnp.min(jnp.where(valid, scores, jnp.inf), axis=1, keepdims=True)
+        row_sum = jnp.sum(
+            jnp.where(valid, scores, 0.0), axis=1, keepdims=True,
+            dtype=jnp.float32,
+        )
+        packed_scores = jnp.concatenate([vals, row_min, row_sum], axis=1)
+        bits = jax.lax.bitcast_convert_type(packed_scores.astype(jnp.float32), jnp.int32)
+        return jnp.concatenate([bits, idx.astype(jnp.int32)], axis=1)
+
+    return fn
+
+
 def make_packed_int8_topk(k: int, exact: bool = True):
     @jax.jit
     def fn(queries, corpus_q, scales, n_valid):

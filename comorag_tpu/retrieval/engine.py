@@ -408,7 +408,13 @@ class RetrievalEngine:
         # fan-out pays ~one device round-trip instead of four (the blocking
         # round-trip dominates on remote-attached chips).
         with trace.span("retrieve.dispatch"):
-            ver_handle = self.ver_index.scores_async(passage_embs)
+            # dense scoring with a COMPACT stats transfer: the fan-out
+            # consumes only each row's normalized sum (the PPR prior
+            # weight) and top-k fallback candidates on the host, while the
+            # [B, N] buffer stays on device for the fused prior. A full
+            # host download measured ~93 s across a 32-question QA loop
+            # at 200k chunks (51 MB per fan-out through the tunnel).
+            ver_handle = self.ver_index.scores_stats_async(passage_embs, k=ver_top_k)
             # candidates + min-max stats in one tiny transfer instead of
             # the full [B, F] fact-score matrix (72 MB at 282k facts)
             # works single-device AND sharded (make_sharded_topk_min): the
@@ -436,7 +442,23 @@ class RetrievalEngine:
         # One DPR scoring call serves priors AND the no-facts fallback
         # (top-k on device; no full host sort on the fan-out path).
         with trace.span("retrieve.dense_ranking"):
-            dpr_norm = min_max_normalize_rows_np(ver_handle.result())
+            dpr_vals, dpr_idx, dpr_min, dpr_sum = ver_handle.stats()
+            n_docs_total = self.ver_index.n
+            # normalized row sum from raw (sum, min, max): with
+            # x' = (x - lo)/(hi - lo), sum(x') = (sum - N*lo)/(hi - lo);
+            # an all-equal row normalizes to all-ones (sum = N), matching
+            # min_max_normalize_rows_np.
+            if dpr_vals.size:
+                span0 = dpr_vals[:, 0].astype(np.float64) - dpr_min.astype(np.float64)
+                dpr_norm_sum = np.where(
+                    span0 == 0,
+                    float(n_docs_total),
+                    (dpr_sum.astype(np.float64) - n_docs_total * dpr_min.astype(np.float64))
+                    / np.where(span0 == 0, 1.0, span0),
+                )
+            else:
+                dpr_norm_sum = np.zeros(b, np.float64)
+        dpr_norm: Optional[np.ndarray] = None  # dense rows, fetched lazily
         sorted_doc_ids: List[Optional[np.ndarray]] = [None] * b
         if fact_handle is not None:
             with trace.span("retrieve.fact_scores"):
@@ -476,7 +498,7 @@ class RetrievalEngine:
                     if not top_facts:
                         continue
                     pairs, used = self._phrase_seed_pairs(row, top_facts, top_idx)
-                    total = sum(w for _, w in pairs) + float(dpr_norm[qi].sum()) * 0.005
+                    total = sum(w for _, w in pairs) + float(dpr_norm_sum[qi]) * 0.005
                     if total <= 0:
                         continue
                     results[qi].linked_phrases = used
@@ -510,7 +532,10 @@ class RetrievalEngine:
             elif seeds_sparse:
                 # host/native route: materialize dense resets from the
                 # sparse pairs (fp32 — the device solver computes in fp32
-                # and the native one re-normalizes in float64 anyway)
+                # and the native one re-normalizes in float64 anyway).
+                # Only THIS branch needs dense DPR rows; fetch them now.
+                with trace.span("retrieve.dense_fetch"):
+                    dpr_norm = min_max_normalize_rows_np(ver_handle.result())
                 resets = np.zeros((len(seeds_sparse), self.graph.n_nodes), np.float32)
                 for row, (qi, pairs) in enumerate(seeds_sparse):
                     for nid, w in pairs:
@@ -524,11 +549,11 @@ class RetrievalEngine:
                         sorted_doc_ids[qi] = _top_order(doc_scores, ver_top_k)
 
         ver_seen_rows = seen_rows("veridical")
-        k_ver = min(ver_top_k, dpr_norm.shape[1]) if dpr_norm.size else 0
-        # fallback rows only, partial selection: a full [B, N] argsort is
-        # seconds of host time at 100k chunks x 64 probes
+        k_ver = min(ver_top_k, n_docs_total)
+        # fallback rows (no facts linked) take their top docs straight off
+        # the device top-k — already sorted descending, no dense download
         dense_rows = [qi for qi in range(b) if sorted_doc_ids[qi] is None]
-        dpr_top = {qi: _top_order(dpr_norm[qi], k_ver) for qi in dense_rows} if k_ver else {}
+        dpr_top = {qi: dpr_idx[qi][:k_ver] for qi in dense_rows} if k_ver else {}
         for qi in range(b):
             doc_order = sorted_doc_ids[qi][:ver_top_k] if sorted_doc_ids[qi] is not None else dpr_top.get(qi, np.zeros(0, np.int64))
             top_docs = [self.ver_store.get_text(self.passage_node_keys[i]) for i in doc_order]

@@ -413,7 +413,7 @@ class MipsIndex:
         return TopkMinHandle(packed, p, k_eff)
 
     # ----------------------------------------------------------- full scores
-    def scores_async(self, queries: np.ndarray) -> "ScoresHandle":
+    def scores_async(self, queries: np.ndarray, _eager_copy: bool = True) -> "ScoresHandle":
         """Launch full [P, N] scoring and start the host copy; returns a
         handle whose .result() blocks only on its own transfer."""
         # don't force device arrays through numpy — that's a blocking
@@ -433,21 +433,42 @@ class MipsIndex:
             s = _int8_scores(q_dev, self.corpus, self.scales)
         else:
             s = dense_scores(q_dev, self.corpus)
-        return ScoresHandle(s, p, self.n)
+        return ScoresHandle(s, p, self.n, eager_copy=_eager_copy)
 
     def scores(self, queries: np.ndarray) -> np.ndarray:
         """Full raw inner-product scores [P, N] (host numpy)."""
         return self.scores_async(queries).result()
 
+    def scores_stats_async(self, queries, k: int) -> "ScoresStatsHandle":
+        """Dense scoring whose HOST transfer is only (top-k, row min, row
+        sum) — [P, 2k+2] instead of [P, N] — while the dense buffer stays
+        on device for chained consumers (``device_scores()``, the fused
+        PPR prior). ``result()`` still lazily downloads the full matrix
+        for the host-PPR branch that genuinely needs dense rows."""
+        from comorag_tpu.ops.topk import make_packed_stats_from_scores
+
+        if self.n == 0:
+            return ScoresStatsHandle(None, None, 1 if np.ndim(queries) == 1 else len(queries), 0, 0)
+        handle = self.scores_async(queries, _eager_copy=False)
+        dev, p, n = handle.device_scores()
+        k_eff = min(k, self.n)
+        key = ("scores_stats", k_eff)
+        fn = self._packed_topk_cache.get(key)
+        if fn is None:
+            fn = make_packed_stats_from_scores(k_eff)
+            self._packed_topk_cache[key] = fn
+        packed = fn(dev, self.n_valid)
+        return ScoresStatsHandle(dev, packed, p, n, k_eff)
+
 
 class ScoresHandle:
     """In-flight full-score query (see TopkHandle)."""
 
-    def __init__(self, dev: Optional[jax.Array], p: int, n: int):
+    def __init__(self, dev: Optional[jax.Array], p: int, n: int, eager_copy: bool = True):
         self._dev = dev
         self._p = p
         self._n = n
-        if dev is not None:
+        if dev is not None and eager_copy:
             _start_host_copy(dev)
 
     def result(self) -> np.ndarray:
@@ -459,6 +480,45 @@ class ScoresHandle:
         """(device buffer [P_pad, N_pad], p, n) WITHOUT forcing the host
         copy — lets downstream device consumers (the fused PPR ranking)
         chain off the scores where they already live."""
+        return self._dev, self._p, self._n
+
+
+class ScoresStatsHandle:
+    """In-flight dense scoring with a compact stats transfer (see
+    ``MipsIndex.scores_stats_async``). Only the packed stats buffer's
+    host copy starts eagerly; the dense matrix downloads on demand."""
+
+    def __init__(self, dev, packed, p: int, n: int, k: int):
+        self._dev = dev
+        self._packed = packed
+        self._p = p
+        self._n = n
+        self._k = k
+        if packed is not None:
+            _start_host_copy(packed)
+
+    def stats(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """(top-k vals [P, k] desc, idx [P, k] int64, row_min [P],
+        row_sum [P]) over the valid columns."""
+        if self._packed is None:
+            z = np.zeros((self._p, 0), np.float32)
+            return z, z.astype(np.int64), np.zeros(self._p, np.float32), np.zeros(self._p, np.float32)
+        packed = np.asarray(self._packed)
+        k = self._k
+        f32 = packed[:, : k + 2].view(np.float32)
+        vals = f32[: self._p, :k]
+        row_min = f32[: self._p, k]
+        row_sum = f32[: self._p, k + 1]
+        idx = packed[: self._p, k + 2 : 2 * k + 2].astype(np.int64)
+        return vals, idx, row_min, row_sum
+
+    def result(self) -> np.ndarray:
+        """Full dense [P, N] (blocking download — host-PPR branch only)."""
+        if self._dev is None:
+            return np.zeros((self._p, 0), np.float32)
+        return np.asarray(self._dev)[: self._p, : self._n]
+
+    def device_scores(self) -> Tuple[Optional[jax.Array], int, int]:
         return self._dev, self._p, self._n
 
 

@@ -221,6 +221,34 @@ def test_fused_device_route_matches_host_route(rag):
         assert got.linked_phrases.keys() == base.linked_phrases.keys()
 
 
+def test_fused_route_never_downloads_dense_scores(rag):
+    """On the fused device route the fan-out must consume ONLY the compact
+    stats transfer — the dense [B, N] DPR matrix (51 MB per fan-out at
+    200k chunks) stays on device. result() raising proves no code path
+    touches it."""
+    from comorag_tpu.retrieval import index as index_mod
+
+    probes = [
+        "Who did Mara pull from the freezing water?",
+        "What did Tomas forge in the village smithy?",
+    ]
+    ppr = rag.engine.ppr
+    orig_route = ppr.routes_device
+    orig_result = index_mod.ScoresStatsHandle.result
+
+    def boom(self):
+        raise AssertionError("dense DPR matrix downloaded on the fused route")
+
+    try:
+        ppr.routes_device = lambda b: True
+        index_mod.ScoresStatsHandle.result = boom
+        got = rag.engine.tri_retrieve_batch(probes)
+    finally:
+        ppr.routes_device = orig_route
+        index_mod.ScoresStatsHandle.result = orig_result
+    assert all(r.veridical for r in got)
+
+
 def test_compact_fact_fetch_matches_full_scores(rag):
     """The fused top-k+min fact fetch (one tiny transfer) must produce the
     same linking, ranking, and rerank logs as downloading the full

@@ -258,3 +258,32 @@ def test_index_accepts_device_resident_queries():
     s1, i1 = index.topk(q_np[0], k=7)
     s2, i2 = index.topk(q_dev[0], k=7)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_scores_stats_matches_dense(tmp_path_factory):
+    """scores_stats_async's compact transfer (top-k, row min, row sum)
+    must agree with brute-force dense stats — including the padded-column
+    masking — and its lazy result() must equal the full score matrix.
+    Also under a corpus mesh."""
+    import jax
+
+    from comorag_tpu.parallel.mesh import build_mesh
+    from comorag_tpu.retrieval.index import MipsIndex
+
+    rng = np.random.default_rng(11)
+    corpus = rng.standard_normal((333, 64)).astype(np.float32)  # pads to 336+
+    q = rng.standard_normal((6, 64)).astype(np.float32)
+    dense = q @ corpus.T
+
+    for mesh in (None, build_mesh({"corpus": 4}, devices=jax.devices()[:4])):
+        index = MipsIndex(corpus, mesh=mesh, scan_dtype=None)
+        h = index.scores_stats_async(q, k=9)
+        vals, idx, row_min, row_sum = h.stats()
+        order = np.argsort(-dense, axis=1)[:, :9]
+        np.testing.assert_allclose(
+            vals, np.take_along_axis(dense, order, axis=1), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.sort(idx, axis=1), np.sort(order, axis=1))
+        np.testing.assert_allclose(row_min, dense.min(axis=1), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(row_sum, dense.sum(axis=1), rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(h.result(), dense, rtol=1e-5, atol=1e-5)
