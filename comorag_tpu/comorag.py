@@ -200,6 +200,17 @@ class ComoRAG:
                 "Semantic tree stale (built over %d chunks, now %d) — rebuilding", built_over, n_chunks
             )
             self.sem_store.clear()
+        # Clamp the cluster-context budget to the serving engine's actual
+        # window when it exposes one (jax-offline: max_model_len 4096):
+        # an over-window prompt would be LEFT-truncated by the engine,
+        # cutting the instruction header off the front and turning the
+        # "summary" into raw continuation text with no error.
+        budget = self.config.summary_context_max_tokens
+        window = getattr(self.llm, "max_model_len", None) or getattr(
+            getattr(self.llm, "engine", None), "max_model_len", None
+        )  # the window-batching server wraps the engine
+        if window:
+            budget = max(256, min(budget, int(window) - 512))
         tree = SemanticTree(
             self.encoder,
             self.summarizer,
@@ -209,7 +220,7 @@ class ComoRAG:
             seed=self.config.cluster_seed,
             em_iters=self.config.gmm_em_iterations,
             batch_size=self.config.embedding_batch_size,
-            max_context_tokens=self.config.summary_context_max_tokens,
+            max_context_tokens=budget,
             token_counter=self.tokens,
         )
         all_summaries, final_summary = tree.build(
@@ -266,26 +277,35 @@ class ComoRAG:
         the encoder fingerprint captures the vectors the synonymy stage
         scores; the knobs capture everything else that shapes edges."""
         h = hashlib.md5()
-        for part in (
-            "|".join(chunk_ids),
-            "|".join(
-                ";".join(",".join(t) for t in triples) for triples in chunk_triples
-            ),
-            "|".join(self.entity_store.get_all_ids()),
-            "|".join(self.fact_store.get_all_ids()),
-            "|".join(self.sem_store.get_all_ids()) if self.sem_store is not None else "",
-            getattr(self.encoder, "fingerprint", ""),
-            repr((
-                self.config.synonymy_edge_topk,
-                self.config.synonymy_edge_sim_threshold,
-                self.config.synonymy_edge_query_batch_size,
-                self.config.synonymy_edge_key_batch_size,
-                self.config.is_directed_graph,
-                self.config.need_cluster,
-            )),
-        ):
+
+        def feed(part: str) -> None:
             h.update(part.encode())
             h.update(b"\x00")
+
+        # streamed per item — joining 539k triples into one string first
+        # would transiently hold tens of MB just to hash it once
+        for cid in chunk_ids:
+            feed(cid)
+        for triples in chunk_triples:
+            for t in triples:
+                feed(",".join(t))
+            h.update(b"\x01")
+        for store in (self.entity_store, self.fact_store):
+            for hid in store.get_all_ids():
+                feed(hid)
+            h.update(b"\x01")
+        if self.sem_store is not None:
+            for hid in self.sem_store.get_all_ids():
+                feed(hid)
+        feed(getattr(self.encoder, "fingerprint", ""))
+        feed(repr((
+            self.config.synonymy_edge_topk,
+            self.config.synonymy_edge_sim_threshold,
+            self.config.synonymy_edge_query_batch_size,
+            self.config.synonymy_edge_key_batch_size,
+            self.config.is_directed_graph,
+            self.config.need_cluster,
+        )))
         return h.hexdigest()
 
     def _build_graph(self, chunk_ids, chunk_triples, per_chunk_entities) -> None:

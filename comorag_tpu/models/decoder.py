@@ -1030,6 +1030,20 @@ def load_hf_decoder_checkpoint(model_name_or_path: str) -> Tuple[Dict[str, Any],
     is_gemma = model_type == "gemma"
     qk_norm = "model.layers.0.self_attn.q_norm.weight" in state
 
+    # An ACTIVE sliding window (mistral-v0.1-class: window < the position
+    # range) would need windowed masks this forward does not compute —
+    # full-context logits would silently diverge past the window. Configs
+    # with sliding_window=None (mistral v0.3+, most llama/qwen) are fine.
+    # qwen2-class configs carry a sliding_window value gated OFF by
+    # use_sliding_window=False — only an ENGAGED window is a problem
+    sw = getattr(hf_config, "sliding_window", None)
+    if sw and getattr(hf_config, "use_sliding_window", True) and sw < hf_config.max_position_embeddings:
+        raise ValueError(
+            f"active sliding_window={sw} (< max_position_embeddings="
+            f"{hf_config.max_position_embeddings}) is not supported by the "
+            "JAX decoder's full-context attention"
+        )
+
     act = (
         getattr(hf_config, "hidden_activation", None)
         or getattr(hf_config, "hidden_act", "silu")

@@ -77,10 +77,11 @@ class EmbeddingStore:
         self.texts = table.column("content").to_pylist()
         stored_fp = (table.schema.metadata or {}).get(b"encoder_fingerprint", b"").decode()
         want_fp = getattr(self.encoder, "fingerprint", "")
-        vectors = self._load_vectors(table)
-        if self.texts and (
-            (want_fp and stored_fp != want_fp) or vectors is None
-        ):
+        # fingerprint first: on a mismatch the vectors are discarded anyway,
+        # so don't pay the sidecar read (~GBs at fact-store scale)
+        fp_ok = not (want_fp and stored_fp != want_fp)
+        vectors = self._load_vectors(table) if fp_ok else None
+        if self.texts and (not fp_ok or vectors is None):
             # vectors were produced by a different (or older) embedding
             # function — or the vector artifact is missing entirely;
             # scoring new queries against them silently degrades every
@@ -108,8 +109,26 @@ class EmbeddingStore:
         import pyarrow.parquet as pq
 
         if os.path.exists(self.vec_path):
-            vt = pq.read_table(self.vec_path)
-            dim = int((vt.schema.metadata or {}).get(b"dim", b"0") or 0)
+            try:
+                vt = pq.read_table(self.vec_path)
+            except Exception as exc:  # torn/corrupt sidecar -> re-encode
+                logger.warning("%s: unreadable vector sidecar (%s) — re-encoding",
+                               self.vec_path, exc)
+                return None
+            meta = vt.schema.metadata or {}
+            dim = int(meta.get(b"dim", b"0") or 0)
+            # the sidecar carries its OWN fingerprint: the two files are
+            # written sequentially, so a crash between them can leave a
+            # same-shape sidecar of a previous encoder's vectors behind a
+            # fresh main table — shape alone must not validate it
+            side_fp = meta.get(b"encoder_fingerprint", b"").decode()
+            want_fp = getattr(self.encoder, "fingerprint", "")
+            if want_fp and side_fp and side_fp != want_fp:
+                logger.warning(
+                    "%s: sidecar fingerprint %r != active encoder %r — re-encoding",
+                    self.vec_path, side_fp, want_fp,
+                )
+                return None
             vals = vt.column("values").combine_chunks().to_numpy(zero_copy_only=False)
             if dim and vals.size == len(self.texts) * dim:
                 return np.ascontiguousarray(vals, np.float32).reshape(-1, dim)
@@ -131,7 +150,6 @@ class EmbeddingStore:
         table = pa.table({"hash_id": self.hash_ids, "content": self.texts})
         if fp:
             table = table.replace_schema_metadata({b"encoder_fingerprint": fp.encode()})
-        pq.write_table(table, self.path)
 
         emb = self._matrix if self._matrix is not None else np.zeros((0, 0), np.float32)
         flat = np.ascontiguousarray(emb, np.float32).reshape(-1)
@@ -139,12 +157,17 @@ class EmbeddingStore:
             {b"dim": str(emb.shape[1] if emb.size else 0).encode(),
              b"encoder_fingerprint": fp.encode()}
         )
-        # dictionary encoding is useless on float vectors and slows both
-        # directions; light zstd wins back the wire/disk bytes
+        # atomic writes (tmp + rename), sidecar FIRST: a crash mid-save
+        # must never leave a fresh main table beside stale/torn vectors.
+        # Dictionary encoding is useless on float vectors and slows both
+        # directions; light zstd wins back the wire/disk bytes.
         pq.write_table(
-            vec_tab, self.vec_path,
+            vec_tab, self.vec_path + ".tmp",
             use_dictionary=False, compression="zstd", compression_level=1,
         )
+        os.replace(self.vec_path + ".tmp", self.vec_path)
+        pq.write_table(table, self.path + ".tmp")
+        os.replace(self.path + ".tmp", self.path)
 
     def clear(self) -> None:
         """Drop all rows and the on-disk artifact (used when a derived

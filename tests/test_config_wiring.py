@@ -275,6 +275,51 @@ def test_summary_context_budget_caps_cluster_prompts():
     assert all(f"text number {i}" in captured[-1] for i in range(50))  # no budget hit
 
 
+def test_summary_budget_clamps_to_engine_window(tmp_path):
+    """When the serving LLM exposes max_model_len, the cluster-summary
+    budget clamps under it — an over-window prompt would be LEFT-truncated
+    by the engine, cutting the instruction header off the front."""
+    from comorag_tpu.comorag import ComoRAG
+    from comorag_tpu.config import ComoConfig
+
+    class WindowedFake:
+        max_model_len = 2048
+
+        def batch_infer(self, batch, **kw):
+            from comorag_tpu.llm.base import LLMResponse
+
+            return [LLMResponse(text="s") for _ in batch]
+
+        def infer(self, messages, **kw):
+            return self.batch_infer([messages])[0]
+
+    cfg = ComoConfig(
+        llm_name="fake", embedding_model_name="hash", embedding_dim=64,
+        save_dir=str(tmp_path / "o"), output_dir=str(tmp_path / "r"),
+        summary_context_max_tokens=60_000,
+    )
+    rag = ComoRAG(cfg, llm=WindowedFake())
+
+    captured = {}
+    import comorag_tpu.comorag as comorag_mod
+
+    class SpyTree:
+        def __init__(self, *a, **kw):
+            captured.update(kw)
+
+        def build(self, *a, **kw):
+            return [], []
+
+    orig = comorag_mod.SemanticTree
+    comorag_mod.SemanticTree = SpyTree
+    try:
+        rag.ver_store.insert_strings(["one text", "two text"])
+        rag._build_semantic_tree()
+    finally:
+        comorag_mod.SemanticTree = orig
+    assert captured["max_context_tokens"] == 2048 - 512
+
+
 def test_synonymy_k_limit_matches_full_topk():
     """Retrieving only top-(max_neighbors + margin) neighbors must yield
     exactly the edges the full synonymy_edge_topk retrieval yields — the

@@ -275,6 +275,49 @@ def test_hf_rope_scaling_linear_and_unsupported(tmp_path):
         load_hf_decoder_checkpoint(str(tmp_path / "tiny_yarn"))
 
 
+def test_active_sliding_window_refuses_to_load(tmp_path):
+    """mistral-v0.1-class configs engage a sliding window smaller than the
+    position range; this decoder attends full context, so loading one
+    would silently diverge past the window — it must refuse. An inactive
+    window (qwen2's use_sliding_window=False) loads fine (covered by
+    test_hf_qwen2_checkpoint_parity)."""
+    torch = pytest.importorskip("torch")
+    from transformers import MistralConfig, MistralForCausalLM
+
+    from comorag_tpu.models.decoder import load_hf_decoder_checkpoint
+
+    cfg = MistralConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=256, sliding_window=64,
+    )
+    MistralForCausalLM(cfg).eval().save_pretrained(tmp_path / "tiny_mistral_sw")
+    with pytest.raises(ValueError, match="sliding_window"):
+        load_hf_decoder_checkpoint(str(tmp_path / "tiny_mistral_sw"))
+
+    # window disabled -> mistral (llama-skeleton) loads and matches HF
+    cfg2 = MistralConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=256, sliding_window=None,
+    )
+    torch.manual_seed(6)
+    model = MistralForCausalLM(cfg2).eval()
+    model.save_pretrained(tmp_path / "tiny_mistral")
+    params, arch = load_hf_decoder_checkpoint(str(tmp_path / "tiny_mistral"))
+    prompt = [5, 9, 33, 2]
+    with torch.no_grad():
+        ref = model(torch.tensor([prompt])).logits[0].numpy()
+    n = len(prompt)
+    logits, _ = decoder_forward(
+        params, jnp.asarray([prompt], jnp.int32),
+        jnp.arange(n, dtype=jnp.int32)[None, :],
+        jnp.tril(jnp.ones((1, n, n), bool)),
+        KVCache.zeros(arch, 1, n), jnp.int32(0), arch,
+    )
+    np.testing.assert_allclose(np.asarray(logits[0]), ref, atol=2e-4, rtol=2e-3)
+
+
 def test_hf_qwen2_checkpoint_parity(tmp_path):
     """Convert a random tiny HF qwen2 (GQA + qkv bias) checkpoint and
     compare logits — the second open model family the jax:<ckpt> route

@@ -88,6 +88,34 @@ def test_store_loads_legacy_list_column(tmp_path):
     assert (tmp_path / "vdb_chunk_vec.parquet").exists()  # re-saved
 
 
+def test_store_rejects_stale_and_torn_sidecars(tmp_path):
+    """A sidecar whose own fingerprint disagrees with the active encoder
+    (crash between the two _save writes) and a torn/truncated sidecar
+    must both re-encode instead of loading wrong/raising."""
+    enc = HashEncoder(dim=16)
+    store = EmbeddingStore(enc, str(tmp_path), batch_size=2, namespace="chunk")
+    store.insert_strings(["alpha", "beta"])
+    good = store.matrix.copy()
+    vec_path = tmp_path / "vdb_chunk_vec.parquet"
+
+    # stale: same shape, wrong fingerprint (as if written by an old encoder)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    bogus = np.full((2, 16), 7.0, np.float32)
+    tab = pa.table({"values": pa.array(bogus.reshape(-1))}).replace_schema_metadata(
+        {b"dim": b"16", b"encoder_fingerprint": b"HashEncoder:s0:d16:v2"}
+    )
+    pq.write_table(tab, str(vec_path))
+    s2 = EmbeddingStore(enc, str(tmp_path), batch_size=2, namespace="chunk")
+    np.testing.assert_allclose(s2.matrix, good, atol=1e-6)  # re-encoded, not 7.0
+
+    # torn: truncated parquet bytes
+    vec_path.write_bytes(vec_path.read_bytes()[:100])
+    s3 = EmbeddingStore(enc, str(tmp_path), batch_size=2, namespace="chunk")
+    np.testing.assert_allclose(s3.matrix, good, atol=1e-6)
+
+
 def test_json_repair_roundtrip():
     broken = '{"named_entities": ["a", "b", "c'
     fixed = repair_json(broken)
