@@ -82,7 +82,21 @@ def main() -> None:
     ap.add_argument("--chunks", type=int, default=10_000)
     ap.add_argument("--queries", type=int, default=64)
     ap.add_argument("--gmm_max_clusters", type=int, default=20)
+    ap.add_argument(
+        "--platform",
+        default=None,
+        help="force a JAX platform (e.g. 'cpu'). The env var alone is NOT "
+        "enough under the axon plugin — it pins jax_platforms, so a bare "
+        "JAX_PLATFORMS=cpu run still dials the (possibly down) TPU tunnel "
+        "at the first device_put and blocks forever.",
+    )
     args = ap.parse_args()
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     chunks, golds = make_corpus(args.chunks, args.queries)
     tmp = tempfile.mkdtemp(prefix="bench_e2e_")
