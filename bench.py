@@ -147,7 +147,42 @@ def overlap(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.mean([len(set(a[i]) & set(b[i])) / K for i in range(P)]))
 
 
+def _probe_device(attempts: int = 6, timeout_s: int = 100) -> None:
+    """Fail FAST (bounded) if the device backend is unreachable.
+
+    The axon tunnel occasionally drops for minutes-to-hours; without this
+    guard the first jax device touch blocks forever and the bench hangs
+    instead of reporting a diagnosable failure. Retries cover the
+    documented transient one-off stalls.
+    """
+    import subprocess
+    import sys
+
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout_s,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(
+            f"bench: device probe {i + 1}/{attempts} failed (tunnel down?)",
+            file=sys.stderr,
+        )
+    print(
+        "bench: device backend unreachable after "
+        f"{attempts}x{timeout_s}s probes — refusing to hang; no result.",
+        file=sys.stderr,
+    )
+    sys.exit(1)
+
+
 def main() -> None:
+    _probe_device()
     corpus, queries = make_data()
     qps, idx, qps_block = bench_tpu_variants(corpus, queries)
     cpu_qps, cpu_idx = bench_cpu_reference(corpus, queries)
