@@ -27,6 +27,34 @@ def test_dryrun_respawns_when_devices_insufficient():
     g.dryrun_multichip(16)  # must not raise
 
 
+def test_respawn_decision_never_dials_the_backend(monkeypatch):
+    """Under the pinned axon platform the respawn decision must come from
+    the platform config string alone: calling jax.devices() dials the
+    remote tunnel, and a tunnel outage would block the driver's dryrun
+    forever instead of respawning onto virtual CPU devices."""
+    import __graft_entry__ as g
+
+    calls = {}
+
+    class _Config:
+        jax_platforms = "axon,cpu"
+
+    class _JaxStub:
+        config = _Config()
+
+        @staticmethod
+        def devices():
+            raise AssertionError("dryrun dialed the backend before respawning")
+
+    monkeypatch.delenv("COMORAG_DRYRUN_CHILD", raising=False)
+    monkeypatch.setattr(g, "jax", _JaxStub)
+    monkeypatch.setattr(
+        g, "_respawn_with_virtual_devices", lambda n: calls.setdefault("n", n)
+    )
+    g.dryrun_multichip(8)
+    assert calls == {"n": 8}
+
+
 def test_respawn_failure_propagates(monkeypatch):
     """A failing child must surface as a nonzero-rc RuntimeError, not a
     silent pass (the driver records ok=false from the exception)."""
