@@ -139,9 +139,17 @@ def main() -> None:
     # concurrent calls, so its batch buckets depend on n_q — a 2-question
     # warmup leaves the merged shapes to compile inside the timed run
     rag.try_answer(queries[:n_q])
+    pre_qa = {k: v["total_s"] for k, v in trace.summary()["spans"].items()}
     t0 = time.perf_counter()
     rag.try_answer(queries[:n_q])
     qa_s = time.perf_counter() - t0
+    # retrieve.* attribution for EXACTLY the timed QA loop (warmups and
+    # compiles excluded): per-span delta across the timed region
+    qa_retrieve_s = {
+        k.split(".", 1)[1]: round(v["total_s"] - pre_qa.get(k, 0.0), 4)
+        for k, v in trace.summary()["spans"].items()
+        if k.startswith("retrieve.")
+    }
 
     # impasse path: force ONE '*' per question so every question pays a
     # probe fan-out + pool fusion round (the loop's expensive branch)
@@ -186,6 +194,8 @@ def main() -> None:
         "retrieval_recall_at_10": round(recall, 4),
         "fanout_retrieve_s": round(retrieve_s, 3),
         "fanout_qps": round(len(queries) / retrieve_s, 2),
+        # exact attribution for the timed QA loop (delta, no warmup/compile)
+        "qa_retrieve_breakdown_s": qa_retrieve_s,
         "qa_loop_questions": n_q,
         "qa_loop_s": round(qa_s, 2),
         "qa_loop_qps": round(n_q / qa_s, 2),
