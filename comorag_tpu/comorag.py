@@ -210,7 +210,14 @@ class ComoRAG:
             getattr(self.llm, "engine", None), "max_model_len", None
         )  # the window-batching server wraps the engine
         if window:
-            budget = max(256, min(budget, int(window) - 512))
+            # 512 = the engine's generation bucket for the summarizer's
+            # completions (the prompt limit is window - bucket); 256 more
+            # of headroom for the chat template + instruction header the
+            # summarizer wraps around the cluster texts — without it a
+            # full-budget cluster still crosses the prompt limit and the
+            # engine left-truncates the header off silently. The floor is
+            # 64 (never above the window-derived limit for tiny windows).
+            budget = max(64, min(budget, int(window) - 512 - 256))
         tree = SemanticTree(
             self.encoder,
             self.summarizer,
@@ -314,10 +321,17 @@ class ComoRAG:
         if self.graph is not None:
             try:
                 with open(meta_path, encoding="utf-8") as f:
-                    stored = json.load(f).get("fingerprint")
+                    stored = json.load(f)
             except (OSError, json.JSONDecodeError):
-                stored = None
-            if stored == fp:
+                stored = {}
+            # the signature binds the meta to the ARTIFACT: the .npz/.json
+            # pair is two files, so a crash mid-save can leave a new arc
+            # file beside an old node-name file — input fingerprint alone
+            # would then skip the rebuild and run PPR over arc indices
+            # that refer to a different node numbering.
+            if stored.get("fingerprint") == fp and (
+                stored.get("signature") == self.graph.signature()
+            ):
                 logger.info("Graph up to date (%s) — skipping rebuild", self.graph.info())
                 return
         builder = GraphBuilder()
@@ -347,7 +361,7 @@ class ComoRAG:
         self.graph.save(self._graph_prefix)
         tmp_meta = meta_path + ".tmp"
         with open(tmp_meta, "w", encoding="utf-8") as f:
-            json.dump({"fingerprint": fp}, f)
+            json.dump({"fingerprint": fp, "signature": self.graph.signature()}, f)
         os.replace(tmp_meta, meta_path)  # atomic, like the semantic-tree meta
         logger.info("Graph: %s", self.graph.info())
 

@@ -61,15 +61,38 @@ class GraphData:
     def n_arcs(self) -> int:
         return len(self.src)
 
+    def signature(self) -> str:
+        """Content digest over the arc arrays + node numbering. Stored in
+        the rebuild-skip meta so a torn save (e.g. new .npz beside an old
+        .json after a crash) can never pair a valid input fingerprint with
+        a mismatched artifact and serve PPR over wrong node indices."""
+        import hashlib
+
+        h = hashlib.sha256()
+        h.update(np.int64(len(self.node_names)).tobytes())
+        h.update(np.ascontiguousarray(self.src).tobytes())
+        h.update(np.ascontiguousarray(self.dst).tobytes())
+        h.update(np.ascontiguousarray(self.weights).tobytes())
+        for name in self.node_names:
+            h.update(name.encode())
+            h.update(b"\x00")
+        return h.hexdigest()
+
     def save(self, path_prefix: str) -> None:
+        # atomic per file (tmp + rename): a crash can still leave a NEW
+        # .npz beside an OLD .json, but the meta signature check above
+        # catches that pairing at skip time.
         np.savez_compressed(
-            path_prefix + ".npz", src=self.src, dst=self.dst, weights=self.weights
+            path_prefix + ".npz.tmp", src=self.src, dst=self.dst, weights=self.weights
         )
-        with open(path_prefix + ".json", "w", encoding="utf-8") as f:
+        # numpy appends .npz to names that don't already end with it
+        os.replace(path_prefix + ".npz.tmp.npz", path_prefix + ".npz")
+        with open(path_prefix + ".json.tmp", "w", encoding="utf-8") as f:
             json.dump(
                 {"node_names": self.node_names, "ent_node_to_num_chunk": self.ent_node_to_num_chunk},
                 f,
             )
+        os.replace(path_prefix + ".json.tmp", path_prefix + ".json")
 
     @classmethod
     def load(cls, path_prefix: str) -> Optional["GraphData"]:

@@ -126,11 +126,12 @@ class HashEncoder(BaseEncoder):
             out = np.asarray(sp @ word_mat, dtype=np.float32)
         except ImportError:  # scipy-less fallback, same result
             out = np.zeros((len(texts), self.dim), dtype=np.float32)
-            np.add.at(
-                out,
-                np.asarray(rows),
-                np.asarray(vals, np.float32)[:, None] * word_mat[np.asarray(cols)],
-            )
+            if rows:  # empty int lists asarray to float64 and break indexing
+                np.add.at(
+                    out,
+                    np.asarray(rows, np.intp),
+                    np.asarray(vals, np.float32)[:, None] * word_mat[np.asarray(cols, np.intp)],
+                )
         if norm:
             out = self._l2_normalize(out)
         return out

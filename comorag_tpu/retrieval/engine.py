@@ -458,7 +458,6 @@ class RetrievalEngine:
                 )
             else:
                 dpr_norm_sum = np.zeros(b, np.float64)
-        dpr_norm: Optional[np.ndarray] = None  # dense rows, fetched lazily
         sorted_doc_ids: List[Optional[np.ndarray]] = [None] * b
         if fact_handle is not None:
             with trace.span("retrieve.fact_scores"):
@@ -533,14 +532,17 @@ class RetrievalEngine:
                 # host/native route: materialize dense resets from the
                 # sparse pairs (fp32 — the device solver computes in fp32
                 # and the native one re-normalizes in float64 anyway).
-                # Only THIS branch needs dense DPR rows; fetch them now.
+                # Only THIS branch needs dense DPR rows, and only for the
+                # probes that linked facts: slice those rows on device and
+                # download the subset (vs the full [B, N] matrix).
                 with trace.span("retrieve.dense_fetch"):
-                    dpr_norm = min_max_normalize_rows_np(ver_handle.result())
+                    seed_rows = np.asarray([qi for qi, _ in seeds_sparse], np.int32)
+                    dpr_rows = min_max_normalize_rows_np(ver_handle.result_rows(seed_rows))
                 resets = np.zeros((len(seeds_sparse), self.graph.n_nodes), np.float32)
                 for row, (qi, pairs) in enumerate(seeds_sparse):
                     for nid, w in pairs:
                         resets[row, nid] = w
-                    resets[row, self.passage_node_idxs] += dpr_norm[qi] * 0.005
+                    resets[row, self.passage_node_idxs] += dpr_rows[row] * 0.005
                 with trace.span("retrieve.ppr"):
                     ppr_scores = self.ppr.query(resets, damping=cfg.damping)  # ONE batched solve
                 with trace.span("retrieve.ppr_rank"):

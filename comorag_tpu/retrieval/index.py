@@ -518,6 +518,16 @@ class ScoresStatsHandle:
             return np.zeros((self._p, 0), np.float32)
         return np.asarray(self._dev)[: self._p, : self._n]
 
+    def result_rows(self, rows: np.ndarray) -> np.ndarray:
+        """Dense scores for a row subset, [len(rows), N] — the host-PPR
+        branch needs DPR rows only for probes that linked facts, so slice
+        on device and download just those instead of the full [P, N]
+        matrix (51 MB at 200k chunks through a remote tunnel)."""
+        if self._dev is None:
+            return np.zeros((len(rows), 0), np.float32)
+        sub = jnp.take(self._dev, jnp.asarray(np.asarray(rows, np.int32)), axis=0)
+        return np.asarray(sub[:, : self._n])
+
     def device_scores(self) -> Tuple[Optional[jax.Array], int, int]:
         return self._dev, self._p, self._n
 

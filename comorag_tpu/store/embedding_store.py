@@ -129,6 +129,17 @@ class EmbeddingStore:
                     self.vec_path, side_fp, want_fp,
                 )
                 return None
+            # row-set binding (when present — legacy sidecars lack it):
+            # same encoder + same row COUNT can still be a different row
+            # SET when concurrent writers raced; texts would then score
+            # against vectors of other texts.
+            side_sig = meta.get(b"content_sig", b"").decode()
+            if side_sig and side_sig != self._content_sig():
+                logger.warning(
+                    "%s: sidecar row-set signature does not match the main "
+                    "table — re-encoding", self.vec_path,
+                )
+                return None
             vals = vt.column("values").combine_chunks().to_numpy(zero_copy_only=False)
             if dim and vals.size == len(self.texts) * dim:
                 return np.ascontiguousarray(vals, np.float32).reshape(-1, dim)
@@ -155,19 +166,38 @@ class EmbeddingStore:
         flat = np.ascontiguousarray(emb, np.float32).reshape(-1)
         vec_tab = pa.table({"values": pa.array(flat)}).replace_schema_metadata(
             {b"dim": str(emb.shape[1] if emb.size else 0).encode(),
-             b"encoder_fingerprint": fp.encode()}
+             b"encoder_fingerprint": fp.encode(),
+             # binds the sidecar to the EXACT row set of the main table:
+             # the encoder fingerprint + row count alone can't distinguish
+             # two same-size saves by concurrent writers with different
+             # final rows (main_A + sidecar_B would otherwise pair).
+             b"content_sig": self._content_sig().encode()}
         )
-        # atomic writes (tmp + rename), sidecar FIRST: a crash mid-save
-        # must never leave a fresh main table beside stale/torn vectors.
-        # Dictionary encoding is useless on float vectors and slows both
-        # directions; light zstd wins back the wire/disk bytes.
+        # atomic writes (tmp + rename, pid-unique so concurrent writers
+        # never publish each other's half-written tmp), sidecar FIRST: a
+        # crash mid-save must never leave a fresh main table beside
+        # stale/torn vectors. Dictionary encoding is useless on float
+        # vectors and slows both directions; light zstd wins back the
+        # wire/disk bytes.
+        vtmp = f"{self.vec_path}.tmp.{os.getpid()}"
+        mtmp = f"{self.path}.tmp.{os.getpid()}"
         pq.write_table(
-            vec_tab, self.vec_path + ".tmp",
+            vec_tab, vtmp,
             use_dictionary=False, compression="zstd", compression_level=1,
         )
-        os.replace(self.vec_path + ".tmp", self.vec_path)
-        pq.write_table(table, self.path + ".tmp")
-        os.replace(self.path + ".tmp", self.path)
+        os.replace(vtmp, self.vec_path)
+        pq.write_table(table, mtmp)
+        os.replace(mtmp, self.path)
+
+    def _content_sig(self) -> str:
+        """Digest of the ordered hash_id rows (cheap: ids are md5 hex)."""
+        import hashlib
+
+        h = hashlib.sha256()
+        for hid in self.hash_ids:
+            h.update(hid.encode())
+            h.update(b"\x00")
+        return h.hexdigest()
 
     def clear(self) -> None:
         """Drop all rows and the on-disk artifact (used when a derived

@@ -317,7 +317,28 @@ def test_summary_budget_clamps_to_engine_window(tmp_path):
         rag._build_semantic_tree()
     finally:
         comorag_mod.SemanticTree = orig
-    assert captured["max_context_tokens"] == 2048 - 512
+    # window - generation bucket (512) - template/instruction headroom (256):
+    # the budget bounds only the cluster TEXTS, and the summarizer wraps a
+    # system message + instruction around them before the engine's
+    # (window - bucket) prompt limit applies.
+    assert captured["max_context_tokens"] == 2048 - 512 - 256
+
+    # a tiny window must never produce a budget above its own prompt limit
+    WindowedFake.max_model_len = 700
+    cfg2 = ComoConfig(
+        llm_name="fake", embedding_model_name="hash", embedding_dim=64,
+        save_dir=str(tmp_path / "o2"), output_dir=str(tmp_path / "r2"),
+        summary_context_max_tokens=60_000,
+    )
+    rag2 = ComoRAG(cfg2, llm=WindowedFake())
+    captured.clear()
+    comorag_mod.SemanticTree = SpyTree
+    try:
+        rag2.ver_store.insert_strings(["one text", "two text"])
+        rag2._build_semantic_tree()
+    finally:
+        comorag_mod.SemanticTree = orig
+    assert captured["max_context_tokens"] == 64
 
 
 def test_synonymy_k_limit_matches_full_topk():

@@ -113,6 +113,37 @@ def test_index_resume_is_idempotent(rag, monkeypatch):
     assert rag.graph.n_arcs == n_arcs
 
 
+def test_graph_skip_requires_artifact_signature(tmp_path):
+    """A torn graph save (new .npz beside an old .json — two files, crash
+    between them) must NOT be skipped over: the meta's signature binds the
+    fingerprint to the artifact, so a mismatched pairing rebuilds instead
+    of running PPR on a wrong node numbering."""
+    import json as _json
+
+    config = ComoConfig(
+        llm_name="fake",
+        embedding_model_name="hash",
+        embedding_dim=128,
+        save_dir=str(tmp_path / "outputs"),
+        output_dir=str(tmp_path / "results"),
+    )
+    rag = ComoRAG(config)
+    rag.index(CORPUS)
+    prefix = rag._graph_prefix
+    with open(prefix + ".json", encoding="utf-8") as f:
+        good = _json.load(f)
+    tampered = dict(good)
+    tampered["node_names"] = list(reversed(good["node_names"]))
+    with open(prefix + ".json", "w", encoding="utf-8") as f:
+        _json.dump(tampered, f)
+
+    rag2 = ComoRAG(ComoConfig(**{**config.to_dict()}))
+    rag2.index(CORPUS)  # fingerprint matches, signature must not -> rebuild
+    with open(prefix + ".json", encoding="utf-8") as f:
+        restored = _json.load(f)
+    assert restored["node_names"] == good["node_names"]
+
+
 def test_index_graph_rebuilds_on_corpus_change(tmp_path):
     """A grown corpus fails the graph fingerprint and rebuilds."""
     config = ComoConfig(

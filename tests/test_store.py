@@ -116,6 +116,57 @@ def test_store_rejects_stale_and_torn_sidecars(tmp_path):
     np.testing.assert_allclose(s3.matrix, good, atol=1e-6)
 
 
+def test_store_rejects_sidecar_from_racing_writer(tmp_path):
+    """Same encoder, same row COUNT, different row SET: a sidecar written
+    by a concurrent writer whose final row differs must not pair with this
+    main table (the content signature binds the two files)."""
+    import shutil
+
+    enc = HashEncoder(dim=16)
+    vec_path = tmp_path / "vdb_chunk_vec.parquet"
+
+    # writer B saved base + "beta"; keep its sidecar
+    b = EmbeddingStore(enc, str(tmp_path), batch_size=2, namespace="chunk")
+    b.insert_strings(["base one", "base two", "beta"])
+    shutil.copy(vec_path, tmp_path / "sidecar_B.parquet")
+
+    # writer A then saved base + "alpha" (same count, same encoder)
+    for p in (tmp_path / "vdb_chunk.parquet", vec_path):
+        p.unlink()
+    a = EmbeddingStore(enc, str(tmp_path), batch_size=2, namespace="chunk")
+    a.insert_strings(["base one", "base two", "alpha"])
+    good = a.matrix.copy()
+
+    # interleaving leaves B's sidecar beside A's main table
+    shutil.copy(tmp_path / "sidecar_B.parquet", vec_path)
+    s = EmbeddingStore(enc, str(tmp_path), batch_size=2, namespace="chunk")
+    assert s.get_all_texts() == ["base one", "base two", "alpha"]
+    np.testing.assert_allclose(s.matrix, good, atol=1e-6)  # re-encoded
+
+
+def test_hash_encoder_empty_batch_fallback_path():
+    """The scipy-less fallback must return a clean (0, dim) for an empty
+    batch like the csr path does (empty int lists asarray to float64)."""
+    import builtins
+
+    enc = HashEncoder(dim=16)
+    real_import = builtins.__import__
+
+    def no_scipy(name, *a, **k):
+        if name.startswith("scipy"):
+            raise ImportError("forced")
+        return real_import(name, *a, **k)
+
+    builtins.__import__ = no_scipy
+    try:
+        out = enc.encode([])
+        nonempty = enc.encode(["hello world"])
+    finally:
+        builtins.__import__ = real_import
+    assert out.shape == (0, 16)
+    np.testing.assert_allclose(nonempty, HashEncoder(dim=16).encode(["hello world"]))
+
+
 def test_json_repair_roundtrip():
     broken = '{"named_entities": ["a", "b", "c'
     fixed = repair_json(broken)
