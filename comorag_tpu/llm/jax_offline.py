@@ -489,11 +489,20 @@ class JaxOfflineLLM(BaseLLM):
         return out
 
     # ---------------------------------------------------------- interface
+    def _max_tokens(self, gen_kwargs: Dict) -> int:
+        """max_tokens, or its OpenAI-client spelling max_completion_tokens
+        (rerank/summarize pass the latter; openai_client.py honors it —
+        dropping it here silently decoded to the engine default)."""
+        mt = gen_kwargs.get("max_tokens")
+        if mt is None:
+            mt = gen_kwargs.get("max_completion_tokens")
+        return int(self.max_new_tokens if mt is None else mt)
+
     def infer(self, messages: Messages, **gen_kwargs) -> LLMResponse:
         text, sp = self._render(messages)
         return self._generate_batch(
             [text],
-            max_tokens=int(gen_kwargs.get("max_tokens", self.max_new_tokens)),
+            max_tokens=self._max_tokens(gen_kwargs),
             json_template=gen_kwargs.get("json_template"),
             temperature=gen_kwargs.get("temperature"),
             id_rows=[self._ids(text, sp)],
@@ -505,9 +514,20 @@ class JaxOfflineLLM(BaseLLM):
         short and long prompts don't share one worst-case grid."""
         if not batch:
             return []
-        rendered = [self._render(m) for m in batch]
-        prompts = [t for t, _ in rendered]
-        max_tokens = int(gen_kwargs.get("max_tokens", self.max_new_tokens))
+        # render/tokenize per item: ONE malformed message dict or
+        # tokenizer-rejected string must error only its own row, not the
+        # whole merged group (innocent concurrent requests share batches
+        # through the window server)
+        rendered: List[Optional[Tuple[str, object]]] = []
+        render_errs: Dict[int, str] = {}
+        for i, m in enumerate(batch):
+            try:
+                rendered.append(self._render(m))
+            except Exception as e:  # noqa: BLE001 — per-item isolation
+                rendered.append(None)
+                render_errs[i] = str(e)
+        prompts = [t for t, _ in (r or ("", None) for r in rendered)]
+        max_tokens = self._max_tokens(gen_kwargs)
         template = gen_kwargs.get("json_template")
         temperature = gen_kwargs.get("temperature")
 
@@ -516,16 +536,31 @@ class JaxOfflineLLM(BaseLLM):
         # by TOTAL length would scatter it into single-row groups and the
         # prefix machinery (and its batching win) never engages. Shared
         # header present -> one group; remainder padding spread is bounded.
-        id_rows = [self._ids(t, sp) for t, sp in rendered]
-        common = _common_prefix_len(id_rows)
+        id_rows: List[Optional[List[int]]] = []
+        for i, r in enumerate(rendered):
+            if r is None:
+                id_rows.append(None)
+                continue
+            try:
+                id_rows.append(self._ids(r[0], r[1]))
+            except Exception as e:  # noqa: BLE001 — per-item isolation
+                id_rows.append(None)
+                render_errs[i] = str(e)
+        ok = [i for i in range(len(prompts)) if id_rows[i] is not None]
+        common = _common_prefix_len([id_rows[i] for i in ok]) if ok else 0
         groups: Dict[int, List[int]] = {}
-        if (common // 64) * 64 >= self.prefix_cache_min:
-            groups[0] = list(range(len(prompts)))
+        if ok and (common // 64) * 64 >= self.prefix_cache_min:
+            groups[0] = ok
         else:
-            for i, r in enumerate(id_rows):
-                groups.setdefault(_bucket(len(r), _PROMPT_BUCKETS), []).append(i)
+            for i in ok:
+                groups.setdefault(_bucket(len(id_rows[i]), _PROMPT_BUCKETS), []).append(i)
 
         results: List[Optional[LLMResponse]] = [None] * len(prompts)
+        for i, msg in render_errs.items():
+            logger.warning("offline render/tokenize failed for one row: %s", msg)
+            results[i] = LLMResponse(
+                text="", metadata={"error": msg, "finish_reason": "error"}
+            )
         for _, idxs in sorted(groups.items()):
             max_b = _BATCH_BUCKETS[-1]
             for j in range(0, len(idxs), max_b):

@@ -81,6 +81,13 @@ class GenerationServer(BaseLLM):
             self._closed = True
             self._lock.notify()
         self._thread.join(timeout=30)
+        if self._thread.is_alive():
+            # a cold Mosaic compile / tunnel stall can exceed 30 s; callers
+            # treating close() as a barrier must know it wasn't one
+            logger.warning(
+                "GenerationServer.close(): scheduler still serving after "
+                "30 s — in-flight requests will resolve when it finishes"
+            )
 
     def __enter__(self) -> "GenerationServer":
         return self
@@ -117,9 +124,13 @@ class GenerationServer(BaseLLM):
                 self._serve(batch)
             except Exception as e:  # noqa: BLE001 — the scheduler thread must survive
                 logger.warning("generation window failed: %s", e)
-                err = LLMResponse(text="", metadata={"error": str(e), "finish_reason": "error"})
                 for _, _, fut in batch:
-                    _resolve(fut, err)
+                    # one response object PER requester: they are mutable
+                    # (the success path mutates metadata) and two threads
+                    # sharing one would cross-contaminate
+                    _resolve(fut, LLMResponse(
+                        text="", metadata={"error": str(e), "finish_reason": "error"}
+                    ))
 
     def _serve(self, batch: List[Tuple[Messages, Dict[str, Any], Future]]) -> None:
         # group by generation options: one device program per distinct
@@ -128,8 +139,12 @@ class GenerationServer(BaseLLM):
         groups: Dict[Tuple, List[int]] = {}
         for i, (_, kw, _f) in enumerate(batch):
             # `is None` (not falsy-or): an explicit max_tokens=0 must stay
-            # a minimal cap, not balloon to the engine default (ADVICE r2)
+            # a minimal cap, not balloon to the engine default (ADVICE r2).
+            # max_completion_tokens is the OpenAI-client spelling (rerank/
+            # summarize pass it) — honor it like openai_client.py does.
             mt = kw.get("max_tokens")
+            if mt is None:
+                mt = kw.get("max_completion_tokens")
             key = (
                 kw.get("json_template"),
                 int(self.engine.max_new_tokens if mt is None else mt),

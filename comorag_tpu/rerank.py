@@ -145,33 +145,54 @@ class FactFilter:
         candidate_indices: Sequence[int],
         len_after_rerank: Optional[int] = None,
     ) -> Tuple[List[int], List[Tuple[str, str, str]], dict]:
-        fact_before_filter = json.dumps({"fact": [list(c) for c in candidate_items]})
-        messages = list(self.message_template)
-        messages.append(
-            {"role": "user", "content": _INPUT_TEMPLATE.format(question=query, fact_before_filter=fact_before_filter)}
-        )
+        return self.rerank_batch([query], [candidate_items], [candidate_indices], len_after_rerank)[0]
+
+    def rerank_batch(
+        self,
+        queries: Sequence[str],
+        candidate_items_rows: Sequence[Sequence[Tuple[str, str, str]]],
+        candidate_indices_rows: Sequence[Sequence[int]],
+        len_after_rerank: Optional[int] = None,
+    ) -> List[Tuple[List[int], List[Tuple[str, str, str]], dict]]:
+        """All rows' filter prompts go to the LLM as ONE batch_infer: the
+        window-batching server and the offline engine both coalesce them
+        into shared device programs, where per-row ``infer`` calls from a
+        single scheduler thread would decode sequentially at batch 1."""
+        prompts = []
+        for query, candidate_items in zip(queries, candidate_items_rows):
+            fact_before_filter = json.dumps({"fact": [list(c) for c in candidate_items]})
+            messages = list(self.message_template)
+            messages.append(
+                {"role": "user", "content": _INPUT_TEMPLATE.format(question=query, fact_before_filter=fact_before_filter)}
+            )
+            prompts.append(messages)
         try:
-            response = self.llm.infer(messages, max_completion_tokens=512)
-            generated = self.parse_response(response.text)
+            responses = self.llm.batch_infer(prompts, max_completion_tokens=512)
         except Exception as e:  # noqa: BLE001
-            logger.error("fact rerank failed: %s", e)
-            generated = []
+            logger.error("fact rerank batch failed: %s", e)
+            responses = [None] * len(prompts)
 
-        candidate_strs = [str(list(c)) for c in candidate_items]
-        result_indices: List[int] = []
-        for fact in generated:
-            matches = difflib.get_close_matches(str(fact), candidate_strs, n=1, cutoff=0.0)
-            if matches:
-                pos = candidate_strs.index(matches[0])
-                if pos not in result_indices:
-                    result_indices.append(pos)
+        out = []
+        for response, candidate_items, candidate_indices in zip(
+            responses, candidate_items_rows, candidate_indices_rows
+        ):
+            generated = self.parse_response(response.text) if response is not None else []
+            candidate_strs = [str(list(c)) for c in candidate_items]
+            result_indices: List[int] = []
+            for fact in generated:
+                matches = difflib.get_close_matches(str(fact), candidate_strs, n=1, cutoff=0.0)
+                if matches:
+                    pos = candidate_strs.index(matches[0])
+                    if pos not in result_indices:
+                        result_indices.append(pos)
 
-        sorted_indices = [candidate_indices[i] for i in result_indices]
-        sorted_items = [tuple(candidate_items[i]) for i in result_indices]
-        return (
-            sorted_indices[:len_after_rerank],
-            sorted_items[:len_after_rerank],
-            {"confidence": None},
-        )
+            sorted_indices = [candidate_indices[i] for i in result_indices]
+            sorted_items = [tuple(candidate_items[i]) for i in result_indices]
+            out.append((
+                sorted_indices[:len_after_rerank],
+                sorted_items[:len_after_rerank],
+                {"confidence": None},
+            ))
+        return out
 
     __call__ = rerank

@@ -105,6 +105,10 @@ class RetrievalEngine:
         self._query_cache: "OrderedDict[Tuple[str, str], np.ndarray]" = OrderedDict()
         self._query_cache_lock = threading.Lock()
         self._query_cache_max = 4096
+        # prepare() is called lazily from query paths that the public API
+        # advertises as merge-safe; without a guard two first-callers both
+        # build (and upload) every device index
+        self._prepare_lock = threading.Lock()
         # test hook: force the full [B, F] fact-score download instead of
         # the fused top-k+min fetch (parity tests flip this)
         self._use_fact_compact = True
@@ -114,6 +118,12 @@ class RetrievalEngine:
         """Load all embedding matrices into device indexes and materialize
         graph arrays (reference prepare_retrieval_objects, ComoRAG.py:876-907)."""
         if self._ready:
+            return
+        with self._prepare_lock:
+            self._prepare_locked()
+
+    def _prepare_locked(self) -> None:
+        if self._ready:  # double-check under the lock
             return
         kw = dict(mesh=self.mesh, dtype=self.config.embedding_dtype, method=self.config.topk_method,
                   scan_dtype=self.config.scan_dtype, tile_n=self.config.topk_block_rows)
@@ -235,6 +245,23 @@ class RetrievalEngine:
     ) -> Tuple[List[int], List[Tuple[str, str, str]], dict]:
         """``candidates_pre`` = (fact indices desc, their normalized scores)
         from a device-side top-k — skips downloading the full score row."""
+        candidate_idx, candidates = self._fact_candidates(scores, candidates_pre)
+        link_top_k = self.config.linking_top_k
+        if self.fact_filter is None:
+            return candidate_idx, candidates, {"facts_before_rerank": candidates, "facts_after_rerank": candidates}
+        top_idx, top_facts, _ = self.fact_filter.rerank(query, candidates, candidate_idx, link_top_k)
+        return top_idx, top_facts, {
+            "facts_before_rerank": [list(c) for c in candidates],
+            "facts_after_rerank": [list(f) for f in top_facts],
+        }
+
+    def _fact_candidates(
+        self,
+        scores: Optional[np.ndarray] = None,
+        candidates_pre: Optional[Tuple[Sequence[int], Sequence[float]]] = None,
+    ) -> Tuple[List[int], List[Tuple[str, str, str]]]:
+        """Top linking candidates for one probe: (fact indices desc, their
+        triples). ``candidates_pre`` comes from a device-side top-k."""
         link_top_k = self.config.linking_top_k
         if candidates_pre is not None:
             candidate_idx = [int(i) for i in candidates_pre[0]]
@@ -243,21 +270,14 @@ class RetrievalEngine:
             # partial selection: a full argsort over |facts| per probe is wasted
             part = np.argpartition(-scores, k - 1)[:k] if k else np.array([], np.int64)
             candidate_idx = part[np.argsort(-scores[part], kind="stable")].tolist()
-        candidate_keys = [self.fact_node_keys[i] for i in candidate_idx]
         candidates = []
-        for key in candidate_keys:
+        for i in candidate_idx:
             try:
-                triple = json.loads(self.fact_store.get_text(key))
+                triple = json.loads(self.fact_store.get_text(self.fact_node_keys[i]))
             except json.JSONDecodeError:
                 triple = ["", "", ""]
             candidates.append(tuple(triple))
-        if self.fact_filter is None:
-            return candidate_idx, candidates, {"facts_before_rerank": candidates, "facts_after_rerank": candidates}
-        top_idx, top_facts, _ = self.fact_filter.rerank(query, candidates, candidate_idx, link_top_k)
-        return top_idx, top_facts, {
-            "facts_before_rerank": [list(c) for c in candidates],
-            "facts_after_rerank": [list(f) for f in top_facts],
-        }
+        return candidate_idx, candidates
 
     # ----------------------------------------------------------- graph search
     def _phrase_weights(
@@ -381,9 +401,11 @@ class RetrievalEngine:
         concurrent meta-loop fan-outs into one device batch)."""
         self.prepare()
         cfg = self.config
-        ver_top_k = ver_top_k or cfg.qa_ver_top_k
-        sem_top_k = sem_top_k or cfg.qa_sem_top_k
-        epi_top_k = epi_top_k or cfg.qa_epi_top_k
+        # `is None` (not falsy-or): an explicit top_k=0 disables a layer,
+        # it must not balloon to the config default
+        ver_top_k = cfg.qa_ver_top_k if ver_top_k is None else ver_top_k
+        sem_top_k = cfg.qa_sem_top_k if sem_top_k is None else sem_top_k
+        epi_top_k = cfg.qa_epi_top_k if epi_top_k is None else epi_top_k
         pool_hashes = pool_hashes or {}
         queries = list(queries)
         b = len(queries)
@@ -484,16 +506,32 @@ class RetrievalEngine:
             # host solver the measured crossover picks for B=1.
             seeds_sparse: List[Tuple[int, List[Tuple[int, float]]]] = []
             with trace.span("retrieve.fact_rerank"):
+                # every row's filter prompt goes to the LLM as ONE batch:
+                # this loop runs on a single thread (the retrieval window's
+                # scheduler), so per-row infer calls would serialize the
+                # generations that used to overlap across question threads
+                cand_rows = [
+                    self._fact_candidates(candidates_pre=(cand_idx[qi], cand_norm[qi]))
+                    if fact_compact
+                    else self._fact_candidates(scores=score_rows[qi])
+                    for qi in range(b)
+                ]
+                if self.fact_filter is not None:
+                    filtered = self.fact_filter.rerank_batch(
+                        list(queries),
+                        [c for _, c in cand_rows],
+                        [i for i, _ in cand_rows],
+                        cfg.linking_top_k,
+                    )
+                else:
+                    filtered = [(ci, cc, {"confidence": None}) for ci, cc in cand_rows]
                 for qi, query in enumerate(queries):
-                    if fact_compact:
-                        row = score_rows[qi]  # dict: fact idx -> normalized score
-                        top_idx, top_facts, rerank_log = self.rerank_facts(
-                            query, candidates_pre=(cand_idx[qi], cand_norm[qi])
-                        )
-                    else:
-                        row = score_rows[qi]
-                        top_idx, top_facts, rerank_log = self.rerank_facts(query, row)
-                    results[qi].rerank_log = rerank_log
+                    row = score_rows[qi]
+                    top_idx, top_facts, _ = filtered[qi]
+                    results[qi].rerank_log = {
+                        "facts_before_rerank": [list(c) for c in cand_rows[qi][1]],
+                        "facts_after_rerank": [list(f) for f in top_facts],
+                    }
                     if not top_facts:
                         continue
                     pairs, used = self._phrase_seed_pairs(row, top_facts, top_idx)
@@ -653,6 +691,11 @@ class RetrievalWindow:
             self._closed = True
             self._lock.notify()
         self._thread.join(timeout=30)
+        if self._thread.is_alive():
+            logger.warning(
+                "RetrievalWindow.close(): scheduler still serving after "
+                "30 s — in-flight requests will resolve when it finishes"
+            )
 
     def __enter__(self):
         return self
@@ -677,8 +720,19 @@ class RetrievalWindow:
                     break
                 self._lock.wait(timeout=remaining)
                 rows = sum(len(q) for q, _, _, _ in self._queue)
-            batch, self._queue = self._queue, []
-            return batch
+            # enforce max_rows at REQUEST boundaries (an oversized single
+            # request still goes alone, as it would without the window):
+            # a burst must not snowball into one unbounded device batch —
+            # at 200k chunks a 256-row merge keeps a ~205 MB score buffer
+            # alive and crosses the VMEM gather budget (CLAUDE.md)
+            batch, rows = [], 0
+            while self._queue:
+                n = len(self._queue[0][0])
+                if batch and rows + n > self.max_rows:
+                    break
+                batch.append(self._queue.pop(0))
+                rows += n
+            return batch  # leftovers serve on the next loop iteration
 
     def _run(self) -> None:
         while True:
@@ -700,15 +754,30 @@ class RetrievalWindow:
                         queries, ver_top_k=vk, sem_top_k=sk, epi_top_k=ek,
                         pool_hashes_rows=rows_ph,
                     )
-                    at = 0
-                    for q, _, _, fut in reqs:
+                except Exception as e:  # noqa: BLE001 — keep the thread alive
+                    # Retry each request ALONE: pre-window, a failure was
+                    # confined to its own question thread — one poison row
+                    # or transient device error must not crash every
+                    # concurrent requester's future.
+                    logger.warning(
+                        "retrieval window group failed (%s) — retrying "
+                        "requests individually", e,
+                    )
+                    for q, ph, _, fut in reqs:
                         if not fut.set_running_or_notify_cancel():
-                            at += len(q)
                             continue
-                        fut.set_result(out[at : at + len(q)])
+                        try:
+                            fut.set_result(self.engine.tri_retrieve_batch(
+                                q, ver_top_k=vk, sem_top_k=sk, epi_top_k=ek,
+                                pool_hashes_rows=[ph] * len(q),
+                            ))
+                        except Exception as ee:  # noqa: BLE001 — its own fault now
+                            fut.set_exception(ee)
+                    continue
+                at = 0
+                for q, _, _, fut in reqs:
+                    if not fut.set_running_or_notify_cancel():
                         at += len(q)
-                except Exception as e:  # noqa: BLE001 — fail futures, keep the thread
-                    logger.warning("retrieval window group failed: %s", e)
-                    for _, _, _, fut in reqs:
-                        if fut.set_running_or_notify_cancel():
-                            fut.set_exception(e)
+                        continue
+                    fut.set_result(out[at : at + len(q)])
+                    at += len(q)

@@ -343,6 +343,87 @@ def test_retrieval_window_coalesces_and_matches(rag):
     assert len(calls) < len(queries), f"no coalescing happened: {calls}"
 
 
+def test_window_group_failure_is_isolated():
+    """One poison request in a merged window group must fail ONLY its own
+    future — the others retry individually and succeed (pre-window, a
+    failure was confined to its question thread)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pytest
+
+    from comorag_tpu.retrieval.engine import RetrievalWindow
+
+    class FlakyEngine:
+        def tri_retrieve_batch(self, queries, **kw):
+            if any("poison" in q for q in queries):
+                raise RuntimeError("poison row")
+            return [f"ok:{q}" for q in queries]
+
+    with RetrievalWindow(FlakyEngine(), window_ms=150.0) as win:
+        with ThreadPoolExecutor(max_workers=3) as tp:
+            f1 = tp.submit(win.tri_retrieve, "good one")
+            f2 = tp.submit(win.tri_retrieve, "poison here")
+            f3 = tp.submit(win.tri_retrieve, "good two")
+            assert f1.result(timeout=30) == "ok:good one"
+            assert f3.result(timeout=30) == "ok:good two"
+            with pytest.raises(RuntimeError, match="poison"):
+                f2.result(timeout=30)
+
+
+def test_window_bounds_merged_rows():
+    """A burst must not snowball into one unbounded device batch: drained
+    merges respect max_rows at request boundaries."""
+    from comorag_tpu.retrieval.engine import RetrievalWindow
+
+    calls = []
+
+    class Eng:
+        def tri_retrieve_batch(self, queries, **kw):
+            calls.append(len(queries))
+            return ["r"] * len(queries)
+
+    with RetrievalWindow(Eng(), window_ms=60.0, max_rows=16) as win:
+        futs = [win.submit([f"q{i}-{j}" for j in range(10)]) for i in range(10)]
+        outs = [f.result(timeout=30) for f in futs]
+    assert all(len(o) == 10 for o in outs)
+    assert sum(calls) == 100
+    assert max(calls) <= 16
+
+
+def test_fanout_batches_fact_rerank(rag):
+    """The batched fan-out must issue ONE rerank_batch call for all rows
+    (the window scheduler is single-threaded: per-row infer calls would
+    serialize generations that used to overlap across question threads)."""
+    engine = rag.engine
+    engine.prepare()
+    calls = []
+    orig = engine.fact_filter.rerank_batch
+
+    def spy(queries, items_rows, idx_rows, k=None):
+        calls.append(len(queries))
+        return orig(queries, items_rows, idx_rows, k)
+
+    engine.fact_filter.rerank_batch = spy
+    try:
+        engine.tri_retrieve_batch([
+            "Who did Mara pull from the freezing water?",
+            "What did Tomas forge in the village smithy?",
+            "Who taught Mara to read the star charts?",
+        ])
+    finally:
+        engine.fact_filter.rerank_batch = orig
+    assert calls == [3]
+
+
+def test_explicit_zero_top_k_disables_layer(rag):
+    """top_k=0 must retrieve nothing from that layer, not balloon to the
+    config default (falsy-or bug class, ADVICE r2)."""
+    engine = rag.engine
+    engine.prepare()
+    res = engine.tri_retrieve("Who did Mara pull from the freezing water?", ver_top_k=0)
+    assert res.veridical == []
+
+
 def test_per_row_pool_filters(rag):
     """pool_hashes_rows: each merged row applies its OWN pool dedup."""
     from comorag_tpu.utils.hashing import content_hash

@@ -84,6 +84,38 @@ def test_fact_filter_roundtrip():
     assert items == candidates
 
 
+def test_fact_filter_rerank_batch_single_llm_call():
+    """rerank_batch must reach the LLM as ONE batch_infer (the serving
+    window and the offline engine coalesce it into shared device
+    programs), never N sequential infer calls."""
+    from comorag_tpu.llm.base import LLMResponse
+
+    class SpyLLM:
+        def __init__(self):
+            self.infer_calls = 0
+            self.batch_sizes = []
+
+        def infer(self, messages, **kw):
+            self.infer_calls += 1
+            return LLMResponse(text='{"fact": []}')
+
+        def batch_infer(self, batch, **kw):
+            self.batch_sizes.append(len(batch))
+            assert kw.get("max_completion_tokens") == 512
+            return [
+                LLMResponse(text='[[ ## fact_after_filter ## ]]\n{"fact": [["x","y","z"]]}')
+                for _ in batch
+            ]
+
+    spy = SpyLLM()
+    filt = FactFilter(spy)
+    cands = [("x", "y", "z"), ("a", "b", "c")]
+    out = filt.rerank_batch(["q1", "q2", "q3"], [cands] * 3, [[5, 6]] * 3, 2)
+    assert spy.batch_sizes == [3] and spy.infer_calls == 0
+    for idx, items, _ in out:
+        assert idx == [5] and items == [("x", "y", "z")]
+
+
 def test_fact_filter_parse_handles_prose():
     text = 'chatter\n[[ ## fact_after_filter ## ]]\n{"fact": [["a","b","c"]]}\n\n[[ ## completed ## ]]'
     assert FactFilter.parse_response(text) == [["a", "b", "c"]]

@@ -551,6 +551,38 @@ def test_guided_prefixes_always_legal_and_stops_parse():
             assert key in obj
 
 
+def test_max_completion_tokens_is_honored():
+    """The OpenAI-client spelling (rerank/summarize pass it) must cap the
+    decode like max_tokens does — dropping it silently decoded to the
+    engine default (2048-token while_loops per rerank call)."""
+    llm = JaxOfflineLLM(seed=3)
+    msgs = [{"role": "user", "content": "alpha beta gamma"}]
+    r = llm.infer(msgs, max_completion_tokens=8)
+    assert r.metadata["completion_tokens"] <= 8
+    rb = llm.batch_infer([msgs], max_completion_tokens=8)[0]
+    assert rb.metadata["completion_tokens"] <= 8
+    # through the window server too (group key + engine call)
+    from comorag_tpu.llm.serving import GenerationServer
+
+    with GenerationServer(llm, window_ms=1.0) as srv:
+        rs = srv.infer(msgs, max_completion_tokens=8)
+    assert rs.metadata["completion_tokens"] <= 8
+
+
+def test_batch_infer_isolates_malformed_rows():
+    """One malformed message dict in a merged batch must error only its
+    own row — innocent concurrent requests share batches through the
+    window server."""
+    llm = JaxOfflineLLM(seed=4)
+    good = [{"role": "user", "content": "fine prompt"}]
+    bad = [{"bogus": "no role or content"}]
+    out = llm.batch_infer([good, bad, good], max_tokens=8)
+    assert out[0].text == out[2].text
+    assert out[0].metadata.get("finish_reason") != "error"
+    assert out[1].metadata.get("finish_reason") == "error"
+    assert out[1].text == ""
+
+
 def test_batch_infer_matches_single_greedy():
     llm = JaxOfflineLLM(seed=2)
     msgs_a = [{"role": "user", "content": "one two three"}]
