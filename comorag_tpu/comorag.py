@@ -206,9 +206,7 @@ class ComoRAG:
         # cutting the instruction header off the front and turning the
         # "summary" into raw continuation text with no error.
         budget = self.config.summary_context_max_tokens
-        window = getattr(self.llm, "max_model_len", None) or getattr(
-            getattr(self.llm, "engine", None), "max_model_len", None
-        )  # the window-batching server wraps the engine
+        window = self._llm_window()
         if window:
             # 512 = the engine's generation bucket for the summarizer's
             # completions (the prompt limit is window - bucket); 256 more
@@ -385,9 +383,10 @@ class ComoRAG:
     # ------------------------------------------------------------- mem encode
     def mem_encode(self, query: str, docs: Dict[str, List[str]], pool: MemoryPool, probe: Optional[str] = None) -> MemoryPool:
         cfg = self.config
-        selected_vers = self.tokens.truncate_by_budget(docs["veridical"], cfg.max_tokens_ver)
-        selected_sems = self.tokens.truncate_by_budget(docs["semantic"], cfg.max_tokens_sem)
-        selected_epis = self.tokens.truncate_by_budget(docs["episodic"], cfg.max_tokens_epi)
+        b_ver, b_sem, b_epi = self._qa_layer_budgets()
+        selected_vers = self.tokens.truncate_by_budget(docs["veridical"], b_ver)
+        selected_sems = self.tokens.truncate_by_budget(docs["semantic"], b_sem)
+        selected_epis = self.tokens.truncate_by_budget(docs["episodic"], b_epi)
 
         ver_cue, sem_cue, epi_cue = pool.agent.fusion(
             query=query,
@@ -404,6 +403,50 @@ class ComoRAG:
                 MemoryNode(probe=probe or query, node_type=node_type, original_content=content, cue=cue)
             )
         return pool
+
+    # ----------------------------------------------------------- window clamps
+    def _llm_window(self) -> Optional[int]:
+        """The serving LLM's context window when it exposes one (jax-offline
+        directly, or through the window-batching server wrapping it)."""
+        window = getattr(self.llm, "max_model_len", None) or getattr(
+            getattr(self.llm, "engine", None), "max_model_len", None
+        )
+        return int(window) if window else None
+
+    def _qa_layer_budgets(self) -> Tuple[int, int, int]:
+        """(ver, sem, epi) context budgets, scaled down when their sum
+        cannot fit the engine window. An over-window prompt is LEFT-
+        truncated by the offline engine — the system prompt, one-shot
+        example, and the '### Final Answer' protocol instructions are cut
+        off the front SILENTLY, and the meta loop's impasse machinery goes
+        dead (the same trap _build_semantic_tree clamps for)."""
+        cfg = self.config
+        budgets = (cfg.max_tokens_ver, cfg.max_tokens_sem, cfg.max_tokens_epi)
+        window = self._llm_window()
+        if not window:
+            return budgets
+        # window - QA generation bucket - headroom for the template header,
+        # question, and the historical-findings section of impasse rounds
+        avail = max(192, window - cfg.qa_max_completion_tokens - 1024)
+        total = sum(budgets)
+        if total <= avail:
+            return budgets
+        scale = avail / total
+        out = tuple(max(64, int(b * scale)) for b in budgets)
+        logger.warning(
+            "Layer context budgets %s exceed the engine window %d — scaled to %s",
+            budgets, window, out,
+        )
+        return out
+
+    @staticmethod
+    def _is_impasse(pred: str) -> bool:
+        """The impasse sentinel, tolerant of realistic spellings: the
+        prompt says to write exactly \"*\" (quoted), so models emit '*',
+        '\"*\"', '*.', '**', or ': *' — anything that is only asterisks
+        once quoting/punctuation is stripped counts."""
+        cleaned = pred.strip().strip("\"'`.:,;!()[] \t\n")
+        return bool(cleaned) and set(cleaned) == {"*"}
 
     # --------------------------------------------------------------- meta loop
     def meta_control_loop(self, q_idx: int, query: str) -> Tuple[int, QuerySolution, Dict[str, str]]:
@@ -427,6 +470,7 @@ class ComoRAG:
         all_steps: List[Dict[str, Any]] = []
         step_answers: Dict[str, str] = {}
         response_text = ""
+        last_error: Optional[str] = None
 
         for i in range(cfg.max_meta_loop_iterations + 1):
             step_info: Dict[str, Any] = {
@@ -455,20 +499,40 @@ class ComoRAG:
             messages = self.prompts.render(template, prompt_user=prompt_user)
 
             try:
-                response_text = self.llm.infer(messages).text
+                response_text = self.llm.infer(
+                    messages, max_completion_tokens=cfg.qa_max_completion_tokens
+                ).text
             except Exception as e:  # noqa: BLE001 — keep the loop alive
                 logger.error("QA inference failed: %s", e)
                 step_info["error"] = str(e)
                 all_steps.append(step_info)
+                if str(e) == last_error:
+                    # identical error on the identical prompt: deterministic
+                    # failure — don't burn the remaining iterations on it
+                    break
+                last_error = str(e)
+                continue
+            last_error = None
+
+            if not response_text.strip():
+                # empty content happens on real paths (null API content,
+                # isolated batch errors, immediate EOS) — retry the
+                # iteration like the reference instead of accepting ''
+                # as the final answer
+                step_info["empty_response"] = True
+                all_steps.append(step_info)
                 continue
 
-            parts = response_text.split("### Final Answer")
+            # LAST marker, matching eval/qa_eval.py's extractor: a model
+            # that echoes the marker while restating the format must not
+            # make the loop and the scorer read different spans
+            parts = response_text.rsplit("### Final Answer", 1)
             pred = parts[1].strip() if len(parts) > 1 else response_text
             step_info["response"] = response_text
             step_info["predicted_answer"] = pred
             step_answers[f"step{i}"] = pred
 
-            if pred.strip() != "*":
+            if not self._is_impasse(pred):
                 all_steps.append(step_info)
                 break
             if i == cfg.max_meta_loop_iterations:
@@ -492,16 +556,28 @@ class ComoRAG:
             for probe, retrieved_probe in zip(probes, fan_out):
                 self.mem_encode(query + " " + probe, retrieved_probe.as_docs(), pool, probe=probe)
 
-            fused = pool.create_fusion_content(probe=query, top_k_percent=0.5)
+            window = self._llm_window()
+            fused = pool.create_fusion_content(
+                probe=query, top_k_percent=0.5,
+                # fusion prompt budget: window - fusion completion (1000)
+                # - template/query headroom
+                max_tokens=max(256, window - 1000 - 256) if window else None,
+                token_counter=self.tokens,
+            )
             if fused and fused != NO_MEMORY_SENTINEL:
                 pool.add_fused_node(probe=query, fused_content=fused)
 
             ver_context = "\n".join(n.cue or "" for n in pool.get_temp_nodes_by_type(NodeType.VER))
             sem_context = "\n".join(n.cue or "" for n in pool.get_temp_nodes_by_type(NodeType.SEM))
             epi_context = "\n".join(n.cue or "" for n in pool.get_temp_nodes_by_type(NodeType.EPI))
-            historical = ""
-            for n in pool.get_temp_nodes_by_type(NodeType.FUSION) + pool.get_nodes_by_type(NodeType.FUSION):
-                historical += f"probe : {n.probe}\nFinding : {n.cue}\n"
+            # newest findings first, capped to the headroom the layer
+            # budgets reserve for this section (it grows every round)
+            hist_blocks = [
+                f"probe : {n.probe}\nFinding : {n.cue}\n"
+                for n in pool.get_temp_nodes_by_type(NodeType.FUSION) + pool.get_nodes_by_type(NodeType.FUSION)
+            ]
+            kept_hist = self.tokens.truncate_by_budget(hist_blocks, 768)
+            historical = "".join(kept_hist or hist_blocks[:1])
             all_steps.append(step_info)
 
         solution = QuerySolution(question=query, docs=ver_context, summary=sem_context, timeline=epi_context)
@@ -561,11 +637,25 @@ class ComoRAG:
                     pool.submit(self.meta_control_loop, i, q): i for i, q in enumerate(queries)
                 }
                 for future in as_completed(futures):
-                    q_idx, solution, _ = future.result()
+                    i = futures[future]
+                    try:
+                        q_idx, solution, _ = future.result()
+                    except Exception as e:  # noqa: BLE001 — isolate per question
+                        # one question's uncaught error (transient device
+                        # stall, poison row) must not discard every other
+                        # question's completed result after hours of QA
+                        logger.error("question %d failed: %s", i, e)
+                        q_idx = i
+                        solution = QuerySolution(question=queries[i], answer="")
                     solutions[q_idx] = solution
         finally:
             self._retrieval_front = None
             if window is not None:
                 window.close()
         trace.dump(os.path.join(self.config.output_dir, "trace.json"))
-        return [s for s in solutions if s is not None]
+        # FULL-length, positionally aligned with ``queries`` — callers zip
+        # them against golds by position (cli/run.py)
+        return [
+            s if s is not None else QuerySolution(question=q, answer="")
+            for s, q in zip(solutions, queries)
+        ]

@@ -80,6 +80,11 @@ class ComoConfig:
     max_tokens_ver: int = 3000
     max_tokens_sem: int = 1000
     max_tokens_epi: int = 1000
+    # Completion cap for meta-loop QA/probe inferences. Besides bounding
+    # the decode, it RAISES the offline engine's prompt limit (prompt
+    # limit = window - generation bucket): without it the engine reserves
+    # its full default max_new_tokens and left-truncates long QA prompts.
+    qa_max_completion_tokens: int = 512
 
     # ------------------------------------------------------------ IO / dirs
     # (reference: config_utils.py:258-298)

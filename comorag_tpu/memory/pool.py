@@ -130,7 +130,15 @@ class MemoryPool:
         return [self.pool[i] for i in order[:k]]
 
     # ---------------------------------------------------------------- fusion
-    def create_fusion_content(self, probe: str, top_k_percent: float = 0.5) -> str:
+    def create_fusion_content(
+        self, probe: str, top_k_percent: float = 0.5,
+        max_tokens: Optional[int] = None, token_counter=None,
+    ) -> str:
+        """``max_tokens`` bounds the concatenated cues (highest-similarity
+        first — the blocks are already ranked): half the pool's cues grow
+        without bound across impasse rounds and would cross the serving
+        engine's window by round 3-4, silently left-truncating the fusion
+        instruction header off the prompt."""
         if self.agent is None:
             raise ValueError("MemoryPool has no fusion agent")
         similar = self.retrieve_similar_nodes(probe, top_k_percent)
@@ -138,6 +146,9 @@ class MemoryPool:
             f"Node {i}:\nNote: {node.cue}"
             for i, node in enumerate((n for n in similar if n.cue), 1)
         ]
+        if max_tokens is not None and token_counter is not None and blocks:
+            kept = token_counter.truncate_by_budget(blocks, max_tokens)
+            blocks = kept or blocks[:1]  # never drop to zero evidence
         if not blocks:
             return NO_MEMORY_SENTINEL
         content = "\n\n".join(blocks)

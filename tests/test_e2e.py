@@ -343,6 +343,101 @@ def test_retrieval_window_coalesces_and_matches(rag):
     assert len(calls) < len(queries), f"no coalescing happened: {calls}"
 
 
+def test_impasse_sentinel_spellings():
+    """The prompt says write exactly \"*\" (quoted) — realistic sentinel
+    spellings must register as an impasse; real answers must not."""
+    from comorag_tpu.comorag import ComoRAG
+
+    for yes in ("*", '"*"', "*.", "**", ": *", " '*' "):
+        assert ComoRAG._is_impasse(yes), yes
+    for no in ("Paris", "", '"answer"', "*bold* text", ":", "a * b"):
+        assert not ComoRAG._is_impasse(no), no
+
+
+def test_empty_llm_response_retries(tmp_path):
+    """An empty LLM response (null API content, isolated batch error) must
+    consume a retry iteration, not be accepted as the final answer."""
+    from comorag_tpu.llm.base import LLMResponse
+    from comorag_tpu.llm.fake import FakeLLM
+
+    class BlankFirst(FakeLLM):
+        def __init__(self):
+            super().__init__()
+            self.blanks = 0
+
+        def infer(self, messages, **kw):
+            user = [m["content"] for m in messages if m["role"] == "user"][-1]
+            if "Question:" in user and self.blanks == 0:
+                self.blanks += 1
+                return LLMResponse(text="")
+            return super().infer(messages, **kw)
+
+    config = ComoConfig(
+        llm_name="fake", embedding_model_name="hash", embedding_dim=128,
+        save_dir=str(tmp_path / "o"), output_dir=str(tmp_path / "r"),
+    )
+    llm = BlankFirst()
+    rag = ComoRAG(config, llm=llm)
+    rag.index(CORPUS)
+    sol = rag.try_answer(["Who did Mara pull from the freezing water?"])[0]
+    assert llm.blanks == 1  # the blank response happened...
+    assert sol.answer and "### Final Answer" in sol.answer  # ...and was retried
+
+
+def test_one_question_failure_does_not_discard_the_batch(rag):
+    """A question whose meta loop raises must yield an empty-answer
+    solution in ITS slot; every other question's result survives and the
+    returned list stays positionally aligned with the queries."""
+    orig = rag.meta_control_loop
+
+    def flaky(q_idx, query):
+        if "poison" in query:
+            raise RuntimeError("boom")
+        return orig(q_idx, query)
+
+    rag.meta_control_loop = flaky
+    try:
+        sols = rag.try_answer([
+            "Who did Mara pull from the freezing water?",
+            "a poison question",
+            "What did Tomas forge in the village smithy?",
+        ])
+    finally:
+        del rag.meta_control_loop
+    assert len(sols) == 3
+    assert sols[1].question == "a poison question" and sols[1].answer == ""
+    assert sols[0].answer and "### Final Answer" in sols[0].answer
+    assert sols[2].answer and "### Final Answer" in sols[2].answer
+
+
+def test_qa_layer_budgets_scale_to_window(tmp_path):
+    """ver+sem+epi context budgets must scale under the engine window —
+    an over-window prompt is LEFT-truncated, silently cutting the system
+    prompt and the '*' protocol instructions off the front."""
+    class WindowedFake:
+        max_model_len = 2048
+
+        def infer(self, messages, **kw):
+            from comorag_tpu.llm.base import LLMResponse
+
+            return LLMResponse(text="x")
+
+    config = ComoConfig(
+        llm_name="fake", embedding_model_name="hash", embedding_dim=64,
+        save_dir=str(tmp_path / "o"), output_dir=str(tmp_path / "r"),
+    )
+    rag = ComoRAG(config, llm=WindowedFake())
+    b = rag._qa_layer_budgets()
+    assert sum(b) <= 2048 - config.qa_max_completion_tokens - 1024
+    assert b[0] > b[1] == b[2]  # proportions preserved
+    # no window -> untouched defaults
+    rag2 = ComoRAG(ComoConfig(
+        llm_name="fake", embedding_model_name="hash", embedding_dim=64,
+        save_dir=str(tmp_path / "o2"), output_dir=str(tmp_path / "r2"),
+    ))
+    assert rag2._qa_layer_budgets() == (3000, 1000, 1000)
+
+
 def test_window_group_failure_is_isolated():
     """One poison request in a merged window group must fail ONLY its own
     future — the others retry individually and succeed (pre-window, a
