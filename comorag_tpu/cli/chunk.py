@@ -18,7 +18,14 @@ from comorag_tpu.utils.jsonio import load_jsonl, save_jsonl
 def chunk_by_words(text: str, chunk_size: int, overlap: int = 0) -> List[str]:
     words = text.split()
     step = max(1, chunk_size - overlap)
-    return [" ".join(words[i : i + chunk_size]) for i in range(0, len(words), step) if words[i : i + chunk_size]]
+    out = []
+    for i in range(0, len(words), step):
+        piece = words[i : i + chunk_size]
+        if piece:
+            out.append(" ".join(piece))
+        if i + chunk_size >= len(words):
+            break  # a further window would be a strict subset of this one
+    return out
 
 
 def chunk_by_sentences(text: str, chunk_size: int) -> List[str]:
@@ -45,6 +52,8 @@ def chunk_by_tokens(text: str, chunk_size: int, tokenizer, overlap: int = 0) -> 
         piece = ids[i : i + chunk_size]
         if piece:
             out.append(tokenizer.decode(piece))
+        if i + chunk_size >= len(ids):
+            break  # a further window would be a strict subset of this one
     return out
 
 
@@ -94,7 +103,15 @@ def make_chunker(method: str, chunk_size: int, tokenizer_path: Optional[str], ov
         return lambda text: chunk_by_sentences(text, chunk_size)
     if method == "recursive":
         return lambda text: chunk_recursive(text, chunk_size)
-    # "word" and tokenizer-less "token" both fall back to words
+    if method == "token":
+        # loud, not silent: 512 WORDS is ~30-40% more tokens per chunk
+        # than the reference's 512-token chunks — boundaries, index size,
+        # and retrieval results all differ from the protocol
+        print(
+            "WARNING: --chunk_by token without --tokenizer_name_or_path "
+            "falls back to WORD chunking; pass a tokenizer to reproduce "
+            "the reference's token-boundary chunks."
+        )
     return lambda text: chunk_by_words(text, chunk_size, overlap)
 
 
@@ -115,7 +132,15 @@ def main() -> None:
     chunk_id = 0
     for doc in documents:
         contents = doc["contents"]
-        for piece in chunker(contents):
+        # the reference strips the 'Title,' prefix before chunking
+        # (chunk_doc_corpus.py:62 `title, text = contents.split(',', 1)`)
+        # — chunking it in would shift every boundary by the title length
+        # and embed the title into the first chunk. Unlike the reference
+        # (which crashes), comma-less contents chunk whole.
+        _, _, body = contents.partition(",")
+        if not body:
+            body = contents
+        for piece in chunker(body):
             chunked.append(
                 {"id": chunk_id, "doc_id": doc.get("id"), "title": piece[:30], "contents": piece}
             )

@@ -82,7 +82,10 @@ def process_dataset(dataset_path: str, config: ComoConfig, mesh=None, retrieval_
                 }
             )
         os.makedirs(config.output_dir, exist_ok=True)
-        with open(os.path.join(config.output_dir, "retrieval_results.json"), "w", encoding="utf-8") as f:
+        # NOT named *results*.json: the eval CLI's merge glob would sweep
+        # it up, and rows without an answer field score 0.0 — silently
+        # halving EM/F1 of a later full-QA run in the same tree
+        with open(os.path.join(config.output_dir, "retrieval_output.json"), "w", encoding="utf-8") as f:
             json.dump(results, f, ensure_ascii=False, indent=2)
         summary = {f"gold_containment@{k}": round(v / max(len(queries), 1), 4) for k, v in hits_at.items()}
         with open(os.path.join(config.output_dir, "retrieval_summary.json"), "w", encoding="utf-8") as f:

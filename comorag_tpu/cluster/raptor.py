@@ -114,6 +114,9 @@ class SemanticTree:
         from comorag_tpu.utils.text import TokenCounter
 
         self.tokens = token_counter or TokenCounter()
+        # count of cluster summaries whose LLM call errored across build();
+        # callers key their staleness meta on it (>0 -> rebuild next run)
+        self.failed_summaries = 0
 
     def _encode(self, texts: Sequence[str]) -> np.ndarray:
         out = []
@@ -135,6 +138,16 @@ class SemanticTree:
             combined = "".join(f"{' '.join(t.splitlines())}\n\n" for t in kept)
             contexts.append(combined)
         summaries = self.summarizer.batch_summarize(contexts)
+        dropped = sum(1 for s in summaries if not s)
+        if dropped:
+            # surfaced so the caller's staleness meta can force a rebuild:
+            # silently thinning the tree and then validating it forever
+            # turns a transient LLM outage into a permanent capability loss
+            self.failed_summaries += dropped
+            logger.warning(
+                "Semantic tree: %d/%d cluster summaries failed at this level",
+                dropped, len(contexts),
+            )
         return [s for s in summaries if s]
 
     def build(

@@ -130,11 +130,15 @@ class ComoRAG:
     def index(self, docs: Sequence[str]) -> None:
         cfg = self.config
         logger.info("Indexing %d documents", len(docs))
+        pre_openie_results = None
         if cfg.openie_mode == "offline":
             # run the OpenIE pre-pass first so the graph stage below is a
             # pure cache read — same two-phase artifact flow as the
-            # reference, minus the deliberate halt.
-            self.pre_openie(list(docs))
+            # reference, minus the deliberate halt. The results are reused
+            # in-memory below: with save_openie=False nothing is persisted,
+            # and a second _run_openie would pay the whole extraction again.
+            self.ver_store.insert_strings(list(docs))
+            pre_openie_results = self._run_openie()
         with trace.span("index.embed_chunks"):
             self.ver_store.insert_strings(list(docs))
 
@@ -145,7 +149,9 @@ class ComoRAG:
                 self._build_semantic_tree()
 
         with trace.span("index.openie"):
-            ner_results, triple_results = self._run_openie()
+            ner_results, triple_results = (
+                pre_openie_results if pre_openie_results is not None else self._run_openie()
+            )
         with trace.span("index.fact_prep"):
             chunk_ids = self.ver_store.get_all_ids()
             chunk_triples = [
@@ -186,16 +192,22 @@ class ComoRAG:
         meta_path = os.path.join(self.config.working_dir, "semantic_tree_meta.json")
         n_chunks = len(self.ver_store)
         if len(self.sem_store):
-            built_over = -1
+            built_over, meta = -1, {}
             try:
                 with open(meta_path, encoding="utf-8") as f:
                     meta = json.load(f)
                 built_over = meta.get("n_chunks", -1) if isinstance(meta, dict) else -1
             except (OSError, json.JSONDecodeError):
                 built_over = -1  # absent/corrupt meta just means "rebuild"
-            if built_over == n_chunks:
+            failed_before = meta.get("failed_summaries", 0) if isinstance(meta, dict) else 0
+            if built_over == n_chunks and not failed_before:
                 logger.info("Semantic tree already built (%d summaries)", len(self.sem_store))
                 return
+            if built_over == n_chunks and failed_before:
+                logger.info(
+                    "Semantic tree had %d failed cluster summaries — rebuilding "
+                    "(the LLM cache keeps the successful ones cheap)", failed_before,
+                )
             logger.info(
                 "Semantic tree stale (built over %d chunks, now %d) — rebuilding", built_over, n_chunks
             )
@@ -238,7 +250,7 @@ class ComoRAG:
                 f.write(final_summary[0])
         tmp_meta = meta_path + ".tmp"
         with open(tmp_meta, "w", encoding="utf-8") as f:
-            json.dump({"n_chunks": n_chunks}, f)
+            json.dump({"n_chunks": n_chunks, "failed_summaries": tree.failed_summaries}, f)
         os.replace(tmp_meta, meta_path)  # atomic: no torn meta on crash
 
     def _run_openie(self) -> Tuple[Dict[str, List[str]], Dict[str, List[List[str]]]]:
@@ -256,6 +268,23 @@ class ComoRAG:
 
         if to_process:
             ner_new, triple_new = self.openie.batch_openie(to_process)
+            # chunks whose LLM call ERRORED (vs legitimately extracting
+            # nothing) must not be persisted: the resume path would treat
+            # their empty extractions as done and a transient API outage
+            # would permanently strip them of entities/facts/graph edges
+            failed = {
+                cid for cid in to_process
+                if "error" in ner_new[cid].metadata
+                or ner_new[cid].metadata.get("finish_reason") == "error"
+                or "error" in triple_new[cid].metadata
+                or triple_new[cid].metadata.get("finish_reason") == "error"
+            }
+            if failed:
+                logger.warning(
+                    "OpenIE: %d/%d chunks errored — proceeding without them "
+                    "this run; they stay un-persisted and RETRY next index()",
+                    len(failed), len(to_process),
+                )
             for cid, text in to_process.items():
                 existing_docs.append(
                     {
@@ -267,8 +296,9 @@ class ComoRAG:
                 )
             if self.config.save_openie:
                 os.makedirs(os.path.dirname(self.openie_results_path) or ".", exist_ok=True)
+                persist = [d for d in existing_docs if d["idx"] not in failed]
                 with open(self.openie_results_path, "w", encoding="utf-8") as f:
-                    json.dump({"docs": existing_docs}, f)
+                    json.dump({"docs": persist}, f)
 
         ner_results = {d["idx"]: list(dict.fromkeys(d["extracted_entities"])) for d in existing_docs}
         triple_results = {d["idx"]: d["extracted_triples"] for d in existing_docs}

@@ -68,9 +68,23 @@ def f1_scores(
     return {"F1": avg}, per_example
 
 
+# The eval's OWN artifacts match the broad '*results*' merge glob; merging
+# them back duplicates every example on rerun (and the answer_extraction
+# rows score 0.0), silently dragging EM/F1 down run after run. The
+# reference shares the glob AND the corruption; we exclude by filename.
+_EVAL_ARTIFACTS = {
+    "merged_results.json",
+    "detailed_evaluation_results.json",
+    "answer_extraction_results.json",
+    "evaluation_summary.json",
+}
+
+
 def find_and_merge_results(root_path: str) -> List[dict]:
     merged: List[dict] = []
     for path in glob.glob(os.path.join(root_path, "**/*results*.json"), recursive=True):
+        if os.path.basename(path) in _EVAL_ARTIFACTS:
+            continue
         try:
             with open(path, encoding="utf-8") as f:
                 data = json.load(f)
@@ -83,8 +97,15 @@ def find_and_merge_results(root_path: str) -> List[dict]:
 
 def extract_answers(results: Sequence[dict]) -> Tuple[List[List[str]], List[str]]:
     golds, preds = [], []
+    import logging
+
+    logger = logging.getLogger(__name__)
+    missing_pred = missing_gold = 0
     for item in results:
-        golds.append(item.get("golden_answers", item.get("gold_answers", [])))
+        gold = item.get("golden_answers", item.get("gold_answers", []))
+        if not gold:
+            missing_gold += 1
+        golds.append(gold)
         if "output" in item:
             preds.append(extract_final_answer(item["output"]))
         elif "prediction" in item:
@@ -92,7 +113,16 @@ def extract_answers(results: Sequence[dict]) -> Tuple[List[List[str]], List[str]
         elif "answer" in item:
             preds.append(item["answer"])
         else:
+            # e.g. retrieval-only artifacts swept up by the merge glob —
+            # they score 0.0 and silently poison the averages
+            missing_pred += 1
             preds.append("")
+    if missing_pred or missing_gold:
+        logger.warning(
+            "eval: %d items missing a prediction field and %d missing gold "
+            "answers (scored 0.0) — check for stray *results*.json files "
+            "in the merge tree", missing_pred, missing_gold,
+        )
     return golds, preds
 
 

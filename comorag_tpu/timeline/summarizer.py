@@ -93,11 +93,17 @@ class TimelineSummarizer:
             results = self.summarizer.batch_summarize(contexts)
             for (i, _), s in zip(to_summarize, results):
                 summaries[i] = s
+        failed = sum(1 for s in summaries if not s)
+        if failed:
+            logger.warning(
+                "Timeline: %d/%d window summaries failed — recorded in the "
+                "meta; the next build retries them", failed, len(windows),
+            )
         summaries = [s for s in summaries if s]
         store = self.level_store(0)
         store.clear()  # regeneration replaces any stale windows wholesale
         store.insert_strings(summaries)
-        self._write_meta()
+        self._write_meta(failed_windows=failed)
         return summaries
 
     def expected_summaries(self, total_chunks: int) -> int:
@@ -108,11 +114,12 @@ class TimelineSummarizer:
     def _meta_path(self) -> str:
         return os.path.join(self.directory, "timeline_meta.json")
 
-    def _write_meta(self) -> None:
+    def _write_meta(self, failed_windows: int = 0) -> None:
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(
-                {"n_chunks": len(self.chunk_store), "window_size": self.window_size}, f
+                {"n_chunks": len(self.chunk_store), "window_size": self.window_size,
+                 "failed_windows": failed_windows}, f
             )
         os.replace(tmp, self._meta_path)  # atomic: no torn meta on crash
 
@@ -137,6 +144,10 @@ class TimelineSummarizer:
             ok = (
                 meta.get("n_chunks") == len(self.chunk_store)
                 and meta.get("window_size") == self.window_size
+                # a build with errored windows must NOT validate forever —
+                # regenerate so the failed summaries retry (the LLM cache
+                # makes the successful ones cheap to redo)
+                and not meta.get("failed_windows", 0)
             )
             if not ok:
                 logger.info(

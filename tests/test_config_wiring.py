@@ -304,6 +304,8 @@ def test_summary_budget_clamps_to_engine_window(tmp_path):
     import comorag_tpu.comorag as comorag_mod
 
     class SpyTree:
+        failed_summaries = 0
+
         def __init__(self, *a, **kw):
             captured.update(kw)
 

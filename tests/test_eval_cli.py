@@ -10,7 +10,7 @@ from comorag_tpu.eval.qa_eval import (
     extract_final_answer,
     f1_scores,
 )
-from comorag_tpu.utils.jsonio import save_jsonl
+from comorag_tpu.utils.jsonio import load_jsonl, save_jsonl
 
 
 def test_extract_final_answer():
@@ -88,3 +88,51 @@ def test_dataset_run_and_eval(tmp_path):
     assert "ExactMatch" in pooled and "F1" in pooled
     assert pooled["F1"] > 0  # the overlap FakeLLM should get compass/Wren
     assert os.path.exists(os.path.join(config.output_dir, "evaluation_results", "evaluation_summary.json"))
+
+    # rerunning the eval over the same tree must be IDEMPOTENT: the merge
+    # glob used to sweep the eval's own artifacts back in, duplicating
+    # every example and dragging EM/F1 down run after run (reproduced:
+    # 0.5 -> 0.375 -> 0.269 over three identical runs)
+    again = evaluate_directory(config.output_dir)
+    assert again == pooled
+    third = evaluate_directory(config.output_dir)
+    assert third == pooled
+
+
+def test_chunker_no_trailing_subset_windows():
+    """Overlapped sliding windows must stop at the end — a final window
+    fully contained in the previous one inflates the corpus with
+    redundant near-duplicate rows."""
+    text = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    chunks = chunk_by_words(text, 8, overlap=4)
+    assert chunks == ["w0 w1 w2 w3 w4 w5 w6 w7", "w4 w5 w6 w7 w8 w9"]
+    # exact multiple: no empty or duplicate tail either
+    assert chunk_by_words("a b c d", 2, overlap=1) == ["a b", "b c", "c d"]
+
+
+def test_chunk_cli_strips_title_prefix(tmp_path):
+    """The reference chunks only the text AFTER the 'Title,' prefix
+    (chunk_doc_corpus.py:62) — chunking it in shifts every boundary."""
+    from comorag_tpu.cli.chunk import main as chunk_main
+    import sys
+
+    docs = [
+        {"id": 0, "contents": "Moon Lantern,once upon a time the lantern rose over the bay"},
+        {"id": 1, "contents": "no comma at all just words"},
+    ]
+    save_jsonl(docs, str(tmp_path / "corpus.jsonl"))
+    argv = sys.argv
+    sys.argv = [
+        "chunk", "--input_path", str(tmp_path / "corpus.jsonl"),
+        "--output_path", str(tmp_path / "chunks.jsonl"),
+        "--chunk_by", "word", "--chunk_size", "6",
+    ]
+    try:
+        chunk_main()
+    finally:
+        sys.argv = argv
+    rows = load_jsonl(str(tmp_path / "chunks.jsonl"))
+    assert rows[0]["contents"].startswith("once upon")  # title stripped
+    assert all("Moon Lantern" not in r["contents"] for r in rows if r["doc_id"] == 0)
+    # comma-less contents chunk whole (the reference crashes here)
+    assert any(r["contents"].startswith("no comma") for r in rows if r["doc_id"] == 1)
