@@ -449,7 +449,15 @@ class PPRGraph:
         assert n == self.n_nodes
         resets = np.where(np.isnan(resets) | (resets < 0), 0.0, resets)
         sums = resets.sum(axis=1, keepdims=True)
-        sums[sums == 0] = 1.0
+        if (sums == 0).any():
+            # PRPACK rejects a zero reset vector; scoring one would return
+            # all-zero PPR that a top-k caller turns into a FABRICATED
+            # ranking (positions 0..k-1). Fail loudly instead.
+            raise ValueError(
+                f"PPR reset rows {np.nonzero(sums[:, 0] == 0)[0].tolist()} are "
+                "all-zero after sanitization (no seeds, no prior) — a zero "
+                "reset has no stationary distribution to rank by"
+            )
         resets = resets / sums
 
         # Measured crossover (scripts/bench_ppr_crossover.py on the real

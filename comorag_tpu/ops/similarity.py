@@ -24,8 +24,13 @@ def min_max_normalize(scores: jnp.ndarray, valid_mask=None) -> jnp.ndarray:
         lo = jnp.min(jnp.where(valid_mask, scores, big), axis=-1, keepdims=True)
         hi = jnp.max(jnp.where(valid_mask, scores, -big), axis=-1, keepdims=True)
     span = hi - lo
-    normalized = (scores - lo) / jnp.where(span == 0, 1.0, span)
-    return jnp.where(span == 0, jnp.ones_like(scores), normalized)
+    # span <= 0 covers the all-equal row (== 0, the documented all-ones
+    # contract) AND an all-invalid masked row (lo=+max, hi=-max -> span
+    # massively negative), which would otherwise skip the contract and
+    # emit ~0.5 garbage instead of ones
+    degenerate = span <= 0
+    normalized = (scores - lo) / jnp.where(degenerate, 1.0, span)
+    return jnp.where(degenerate, jnp.ones_like(scores), normalized)
 
 
 def min_max_normalize_np(scores: np.ndarray) -> np.ndarray:

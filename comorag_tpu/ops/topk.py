@@ -88,6 +88,20 @@ def _pack(scores: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([score_bits, idx.astype(jnp.int32)], axis=1)
 
 
+
+def _int8_scan_dot(queries: jnp.ndarray, corpus_q: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    """The ONE int8 scan numerics shared by every path (single-device,
+    sharded, two-pass, stats): int8 rows upcast to bf16 on the fly (exact
+    — |q| <= 127 fits bf16's mantissa; HBM reads stay 1 byte/element),
+    fp32-accumulated MXU dot, per-row scales folded into the columns.
+    A precision/scaling tweak applied here reaches all consumers at once."""
+    s = jnp.dot(
+        queries.astype(jnp.bfloat16),
+        corpus_q.T.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return s * scales[None, :]
+
 def make_packed_topk(k: int, exact: bool = True):
     """Jitted single-device top-k returning one packed [P, 2k] buffer."""
 
@@ -126,12 +140,7 @@ def int8_topk(
     # mantissa) and fuses into the dot's operand read, so HBM traffic
     # stays 1 byte/element and the MXU runs single-pass bf16 — the same
     # scan numerics as the Pallas int8 kernel and the sharded path.
-    scores = jnp.dot(
-        queries.astype(jnp.bfloat16),
-        corpus_q.T.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
-    scores = scores * scales[None, :]
+    scores = _int8_scan_dot(queries, corpus_q, scales)
     scores = _mask_padded(scores, n_valid)
     return _select_topk(scores, k, exact)
 
@@ -140,12 +149,7 @@ def int8_topk(
 def int8_scores(queries: jnp.ndarray, corpus_q: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     """Full [P, N] score matrix over a quantized corpus (bf16 MXU dot —
     same numerics as int8_topk and the sharded int8 path)."""
-    scores = jnp.dot(
-        queries.astype(jnp.bfloat16),
-        corpus_q.T.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
-    return scores * scales[None, :]
+    return _int8_scan_dot(queries, corpus_q, scales)
 
 
 def make_packed_topk_min(k: int, int8: bool = False):
@@ -237,14 +241,9 @@ def make_packed_two_pass_topk(k: int, candidates: int, scan: str = "int8"):
     @jax.jit
     def fn_int8(queries, corpus_q, scales, corpus_f32, n_valid):
         c = min(candidates, corpus_q.shape[0])
-        s = jnp.dot(
-            queries.astype(jnp.bfloat16),
-            corpus_q.T.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
-        s = s * scales[None, :]
+        s = _int8_scan_dot(queries, corpus_q, scales)
         s = _mask_padded(s, n_valid)
-        _, cand = jax.lax.top_k(s, c)
+        sv, cand = jax.lax.top_k(s, c)
         rows = jnp.take(corpus_f32, cand, axis=0)  # [P, C, d] fp32
         exact = jnp.einsum(
             "pd,pcd->pc",
@@ -253,10 +252,12 @@ def make_packed_two_pass_topk(k: int, candidates: int, scan: str = "int8"):
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        exact = jnp.where(cand < n_valid, exact, NEG_INF)
-        s2, pos = jax.lax.top_k(exact, min(k, c))
+        exact_m = jnp.where(cand < n_valid, exact, NEG_INF)
+        k_local = min(k, c)
+        s2, pos = jax.lax.top_k(exact_m, k_local)
         idx = jnp.take_along_axis(cand, pos, axis=1)
-        return _pack(s2, idx)
+        flag = _exactness_flag(sv, exact, s2[:, k_local - 1], cand, n_valid, c)
+        return _pack_flagged(s2, idx, flag)
 
     @jax.jit
     def fn_bf16(queries, corpus_bf16, corpus_f32, n_valid):
@@ -267,7 +268,7 @@ def make_packed_two_pass_topk(k: int, candidates: int, scan: str = "int8"):
             preferred_element_type=jnp.float32,
         )
         s = _mask_padded(s, n_valid)
-        _, cand = jax.lax.top_k(s, c)
+        sv, cand = jax.lax.top_k(s, c)
         rows = jnp.take(corpus_f32, cand, axis=0)
         exact = jnp.einsum(
             "pd,pcd->pc",
@@ -276,12 +277,48 @@ def make_packed_two_pass_topk(k: int, candidates: int, scan: str = "int8"):
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        exact = jnp.where(cand < n_valid, exact, NEG_INF)
-        s2, pos = jax.lax.top_k(exact, min(k, c))
+        exact_m = jnp.where(cand < n_valid, exact, NEG_INF)
+        k_local = min(k, c)
+        s2, pos = jax.lax.top_k(exact_m, k_local)
         idx = jnp.take_along_axis(cand, pos, axis=1)
-        return _pack(s2, idx)
+        flag = _exactness_flag(sv, exact, s2[:, k_local - 1], cand, n_valid, c)
+        return _pack_flagged(s2, idx, flag)
 
     return fn_int8 if scan == "int8" else fn_bf16
+
+
+def _exactness_flag(
+    scan_vals: jnp.ndarray,   # [P, c] scan scores of the pool, desc
+    exact: jnp.ndarray,       # [P, c] fp32 rescores, SAME candidate order
+    rescored_k: jnp.ndarray,  # [P] the k-th best rescored value
+    cand: jnp.ndarray,        # [P, c] candidate row ids
+    n_valid,
+    c: int,
+) -> jnp.ndarray:
+    """[P] int32: 1 when this row's two-pass result is not certifiably
+    exact. A row OUTSIDE the pool scores at most (scan boundary value +
+    scan error); the pool's own observed |rescore - scan| errors estimate
+    that error, so the certificate is
+
+        rescored_k >= scan_vals[:, c-1] + max_pool_error.
+
+    Near-duplicate/boilerplate chunks (which quantize onto each other and
+    tie the scan at the boundary — the one reproduced inexactness class)
+    fail it and fall back to fp32; well-separated corpora pass with slack
+    (measured at 100k x 1024: min slack +5e-4, no false positives). The
+    pool max is an estimate of the corpus-wide error, not a proof — the
+    bench additionally verifies overlap == 1.0 on every run. When every
+    valid row fits the pool there is nothing outside it — never flagged."""
+    valid = cand < n_valid
+    err_max = jnp.max(jnp.where(valid, jnp.abs(exact - scan_vals), 0.0), axis=1)
+    ambiguous = rescored_k - scan_vals[:, c - 1] <= err_max
+    full_cover = c >= n_valid
+    return jnp.where(jnp.logical_and(ambiguous, ~full_cover), 1, 0).astype(jnp.int32)
+
+
+def _pack_flagged(scores: jnp.ndarray, idx: jnp.ndarray, flag: jnp.ndarray) -> jnp.ndarray:
+    """_pack plus a trailing per-row int32 flag column: [P, 2k + 1]."""
+    return jnp.concatenate([_pack(scores, idx), flag[:, None]], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -345,12 +382,7 @@ def make_sharded_topk(
                 )
         else:
             if int8:
-                scores = jnp.dot(
-                    queries.astype(jnp.bfloat16),
-                    corpus_shard.T.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                )
-                scores = scores * scales_shard[None, :]
+                scores = _int8_scan_dot(queries, corpus_shard, scales_shard)
             else:
                 scores = _score_dot(queries, corpus_shard.T)
             scores = _mask_padded(scores, n_valid, offset=offset)
@@ -428,12 +460,7 @@ def make_sharded_two_pass_topk(
         offset = my_shard * shard_rows
         c = min(candidates, shard_rows)
         if scan == "int8":
-            s = jnp.dot(
-                queries.astype(jnp.bfloat16),
-                scan_shard.T.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
-            s = s * scales_shard[None, :]
+            s = _int8_scan_dot(queries, scan_shard, scales_shard)
         else:
             s = jnp.dot(
                 queries.astype(jnp.bfloat16),
@@ -441,7 +468,7 @@ def make_sharded_two_pass_topk(
                 preferred_element_type=jnp.float32,
             )
         s = _mask_padded(s, n_valid, offset=offset)
-        _, cand = jax.lax.top_k(s, c)  # local row ids within the shard
+        sv, cand = jax.lax.top_k(s, c)  # local row ids within the shard
         rows = jnp.take(f32_shard, cand, axis=0)  # [P, C, d] fp32, local
         exact = jnp.einsum(
             "pd,pcd->pc",
@@ -450,15 +477,23 @@ def make_sharded_two_pass_topk(
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        exact = jnp.where(cand + offset < n_valid, exact, NEG_INF)
+        exact_m = jnp.where(cand + offset < n_valid, exact, NEG_INF)
         local_k = min(k, c)
-        local_scores, pos = jax.lax.top_k(exact, local_k)
+        local_scores, pos = jax.lax.top_k(exact_m, local_k)
         local_idx = jnp.take_along_axis(cand, pos, axis=1) + offset
+        # shard-local exactness certificate (see _exactness_flag); the
+        # shard's valid-row count bounds full coverage, and any shard's
+        # ambiguity poisons the merged result -> max across the axis
+        local_valid = jnp.clip(n_valid - offset, 0, shard_rows)
+        flag = _exactness_flag(
+            sv, exact, local_scores[:, local_k - 1], cand, local_valid, c
+        )
+        flag = jax.lax.pmax(flag, axis)
         all_scores = jax.lax.all_gather(local_scores, axis, axis=1, tiled=True)
         all_idx = jax.lax.all_gather(local_idx, axis, axis=1, tiled=True)
         merged_scores, merged_pos = jax.lax.top_k(all_scores, min(k, all_scores.shape[1]))
         merged_idx = jnp.take_along_axis(all_idx, merged_pos, axis=1)
-        return _pack(merged_scores, merged_idx)
+        return _pack_flagged(merged_scores, merged_idx, flag)
 
     if scan == "int8":
         sharded = shard_map(
@@ -498,12 +533,7 @@ def make_sharded_topk_min(mesh: Mesh, k: int, axis: str = "corpus", int8: bool =
         my_shard = jax.lax.axis_index(axis)
         offset = my_shard * shard_rows
         if int8:
-            s = jnp.dot(
-                queries.astype(jnp.bfloat16),
-                corpus_shard.T.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
-            s = s * scales_shard[None, :]
+            s = _int8_scan_dot(queries, corpus_shard, scales_shard)
         else:
             s = _score_dot(queries, corpus_shard.T)
         col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1) + offset
@@ -552,12 +582,7 @@ def make_sharded_scores(mesh: Mesh, axis: str = "corpus", int8: bool = False):
 
     if int8:
         def _local_q(queries, corpus_shard, scales_shard):
-            s = jnp.dot(
-                queries.astype(jnp.bfloat16),
-                corpus_shard.T.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
-            return s * scales_shard[None, :]
+            return _int8_scan_dot(queries, corpus_shard, scales_shard)
 
         sharded = shard_map(
             _local_q,

@@ -92,6 +92,36 @@ class TopkHandle:
         return scores, idx
 
 
+class TwoPassHandle:
+    """In-flight two-pass top-k ([P, 2k+1] packed: scores, idx, exactness
+    flag). When scan-score ties crossed the candidate-pool boundary for
+    any row (identical/boilerplate chunks quantizing to the same vector —
+    the one case where the two-pass result is NOT provably exact),
+    ``result()`` transparently re-runs the single-pass fp32 path instead
+    of returning a possibly-inexact ranking."""
+
+    def __init__(self, packed: jax.Array, p: int, k: int, fallback):
+        self._packed = packed
+        self._p = p
+        self._k = k
+        self._fallback = fallback
+        _start_host_copy(packed)
+
+    def result(self) -> Tuple[np.ndarray, np.ndarray]:
+        packed = np.asarray(self._packed)
+        k_pad = (packed.shape[1] - 1) // 2
+        flags = packed[: self._p, -1]
+        if flags.any():
+            logger.info(
+                "two-pass: scan ties crossed the candidate boundary for "
+                "%d/%d rows — exact fp32 fallback", int((flags != 0).sum()), self._p,
+            )
+            return self._fallback().result()
+        scores = packed[:, :k_pad].view(np.float32)[: self._p, : self._k]
+        idx = packed[: self._p, k_pad : k_pad + self._k].astype(np.int64)
+        return scores, idx
+
+
 class TopkMinHandle:
     """In-flight top-k + row-min query ([P, 2k+1] packed buffer): the
     fact-linking fetch (candidates + min-max stats) in ONE transfer."""
@@ -136,9 +166,9 @@ class MipsIndex:
         # BENCH_r02 detail) — once the corpus is big enough that the scan
         # actually saves bytes (tiny corpora would just rescore everything).
         self._scan_auto = scan_dtype == "auto"
-        if scan_dtype == "auto":
-            scan_dtype = "int8" if (dtype == "float32" and method != "pallas" and self.n >= 1024) else None
-        self.scan_dtype = scan_dtype if (scan_dtype and dtype == "float32") else None
+        # "auto" is resolved AFTER the effective method is known (below):
+        # a pallas request downgraded to XLA must still get the two-pass
+        self._scan_request = scan_dtype
         self.scan_candidates = scan_candidates
 
         # a mesh without this index's axis (e.g. a pure data-parallel
@@ -196,6 +226,13 @@ class MipsIndex:
         # 1/4 or 1/2 the bytes while results stay exact after the fp32
         # rescore. Under a mesh both copies shard row-wise and the rescore
         # gather stays shard-local (make_sharded_two_pass_topk).
+        scan_dtype = self._scan_request
+        if scan_dtype == "auto":
+            # resolved against the EFFECTIVE self.method, not the request
+            scan_dtype = (
+                "int8" if (dtype == "float32" and self.method != "pallas" and self.n >= 1024) else None
+            )
+        self.scan_dtype = scan_dtype if (scan_dtype and dtype == "float32") else None
         if self.scan_dtype and (self.method == "pallas" or self.dtype != jnp.float32):
             logger.warning("scan_dtype=%s needs the fp32 XLA path; disabled", self.scan_dtype)
             self.scan_dtype = None
@@ -242,7 +279,8 @@ class MipsIndex:
         return jnp.asarray(q_pad.astype(self.dtype) if self.dtype == jnp.bfloat16 else q_pad), p
 
     def topk_async(
-        self, queries: np.ndarray, k: int, exact: bool = True, _prepped=None
+        self, queries: np.ndarray, k: int, exact: bool = True, _prepped=None,
+        _force_fp32: bool = False,
     ) -> TopkHandle:
         """Launch top-k and start the host copy; returns a TopkHandle.
         ``queries`` may be [d] or [P, d]. k is clipped to N."""
@@ -262,7 +300,11 @@ class MipsIndex:
         # single-pass exact path instead of a worse two-pass.
         c_cap = self.n_pad // self.n_shards if self.mesh is not None else self.n_pad
         c = min(max(self.scan_candidates or 0, _round_up(k_pad + 8, 8), 64), c_cap)
-        use_scan = bool(self.scan_dtype) and not (self._scan_auto and c > 256)
+        use_scan = bool(self.scan_dtype) and not (self._scan_auto and c > 256) and not _force_fp32
+        # lazy fp32 re-run for the rare flagged batch (scan-tie fallback)
+        tp_fallback = lambda: self.topk_async(  # noqa: E731
+            queries, k, exact, _prepped=(q_dev, p), _force_fp32=True
+        )
 
         if self.mesh is not None and use_scan:
             # sharded exact two-pass: the candidate margin applies PER
@@ -279,6 +321,7 @@ class MipsIndex:
                 packed = fn(q_dev, self.scan_corpus, self.scan_scales, self.corpus, self.n_valid)
             else:
                 packed = fn(q_dev, self.scan_corpus, self.corpus, self.n_valid)
+            return TwoPassHandle(packed, p, k_eff, tp_fallback)
         elif self.mesh is not None:
             key = (k_pad, exact, self.method, self.int8)
             fn = self._sharded_topk_cache.get(key)
@@ -320,6 +363,7 @@ class MipsIndex:
                 packed = fn(q_dev, self.scan_corpus, self.scan_scales, self.corpus, self.n_valid)
             else:
                 packed = fn(q_dev, self.scan_corpus, self.corpus, self.n_valid)
+            return TwoPassHandle(packed, p, k_eff, tp_fallback)
         elif self.int8:
             fn = self._packed_topk_cache.get(("int8", k_pad, exact))
             if fn is None:
@@ -389,6 +433,11 @@ class MipsIndex:
         from comorag_tpu.ops.topk import make_packed_topk_min
 
         q_dev, p = self._prep_queries(queries)
+        if self.n == 0:
+            # same empty-index guard as topk_async: without it the packed
+            # buffer's masked min comes back +inf and downstream min-max
+            # normalization produces NaN
+            return _EmptyMinHandle(p)
         k_eff = min(k, self.n)
         if self.mesh is not None:
             key = ("topk_min", k_eff, self.int8)
@@ -538,3 +587,15 @@ class _EmptyHandle(TopkHandle):
 
     def result(self) -> Tuple[np.ndarray, np.ndarray]:
         return np.zeros((self._p, 0), np.float32), np.zeros((self._p, 0), np.int64)
+
+
+class _EmptyMinHandle(TopkMinHandle):
+    def __init__(self, p: int):  # noqa: super-init-not-called
+        self._p = p
+
+    def result(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        return (
+            np.zeros((self._p, 0), np.float32),
+            np.zeros((self._p, 0), np.int64),
+            np.zeros(self._p, np.float32),
+        )

@@ -78,8 +78,11 @@ sc_g = jax.make_array_from_callback(
 )
 fn2 = make_sharded_two_pass_topk(mesh, k=k, candidates=64)
 packed = np.asarray(fn2(queries_g, cq_g, sc_g, docs_g, N).addressable_data(0))
+# layout: [P, 2k+1] — k score bits, k idx, 1 exactness flag (scan-tie
+# certificate; random Gaussian corpora must never trip it)
 tp_scores = packed[:, :k].view(np.float32)
-tp_idx = packed[:, k:]
+tp_idx = packed[:, k : 2 * k]
+assert packed[:, -1].max() == 0, "exactness flag tripped on a separated corpus"
 for q in range(nq):
     assert set(tp_idx[q].tolist()) == set(np.argsort(-oracle[q])[:k].tolist())
     np.testing.assert_allclose(tp_scores[q], np.sort(oracle[q])[::-1][:k], rtol=1e-5)

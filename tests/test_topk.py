@@ -287,3 +287,103 @@ def test_scores_stats_matches_dense(tmp_path_factory):
         np.testing.assert_allclose(row_min, dense.min(axis=1), rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(row_sum, dense.sum(axis=1), rtol=2e-4, atol=2e-3)
         np.testing.assert_allclose(h.result(), dense, rtol=1e-5, atol=1e-5)
+
+
+def _near_duplicate_corpus(n=300, d=64, seed=5):
+    """Rows differing only BELOW the int8 quantization step: they all
+    quantize to identical int8 vectors + scales, so the scan scores tie
+    exactly and lax.top_k's lowest-index tie-break used to hide the true
+    fp32 winners past the candidate pool."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal(d).astype(np.float32)
+    base /= np.linalg.norm(base)
+    step = np.abs(base).max() / 127.0
+    corpus = base[None, :] + rng.uniform(-step / 8, step / 8, (n, d)).astype(np.float32)
+    return corpus.astype(np.float32)
+
+
+@pytest.mark.parametrize("scan", ["int8", "bfloat16"])
+def test_two_pass_exact_under_scan_ties(scan):
+    """Massive scan-score ties crossing the candidate boundary must not
+    break the exactness claim: the tie flag triggers the fp32 fallback."""
+    corpus = _near_duplicate_corpus()
+    rng = np.random.default_rng(11)
+    queries = rng.standard_normal((4, corpus.shape[1])).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    exact = MipsIndex(corpus, scan_dtype=None)
+    two_pass = MipsIndex(corpus, scan_dtype=scan)
+    assert two_pass.scan_dtype is not None
+    ve, ie = exact.topk(queries, 5)
+    vt, it = two_pass.topk(queries, 5)
+    np.testing.assert_array_equal(ie, it)
+    np.testing.assert_allclose(ve, vt, rtol=1e-6)
+
+
+def test_sharded_two_pass_exact_under_scan_ties(cpu_mesh):
+    corpus = _near_duplicate_corpus(n=4096)
+    rng = np.random.default_rng(12)
+    queries = rng.standard_normal((3, corpus.shape[1])).astype(np.float32)
+
+    exact = MipsIndex(corpus, mesh=cpu_mesh, scan_dtype=None)
+    two_pass = MipsIndex(corpus, mesh=cpu_mesh, scan_dtype="int8")
+    assert two_pass.mesh is not None and two_pass.scan_dtype == "int8"
+    ve, ie = exact.topk(queries, 5)
+    vt, it = two_pass.topk(queries, 5)
+    np.testing.assert_array_equal(ie, it)
+    np.testing.assert_allclose(ve, vt, rtol=1e-6)
+
+
+def test_two_pass_flag_not_raised_on_separated_corpus():
+    """Random well-separated corpora must NOT pay the fallback — the flag
+    fires only on genuine boundary ties."""
+    rng = np.random.default_rng(13)
+    corpus = rng.standard_normal((2048, 64)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = rng.standard_normal((4, 64)).astype(np.float32)
+
+    index = MipsIndex(corpus, scan_dtype="int8")
+    handle = index.topk_async(queries, 5)
+    packed = np.asarray(handle._packed)
+    assert packed[:, -1].max() == 0  # no row flagged
+    handle.result()
+
+
+def test_topk_min_async_empty_index():
+    """Empty index: topk_min must return an empty-safe handle, not
+    row_min=+inf (downstream min-max normalization would emit NaN)."""
+    index = MipsIndex(np.zeros((0, 16), np.float32))
+    vals, idx, row_min = index.topk_min_async(np.ones((3, 16), np.float32), 5).result()
+    assert vals.shape == (3, 0) and idx.shape == (3, 0)
+    np.testing.assert_array_equal(row_min, np.zeros(3, np.float32))
+
+
+def test_scan_auto_survives_pallas_downgrade():
+    """method='pallas' downgraded to XLA (no TPU backend here) must still
+    auto-select the strictly-better exact two-pass."""
+    rng = np.random.default_rng(14)
+    corpus = rng.standard_normal((2048, 32)).astype(np.float32)
+    index = MipsIndex(corpus, method="pallas", scan_dtype="auto")
+    assert index.method == "xla"  # downgrade happened (CPU backend)
+    assert index.scan_dtype == "int8"  # and the two-pass survived it
+
+
+def test_min_max_normalize_all_invalid_row():
+    import jax.numpy as jnp
+
+    scores = jnp.asarray([[1.0, 2.0, 3.0], [5.0, 6.0, 7.0]])
+    mask = jnp.asarray([[True, True, True], [False, False, False]])
+    out = np.asarray(min_max_normalize(scores, valid_mask=mask))
+    np.testing.assert_allclose(out[0], [0.0, 0.5, 1.0])
+    np.testing.assert_allclose(out[1], [1.0, 1.0, 1.0])  # all-ones contract
+
+
+def test_ppr_rejects_zero_reset():
+    from comorag_tpu.ops.ppr import PPRGraph
+
+    g = PPRGraph(
+        np.asarray([0, 1], np.int32), np.asarray([1, 2], np.int32),
+        np.asarray([1.0, 1.0], np.float32), 3,
+    )
+    with pytest.raises(ValueError, match="all-zero"):
+        g.query(np.zeros((2, 3), np.float32))
