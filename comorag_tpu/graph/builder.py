@@ -224,6 +224,13 @@ class GraphBuilder:
         if n < 2:
             return 0
         embs = np.asarray(entity_embeddings, np.float32)
+        # the reference F.normalize()s BOTH sides unconditionally before
+        # this threshold (embed_utils.py:27-31) — with a ':raw' store
+        # (embedding_return_as_normalized=False) raw dot products would
+        # gate on vector NORMS, not similarity
+        norms = np.linalg.norm(embs, axis=1, keepdims=True)
+        if not np.allclose(norms, 1.0, atol=1e-3):
+            embs = embs / np.maximum(norms, 1e-12)
         # The consumer below accepts at most ``max_neighbors`` edges per
         # node, skipping only self (<= 1 entry) and empty-text neighbors
         # (counted exactly here), so retrieving the reference's full
@@ -232,7 +239,9 @@ class GraphBuilder:
         # ~19x (3.3 GB -> 173 MB at 200k entities) plus the top_k device
         # cost, which grows steeply with k.
         n_empty = sum(1 for t in entity_texts if not t)
-        k = min(topk, n, max_neighbors + 1 + n_empty)
+        # (+2: self plus the reference's off-by-one — its `num_nns > 100`
+        # check runs AFTER the post-add increment, accepting 101 edges)
+        k = min(topk, n, max_neighbors + 2 + n_empty)
         batches = [embs[i : i + query_batch_size] for i in range(0, n, query_batch_size)]
         # a mesh shards the key matrix across devices, so the single-device
         # HBM budget doesn't apply — key-blocking there would trade one
@@ -264,7 +273,10 @@ class GraphBuilder:
             & (idx != np.arange(n)[:, None])
             & t_nonempty[idx]
         )
-        eligible &= np.cumsum(eligible, axis=1) <= max_neighbors
+        # the reference accepts max_neighbors + 1 edges per node: its
+        # `num_nns > 100` break fires one iteration AFTER the 101st add
+        # (ComoRAG.py:698-710) — parity means matching that off-by-one
+        eligible &= np.cumsum(eligible, axis=1) <= max_neighbors + 1
         qs, cols = np.nonzero(eligible)
         ns = idx[qs, cols]
         ws = scores[qs, cols].astype(float)

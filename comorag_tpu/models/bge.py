@@ -193,9 +193,15 @@ def encoder_forward(
         use_pallas_ffn = ffn.startswith("pallas")
     ffn_interpret = attention == "pallas_interpret" or ffn == "pallas_interpret"
 
+    # fp32 operands silently truncate to bf16 on the TPU MXU unless
+    # HIGHEST (CLAUDE.md numerics trap — same guard as models/decoder.py):
+    # the fp32 path is the HF-parity contract, bf16 keeps the fast default.
+    prec = jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
+
     def one_layer(x, layer):
         def proj(w, bias):
-            return (jnp.dot(x, w.astype(compute_dtype), preferred_element_type=compute_dtype)
+            return (jnp.dot(x, w.astype(compute_dtype), preferred_element_type=compute_dtype,
+                            precision=prec)
                     + bias.astype(compute_dtype))
 
         if attention.startswith("pallas"):
@@ -216,12 +222,14 @@ def encoder_forward(
             q = proj(layer["q_w"], layer["q_b"]).reshape(b, s, heads, head_dim).transpose(0, 2, 1, 3)
             k = proj(layer["k_w"], layer["k_b"]).reshape(b, s, heads, head_dim).transpose(0, 2, 1, 3)
             v = proj(layer["v_w"], layer["v_b"]).reshape(b, s, heads, head_dim).transpose(0, 2, 1, 3)
-            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32,
+                                precision=prec)
             scores = scores / jnp.sqrt(float(head_dim)) + mask_bias
             probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
-            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=compute_dtype)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=compute_dtype,
+                             precision=prec)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
-        attn_out = (jnp.dot(ctx, layer["o_w"].astype(compute_dtype), preferred_element_type=compute_dtype)
+        attn_out = (jnp.dot(ctx, layer["o_w"].astype(compute_dtype), preferred_element_type=compute_dtype, precision=prec)
                     + layer["o_b"].astype(compute_dtype))
 
         if use_pallas_ffn:
@@ -245,7 +253,7 @@ def encoder_forward(
 
         x1 = _layer_norm((x + attn_out).astype(jnp.float32), layer["attn_ln_scale"], layer["attn_ln_bias"], eps)
         x1 = x1.astype(compute_dtype)
-        ffn = (jnp.dot(x1, layer["ffn_in_w"].astype(compute_dtype), preferred_element_type=compute_dtype)
+        ffn = (jnp.dot(x1, layer["ffn_in_w"].astype(compute_dtype), preferred_element_type=compute_dtype, precision=prec)
                + layer["ffn_in_b"].astype(compute_dtype))
         ffn = jax.nn.gelu(ffn, approximate=False)
         if attention.startswith("pallas"):
@@ -258,7 +266,7 @@ def encoder_forward(
             # 1096 texts/s): the materialized [B,S,4H] mid tensors cost
             # more than the extra fusion saved. Numerics-neutral.
             ffn = jax.lax.optimization_barrier(ffn)
-        ffn = (jnp.dot(ffn, layer["ffn_out_w"].astype(compute_dtype), preferred_element_type=compute_dtype)
+        ffn = (jnp.dot(ffn, layer["ffn_out_w"].astype(compute_dtype), preferred_element_type=compute_dtype, precision=prec)
                + layer["ffn_out_b"].astype(compute_dtype))
         x2 = _layer_norm((x1 + ffn).astype(jnp.float32), layer["ffn_ln_scale"], layer["ffn_ln_bias"], eps)
         return x2.astype(compute_dtype), None
@@ -442,7 +450,12 @@ class BGEJaxEncoder(BaseEncoder):
         # sharded encode path would need a shard_map wrapper.
         if attention == "auto":
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
-            attention = "pallas" if (on_tpu and mesh is None) else "xla"
+            # fp32 compute is the HF-parity contract; the Pallas kernels
+            # feed bf16 to the MXU by design (throughput path), so auto
+            # only picks them for bf16 compute. fp32 XLA matmuls carry
+            # Precision.HIGHEST for true fp32 passes.
+            fast = compute_dtype != jnp.float32
+            attention = "pallas" if (on_tpu and mesh is None and fast) else "xla"
         self.attention = attention
         self._encode_fn = functools.partial(
             jax.jit(

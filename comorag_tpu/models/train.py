@@ -42,7 +42,14 @@ def contrastive_loss(
 
 
 def make_optimizer(learning_rate: float = 2e-5, weight_decay: float = 0.01):
-    return optax.adamw(learning_rate, weight_decay=weight_decay)
+    # standard BERT-family decay mask: LayerNorm scales/biases and bias
+    # vectors (ndim < 2) are excluded — decaying ln_scale toward zero
+    # fights the loss gradient over long runs
+    return optax.adamw(
+        learning_rate,
+        weight_decay=weight_decay,
+        mask=lambda params: jax.tree.map(lambda p: jnp.ndim(p) >= 2, params),
+    )
 
 
 def create_train_state(key: jax.Array, arch: EncoderArch, optimizer=None) -> TrainState:
@@ -84,9 +91,11 @@ def make_train_step(
         k: NamedSharding(mesh, P(dp_axis, None)) for k in ("q_ids", "q_mask", "p_ids", "p_mask")
     }
     # Adam moments follow the parameter shardings; scalars replicate.
-    opt_shard = _shard_opt_like(
-        optimizer, p_shard, replicated, init_params(jax.random.PRNGKey(0), arch)
-    )
+    # eval_shape: only the TREE STRUCTURE is needed — concretely
+    # initializing bert-base params (+ moments) allocated ~1.3 GB on the
+    # remote device per make_train_step call just to read the treedef
+    params_shape = jax.eval_shape(lambda: init_params(jax.random.PRNGKey(0), arch))
+    opt_shard = _shard_opt_like(optimizer, p_shard, replicated, params_shape)
     state_shardings = TrainState(p_shard, opt_shard, replicated)
     return jax.jit(step, in_shardings=(state_shardings, batch_sharding), out_shardings=(state_shardings, replicated))
 
@@ -117,9 +126,10 @@ def _abs(path: str) -> str:
 def _shard_opt_like(optimizer, p_shard, replicated, params_probe):
     """Optimizer-state shardings: any subtree with the parameters' treedef
     (adamw's mu/nu) takes the parameter shardings; scalars replicate.
-    ``params_probe`` is a params tree with the target structure (used only
-    to discover the optimizer-state layout)."""
-    probe = optimizer.init(params_probe)
+    ``params_probe`` is a params tree (or ShapeDtypeStruct tree) with the
+    target structure — only the optimizer-state LAYOUT is read, so the
+    init is abstract: no moment buffers are ever allocated."""
+    probe = jax.eval_shape(optimizer.init, params_probe)
     flat_params, treedef_params = jax.tree.flatten(p_shard)
 
     def recurse(state):

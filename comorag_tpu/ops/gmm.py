@@ -28,6 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from comorag_tpu.utils.jaxcache import ensure_compile_cache
+from comorag_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
 
 ensure_compile_cache()
 
@@ -80,7 +83,13 @@ def _em_single(
     # Shared full covariance as the starting point.
     mean_all = jnp.sum(x * point_mask[:, None], axis=0) / jnp.maximum(n_valid, 1)
     xc = (x - mean_all) * point_mask[:, None]
-    cov_all = xc.T @ xc / jnp.maximum(n_valid, 1) + _REG * jnp.eye(d)
+    # precision=HIGHEST: the TPU default silently truncates fp32 matmul
+    # operands to bf16 (CLAUDE.md trap); covariance perturbations ~1e-3
+    # swamp the 1e-6 ridge on rank-deficient clusters (dim >= points at
+    # upper tree levels) and NaN the Cholesky
+    cov_all = jnp.matmul(xc.T, xc, precision=jax.lax.Precision.HIGHEST) / jnp.maximum(
+        n_valid, 1
+    ) + _REG * jnp.eye(d)
 
     means0 = jnp.where(comp_mask[:, None], init_means, 0.0)
     covs0 = jnp.broadcast_to(cov_all, (k_max, d, d))
@@ -96,10 +105,15 @@ def _em_single(
 
         nk = jnp.sum(resp, axis=0)                                      # [k]
         safe_nk = jnp.maximum(nk, 1e-10)
-        new_means = (resp.T @ x) / safe_nk[:, None]
+        new_means = jnp.matmul(
+            resp.T, x, precision=jax.lax.Precision.HIGHEST
+        ) / safe_nk[:, None]
         diff = x[:, None, :] - new_means[None, :, :]                    # [n, k, d]
         weighted = diff * resp[:, :, None]
-        new_covs = jnp.einsum("nkd,nke->kde", weighted, diff) / safe_nk[:, None, None]
+        new_covs = jnp.einsum(
+            "nkd,nke->kde", weighted, diff,
+            precision=jax.lax.Precision.HIGHEST,
+        ) / safe_nk[:, None, None]
         new_covs = new_covs + _REG * jnp.eye(d)[None]
         new_logw = jnp.where(comp_mask, jnp.log(safe_nk) - jnp.log(jnp.maximum(n_valid, 1).astype(jnp.float32)), -jnp.inf)
 
@@ -177,6 +191,16 @@ def fit_gmm_bic(
     bics = np.array(fits.bic, copy=True)  # jax buffers are read-only views
     bics[k_valid:] = np.inf  # k > n-1: over-parameterized, not candidates
     bics[~np.isfinite(bics)] = np.inf
+    if not np.isfinite(bics).any():
+        # every fit diverged (NaN/inf input row, or a numerically
+        # indefinite covariance) — argmin would silently pick model 0 and
+        # hand NaN responsibilities downstream, where thresholding yields
+        # ZERO clusters and the semantic tree quietly degenerates
+        logger.warning(
+            "GMM BIC sweep: every candidate model diverged (non-finite "
+            "BICs) — falling back to one all-points cluster"
+        )
+        return 1, np.ones((n, 1), np.float32)
     best = int(np.argmin(bics))  # model index -> k = best + 1
     resp = _posterior(
         jnp.asarray(x_pad),
@@ -185,4 +209,11 @@ def fit_gmm_bic(
         fits.covs[best],
         fits.log_weights[best],
     )
-    return best + 1, np.asarray(resp)[:n, : best + 1]
+    out = np.asarray(resp)[:n, : best + 1]
+    if not np.isfinite(out).all():
+        logger.warning(
+            "GMM posterior is non-finite for the BIC-selected model — "
+            "falling back to one all-points cluster"
+        )
+        return 1, np.ones((n, 1), np.float32)
+    return best + 1, out

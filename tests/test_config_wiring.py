@@ -367,7 +367,9 @@ def test_synonymy_k_limit_matches_full_topk():
         order = np.argsort(-sims[qi], kind="stable")
         num = 0
         for ni in order:
-            if sims[qi, ni] < 0.8 or num >= mn:
+            # reference loop semantics: `num_nns > 100` checked BEFORE the
+            # add with a post-add increment -> accepts mn + 1 neighbors
+            if sims[qi, ni] < 0.8 or num > mn:
                 break
             if ni == qi:
                 continue
@@ -405,7 +407,8 @@ def test_synonymy_edge_cases_match_loop_semantics():
         order = np.argsort(-sims[qi], kind="stable")
         num = 0
         for ni in order:
-            if sims[qi, ni] < thr or num >= mn:
+            # reference accepts mn + 1 (post-increment break, ComoRAG.py:698)
+            if sims[qi, ni] < thr or num > mn:
                 break
             if ni == qi or not texts[int(ni)]:
                 continue  # skipped, budget NOT consumed
