@@ -2,9 +2,12 @@
 
 Capability parity with the reference's sqlite cache decorator
 (llm/openai_gpt.py:26-102): key = sha256 of (messages, model, seed,
-temperature); value = (text, metadata JSON). Thread-safe via one process
-lock + per-call connections; multi-process safety comes from sqlite's own
-locking (we use a busy timeout instead of a filelock sidecar file).
+temperature); value = (text, metadata JSON). Thread-safe via per-THREAD
+long-lived connections — WAL gives concurrent readers and serializes
+writers itself, so a process-global lock would only re-serialize the
+16-thread batch_infer fan-out (and per-call connections re-paid the
+connect + PRAGMA round-trip on every get). Multi-process safety comes
+from sqlite's own locking via the busy timeout.
 """
 
 from __future__ import annotations
@@ -19,16 +22,21 @@ from typing import Any, Dict, Optional, Tuple
 class ResponseCache:
     def __init__(self, path: str):
         self.path = path
-        self._lock = threading.Lock()
+        self._local = threading.local()
         self._init_db()
 
-    def _connect(self) -> sqlite3.Connection:
-        conn = sqlite3.connect(self.path, timeout=30.0)
-        conn.execute("PRAGMA journal_mode=WAL")
+    def _conn(self) -> sqlite3.Connection:
+        conn = getattr(self._local, "conn", None)
+        if conn is None:
+            conn = sqlite3.connect(self.path, timeout=30.0)
+            conn.execute("PRAGMA journal_mode=WAL")
+            conn.execute("PRAGMA busy_timeout=30000")
+            self._local.conn = conn
         return conn
 
     def _init_db(self) -> None:
-        with self._lock, self._connect() as conn:
+        conn = self._conn()
+        with conn:
             conn.execute(
                 "CREATE TABLE IF NOT EXISTS cache ("
                 "key TEXT PRIMARY KEY, message TEXT, metadata TEXT)"
@@ -48,14 +56,16 @@ class ResponseCache:
         return hashlib.sha256(payload.encode()).hexdigest()
 
     def get(self, key: str) -> Optional[Tuple[str, Dict[str, Any]]]:
-        with self._lock, self._connect() as conn:
-            row = conn.execute("SELECT message, metadata FROM cache WHERE key = ?", (key,)).fetchone()
+        row = self._conn().execute(
+            "SELECT message, metadata FROM cache WHERE key = ?", (key,)
+        ).fetchone()
         if row is None:
             return None
         return row[0], json.loads(row[1])
 
     def put(self, key: str, message: str, metadata: Dict[str, Any]) -> None:
-        with self._lock, self._connect() as conn:
+        conn = self._conn()
+        with conn:  # commit; WAL + busy_timeout serialize cross-thread writers
             conn.execute(
                 "INSERT OR REPLACE INTO cache (key, message, metadata) VALUES (?, ?, ?)",
                 (key, message, json.dumps(metadata)),

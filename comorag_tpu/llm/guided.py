@@ -182,6 +182,12 @@ class _Builder:
         return s
 
     def string(self, start: int, min_length: int = 0) -> int:
+        if min_length > 1:
+            # same convention as array(): silently weakening a bound would
+            # emit schema-violating output with no warning
+            raise ValueError(
+                f"guided JSON supports string minLength 0 or 1, got {min_length}"
+            )
         in_str = self.state()
         end = self.state()
         esc = self.state()

@@ -368,6 +368,11 @@ class JaxOfflineLLM(BaseLLM):
 
         first = id_rows[0]
         common = _common_prefix_len(id_rows)
+        # every row must KEEP at least one token after the strip: a row
+        # fully consumed by the prefix would prefill from a pad-token
+        # query and sample its first token from the wrong distribution
+        # (identical prompts at a 64-multiple length hit this)
+        common = max(0, min(common, min(len(r) for r in id_rows) - 1))
         p0 = (common // 64) * 64
 
         # cross-call reuse: longest cached header that prefixes every row

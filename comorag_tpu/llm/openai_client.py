@@ -75,6 +75,9 @@ class OpenAIChatLLM(BaseLLM):
         key = None
         if self.cache is not None:
             extra = dict(gen_kwargs)
+            # the budget is part of the response identity: a 500-token
+            # truncated summary must not be served to a 2000-token request
+            extra["max_tokens"] = max_tokens
             if self.n_choices != 1:
                 extra["n"] = self.n_choices
             key = ResponseCache.make_key(messages, self.model, self.seed, temperature, extra=extra)
@@ -119,9 +122,19 @@ class OpenAIChatLLM(BaseLLM):
                 if self.cache is not None and key is not None:
                     self.cache.put(key, text, metadata)
                 return LLMResponse(text=text, metadata=metadata, cache_hit=False)
-            except Exception as e:  # noqa: BLE001 — network layer, retry everything
+            except Exception as e:  # noqa: BLE001 — network layer
                 last_err = e
+                status = getattr(getattr(e, "response", None), "status_code", None)
+                # permanent client errors (bad key, invalid request,
+                # context length) don't heal with retries — a misconfigured
+                # batch_infer fan-out would otherwise burn the full backoff
+                # budget per item; 429 (rate limit) stays retryable
+                if status is not None and 400 <= status < 500 and status != 429:
+                    logger.error("LLM call failed permanently (HTTP %d): %s", status, e)
+                    break
                 logger.warning("LLM call failed (attempt %d/%d): %s", attempt + 1, self.max_retries, e)
                 if attempt + 1 < self.max_retries:  # no backoff after the final attempt
                     time.sleep(min(20.0, (2**attempt) + random.random()))
-        raise RuntimeError(f"LLM call failed after {self.max_retries} attempts: {last_err}")
+        raise RuntimeError(
+            f"LLM call failed after {self.max_retries} attempts: {last_err}"
+        ) from last_err

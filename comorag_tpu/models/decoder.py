@@ -401,8 +401,12 @@ def decoder_forward(
 
         def dot(inp, w):
             if isinstance(w, QuantWeight):
+                # prec matters for the ACTIVATION operand under fp32
+                # compute (int8 weights upcast to bf16 exactly, but fp32
+                # inputs would silently truncate on the MXU — CLAUDE.md)
                 out = jnp.dot(
-                    inp, w.q.astype(compute_dtype), preferred_element_type=compute_dtype
+                    inp, w.q.astype(compute_dtype),
+                    preferred_element_type=compute_dtype, precision=prec,
                 )
                 return out * w.scale.astype(compute_dtype)
             return jnp.dot(
@@ -562,19 +566,24 @@ def prefill_prefix(
     positions = jnp.arange(p0, dtype=jnp.int32)[None, :]
     attn = jnp.tril(jnp.ones((1, p0, p0), bool))
     cache = make_kv_cache(arch, 1, p0, compute_dtype, kv_dtype)
-    if p0 <= _PREFILL_CHUNK or p0 % _PREFILL_CHUNK:
+    if p0 <= _PREFILL_CHUNK:
         _, cache = decoder_forward(
             params, ids, positions, attn, cache, jnp.int32(0), arch, compute_dtype,
             last_only=True,
         )
         return cache
-    for ci in range(p0 // _PREFILL_CHUNK):  # bound the score slab (see _prefill_batch)
-        lo = ci * _PREFILL_CHUNK
+    # bound the score slab (see _prefill_batch); prefixes are floored to
+    # 64-token multiples, NOT chunk multiples — a trailing remainder chunk
+    # keeps e.g. p0=3968 off the single-shot path (whose [1, S, ..., T]
+    # fp32 score slab is ~1 GB at that width and grows quadratically)
+    bounds = list(range(0, p0, _PREFILL_CHUNK)) + [p0]
+    for ci in range(len(bounds) - 1):
+        lo, hi = bounds[ci], bounds[ci + 1]
         _, cache = decoder_forward(
             params,
-            ids[:, lo : lo + _PREFILL_CHUNK],
-            positions[:, lo : lo + _PREFILL_CHUNK],
-            attn[:, lo : lo + _PREFILL_CHUNK, :],
+            ids[:, lo:hi],
+            positions[:, lo:hi],
+            attn[:, lo:hi, :],
             cache,
             jnp.int32(lo),
             arch,
@@ -640,15 +649,19 @@ def _prefill_batch(
             compute_dtype, last_only=True,
         )
     else:
-        assert p % chunk == 0, (p, chunk)  # prompt buckets are powers of two
-        for ci in range(p // chunk):
-            lo = ci * chunk
-            last = ci == p // chunk - 1
+        # p is usually a power-of-two bucket, but window clamping and
+        # prefix stripping produce non-multiples (e.g. limit = window -
+        # new-token bucket - p0 -> 3840 or 3520) — a trailing remainder
+        # chunk handles those instead of asserting
+        bounds = list(range(0, p, chunk)) + [p]
+        for ci in range(len(bounds) - 1):
+            lo, hi = bounds[ci], bounds[ci + 1]
+            last = ci == len(bounds) - 2
             logits, cache = decoder_forward(
                 params,
-                input_ids[:, lo : lo + chunk],
-                positions[:, lo : lo + chunk],
-                attn[:, lo : lo + chunk, :],
+                input_ids[:, lo:hi],
+                positions[:, lo:hi],
+                attn[:, lo:hi, :],
                 cache,
                 jnp.int32(p0 + lo),
                 arch,

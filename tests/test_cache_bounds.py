@@ -188,3 +188,102 @@ class TestDeviceResidentQueries:
                                 norm=True)
         s_host = eng.ver_index.scores(host_i)
         np.testing.assert_allclose(np.asarray(s_dev), s_host, atol=1e-5)
+
+
+def test_response_cache_key_includes_budget():
+    """A 500-token truncated response must never be served to a
+    2000-token request: the budget is part of the response identity."""
+    from comorag_tpu.llm.openai_client import OpenAIChatLLM
+
+    class SpyClient:
+        def __init__(self):
+            self.calls = 0
+
+        def post(self, url, json=None, headers=None):
+            self.calls += 1
+            mt = json["max_tokens"]
+
+            class R:
+                @staticmethod
+                def raise_for_status():
+                    pass
+
+                @staticmethod
+                def json():
+                    return {
+                        "choices": [{"message": {"content": f"resp@{mt}"},
+                                     "finish_reason": "stop"}],
+                        "usage": {},
+                    }
+
+            return R()
+
+    import tempfile
+
+    from comorag_tpu.llm.cache import ResponseCache
+
+    with tempfile.TemporaryDirectory() as td:
+        llm = OpenAIChatLLM(model="m", cache_path=td + "/c.sqlite")
+        assert isinstance(llm.cache, ResponseCache)
+        spy = SpyClient()
+        llm._client = spy
+        msgs = [{"role": "user", "content": "summarize this"}]
+        a = llm.infer(msgs, max_completion_tokens=500)
+        b = llm.infer(msgs, max_completion_tokens=2000)
+        assert a.text == "resp@500" and b.text == "resp@2000"
+        assert spy.calls == 2  # different budgets -> different cache rows
+        c = llm.infer(msgs, max_completion_tokens=500)
+        assert c.text == "resp@500" and c.cache_hit and spy.calls == 2
+
+
+def test_permanent_http_errors_do_not_retry():
+    """4xx (bad key / invalid request) fails fast instead of burning the
+    exponential-backoff budget; the cause chains into the RuntimeError."""
+    import pytest
+
+    from comorag_tpu.llm.openai_client import OpenAIChatLLM
+
+    class FourOhOne:
+        def __init__(self):
+            self.calls = 0
+
+        def post(self, url, json=None, headers=None):
+            self.calls += 1
+
+            class Resp:
+                status_code = 401
+
+            class E(Exception):
+                response = Resp()
+
+            raise E("401 unauthorized")
+
+    llm = OpenAIChatLLM(model="m", max_retries=5)
+    spy = FourOhOne()
+    llm._client = spy
+    with pytest.raises(RuntimeError) as exc:
+        llm.infer([{"role": "user", "content": "hi"}])
+    assert spy.calls == 1  # no retries on a permanent client error
+    assert exc.value.__cause__ is not None
+
+
+def test_response_cache_concurrent_threads():
+    """Per-thread connections: 16 threads reading/writing one cache file
+    must neither corrupt rows nor serialize into wrong results."""
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from comorag_tpu.llm.cache import ResponseCache
+
+    with tempfile.TemporaryDirectory() as td:
+        cache = ResponseCache(td + "/c.sqlite")
+
+        def work(i):
+            key = f"k{i % 8}"
+            cache.put(key, f"v{i % 8}", {"i": i % 8})
+            got = cache.get(key)
+            assert got is not None and got[0] == f"v{i % 8}"
+            return True
+
+        with ThreadPoolExecutor(max_workers=16) as tp:
+            assert all(tp.map(work, range(256)))

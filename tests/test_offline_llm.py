@@ -1477,3 +1477,64 @@ def test_engine_int8_kv_generates():
     ]
     outs = llm.batch_infer(msgs, max_tokens=8)
     assert len(outs) == 3 and all(isinstance(o.text, str) for o in outs)
+
+
+def test_chunked_prefill_handles_non_multiple_widths(monkeypatch):
+    """Window clamping / prefix stripping hand _prefill_batch prompt
+    widths that are NOT chunk multiples (e.g. 3840 = window - bucket);
+    the remainder chunk must produce the same result as unchunked, not
+    assert (reproduced crash: 'AssertionError: (3840, 512)')."""
+    from comorag_tpu.models import decoder as dec
+
+    rng = np.random.default_rng(0)
+    p = 96  # > chunk and NOT a multiple of it once patched to 64
+    ids = jnp.asarray(rng.integers(3, 250, (2, p)), jnp.int32)
+    mask = jnp.ones((2, p), jnp.int32)
+
+    full_tokens, _ = generate(PARAMS, ids, mask, ARCH, max_new_tokens=8, eos_id=1, pad_id=0)
+
+    monkeypatch.setattr(dec, "_PREFILL_CHUNK", 64)
+    chunked_tokens, _ = generate(PARAMS, ids, mask, ARCH, max_new_tokens=8, eos_id=1, pad_id=0)
+    np.testing.assert_array_equal(np.asarray(full_tokens), np.asarray(chunked_tokens))
+
+
+def test_prefill_prefix_handles_non_multiple_widths(monkeypatch):
+    """Shared prefixes are floored to 64-token multiples, not chunk
+    multiples — the remainder chunk must keep results identical to the
+    single-shot path instead of rebuilding the full-width score slab."""
+    from comorag_tpu.models import decoder as dec
+    from comorag_tpu.models.decoder import prefill_prefix
+
+    rng = np.random.default_rng(1)
+    prefix_ids = jnp.asarray(rng.integers(3, 250, (96,)), jnp.int32)
+    row = jnp.asarray(rng.integers(3, 250, (1, 16)), jnp.int32)
+    mask = jnp.ones((1, 16), jnp.int32)
+
+    cache_full = prefill_prefix(PARAMS, prefix_ids, ARCH)
+    toks_full, _ = generate(
+        PARAMS, row, mask, ARCH, max_new_tokens=8, eos_id=1, pad_id=0, prefix=cache_full
+    )
+    monkeypatch.setattr(dec, "_PREFILL_CHUNK", 64)
+    cache_chunked = prefill_prefix(PARAMS, prefix_ids, ARCH)
+    toks_chunked, _ = generate(
+        PARAMS, row, mask, ARCH, max_new_tokens=8, eos_id=1, pad_id=0, prefix=cache_chunked
+    )
+    np.testing.assert_array_equal(np.asarray(toks_full), np.asarray(toks_chunked))
+
+
+def test_shared_prefix_never_consumes_whole_rows():
+    """Identical prompts at a 64-multiple token length: the prefix strip
+    must leave every row >= 1 real token — a fully-consumed row prefills
+    from a pad-token query and samples the wrong first token."""
+    llm = JaxOfflineLLM(seed=6)
+    rows = [list(range(3, 3 + 128))] * 3  # identical, len 128 (64-multiple)
+    cache, p0 = llm._shared_prefix(rows)
+    assert p0 < 128  # at least one token left per row
+    if p0:
+        assert all(len(r[p0:]) >= 1 for r in rows)
+
+    # end-to-end: identical batched prompts == the single-prompt result
+    msgs = [{"role": "user", "content": "alpha beta gamma delta " * 16}]
+    single = llm.infer(msgs, max_tokens=8).text
+    batched = [r.text for r in llm.batch_infer([msgs, msgs, msgs], max_tokens=8)]
+    assert batched == [single] * 3
