@@ -94,6 +94,15 @@ class ComoRAG:
         self.openie = OpenIE(self.llm, self.prompts, response_format=self.config.response_format)
         self.summarizer = Summarizer(self.llm)
         self.fact_filter = FactFilter(self.llm, self.config.llm_name, self.config.rerank_dspy_file_path)
+        # budgets must count in the SERVING tokenizer's units: the window
+        # clamps (_qa_layer_budgets, summary budgets) are in model tokens,
+        # and e.g. the hermetic ByteTokenizer runs ~4.5x the word estimate
+        # — an undercount overflows the window and the engine silently
+        # left-truncates the protocol header off the prompt
+        if tokenizer is None:
+            tokenizer = getattr(self.llm, "tokenizer", None) or getattr(
+                getattr(self.llm, "engine", None), "tokenizer", None
+            )
         self.tokens = TokenCounter(tokenizer)
 
         wd = self.config.working_dir

@@ -177,9 +177,12 @@ class FakeLLM(BaseLLM):
         # QA with the "### Final Answer" protocol.
         if "### final answer" in sys_lower or "final answer" in sys_lower:
             question = ""
-            qm = re.search(r"Question:\s*(.*?)(?:\nThought:|\Z)", user, re.DOTALL)
-            if qm:
-                question = qm.group(1).strip()
+            # LAST occurrence: retrieved chunks may themselves contain the
+            # literal "Question:" (quizzes, dialogue); the real query is
+            # always the final one before "Thought:"
+            qms = list(re.finditer(r"Question:\s*(.*?)(?:\nThought:|\Z)", user, re.DOTALL))
+            if qms:
+                question = qms[-1].group(1).strip()
             answer = None
             if self.qa_answer_fn is not None:
                 answer = self.qa_answer_fn(question, user)
@@ -226,9 +229,19 @@ class FakeLLM(BaseLLM):
         return "OK"
 
     # ------------------------------------------------------------ helpers
-    @staticmethod
-    def _field(user: str, name: str) -> Optional[str]:
-        m = re.search(rf"{name}:\s*\n?(.*?)(?:\n\n[A-Z][a-z]+ ?[A-Za-z]*:|\Z)", user, re.DOTALL)
+    _FIELD_LABELS = (
+        "Questions?|Content|Current Query|Previous Analysis|Your Response|Context|Passage"
+    )
+
+    @classmethod
+    def _field(cls, user: str, name: str) -> Optional[str]:
+        # terminate only at KNOWN template field labels: corpus text
+        # routinely contains blank-line + "Title:"/"Record 7:" lines, and
+        # a generic capitalized-word terminator cut the field there
+        m = re.search(
+            rf"{name}:\s*\n?(.*?)(?:\n\n(?:{cls._FIELD_LABELS}):|\Z)",
+            user, re.DOTALL,
+        )
         return m.group(1).strip() if m else None
 
     @staticmethod
@@ -252,6 +265,11 @@ class FakeLLM(BaseLLM):
         q_words = _content_words(question)
         best, best_score = "*", 0
         for s in _sentences(context):
+            # a section header glues onto the first sentence after it
+            # ("### Detail Chunks\n<sentence>.") — strip the header line
+            # instead of discarding the sentence, or answers sitting in a
+            # section's FIRST sentence are unreachable
+            s = re.sub(r"^(?:###[^\n]*\n)+", "", s).strip()
             if s.startswith(("###", "Question:")):
                 continue
             # cue lines arrive as "- Key Finding: <sentence>" — answer from

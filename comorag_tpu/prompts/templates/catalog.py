@@ -145,6 +145,10 @@ rag_qa_narrativeqa = [
 ]
 
 # ---------------------------------------------------------- QA (multi-choice)
+# Protocol parity (rag_qa_mc.py:54 / rag_qa_mc_memory.py:53): the answer
+# is the BRACKETED OPTION ONLY — '[A]'..'[D]', no option text (eval EM
+# compares against letter golds) — and the '*' impasse exists only in the
+# MEMORY variant; the reference's iteration-0 MC template has no impasse.
 _QA_MC_SYSTEM = (
     "You answer multiple-choice questions about long narrative texts using the\n"
     "retrieved content provided.\n\n"
@@ -152,8 +156,8 @@ _QA_MC_SYSTEM = (
     '1. "### Content Understanding": at most two sentences.\n'
     '2. "### Relevant Information Analysis": short markdown list from the content only.\n'
     '3. "### Key Facts": the facts that decide between the options.\n'
-    '4. "### Final Answer": the letter (and text) of the single best option.\n'
-    '   If the content cannot decide, write exactly "*".'
+    '4. "### Final Answer": the single best option in the format of [A] or\n'
+    "   [B] or [C] or [D], without explaining why."
 )
 
 rag_qa_mc = [
@@ -163,6 +167,7 @@ rag_qa_mc = [
 
 _QA_MC_MEMORY_SYSTEM = (
     _QA_MC_SYSTEM
+    + '\n   If the content cannot decide, only output "*".'
     + "\n\nA \"### Historical Information\" section may appear: it holds findings\n"
     "accumulated from earlier reasoning rounds (probe -> finding pairs). Treat it\n"
     "as trusted working memory and combine it with the retrieved content."

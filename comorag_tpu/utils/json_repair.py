@@ -16,23 +16,13 @@ import json
 from typing import Any, List, Optional
 
 
-def repair_json(text: str) -> str:
-    """Best-effort fix of truncated JSON: drop a trailing partial element
-    after the last comma, then close any unbalanced brackets (string-aware)."""
-    try:
-        json.loads(text)
-        return text
-    except json.JSONDecodeError:
-        pass
-
-    last_comma = text.rfind(",")
-    if last_comma != -1:
-        text = text[:last_comma]
-
+def _scan_state(text: str):
+    """(open-bracket stack, in_string, last comma index OUTSIDE strings)."""
     stack: List[str] = []
     in_string = False
     escaped = False
-    for ch in text:
+    last_comma = -1
+    for i, ch in enumerate(text):
         if in_string:
             if escaped:
                 escaped = False
@@ -48,13 +38,51 @@ def repair_json(text: str) -> str:
         elif ch in "}]":
             if stack and ((ch == "}" and stack[-1] == "{") or (ch == "]" and stack[-1] == "[")):
                 stack.pop()
+        elif ch == ",":
+            last_comma = i
+    return stack, in_string, last_comma
 
+
+def _close(text: str, stack: List[str], in_string: bool) -> str:
     if in_string:
         text += '"'
     closers = {"{": "}", "[": "]"}
     for opener in reversed(stack):
         text += closers[opener]
     return text
+
+
+def repair_json(text: str) -> str:
+    """Best-effort fix of truncated JSON: close an unterminated string
+    (keeping the partial value), else drop the trailing partial element
+    after the last comma OUTSIDE strings, then close unbalanced brackets.
+
+    Both scans are string-aware: a naive ``rfind(',')`` cut amputates at a
+    comma INSIDE a truncated string value ('\"Paris, France and the ' ->
+    '\"Paris\"'), fabricating a confident shorter value with no truncation
+    signal — valid but WRONG beats broken only when it is also honest."""
+    try:
+        json.loads(text)
+        return text
+    except json.JSONDecodeError:
+        pass
+
+    stack, in_string, last_comma = _scan_state(text)
+    if in_string:
+        # truncation mid-string: keep the partial value
+        candidate = _close(text, stack, True)
+        try:
+            json.loads(candidate)
+            return candidate
+        except json.JSONDecodeError:
+            # e.g. a dangling KEY ('{"answ') — closing it isn't valid
+            # JSON; fall through to the element drop
+            pass
+    if last_comma != -1:
+        cut = text[:last_comma]
+        stack, in_string, _ = _scan_state(cut)
+        return _close(cut, stack, in_string)
+    return _close(text, stack, in_string)
 
 
 def _scan_balanced(text: str, start: int) -> Optional[str]:
@@ -87,10 +115,11 @@ def _scan_balanced(text: str, start: int) -> Optional[str]:
 
 def _extract_first(text: str, opener: str) -> Optional[Any]:
     idx = 0
+    first_unbalanced = None
     while True:
         idx = text.find(opener, idx)
         if idx == -1:
-            return None
+            break
         candidate = _scan_balanced(text, idx)
         if candidate is not None:
             for attempt in (candidate, repair_json(candidate)):
@@ -98,7 +127,19 @@ def _extract_first(text: str, opener: str) -> Optional[Any]:
                     return json.loads(attempt)
                 except json.JSONDecodeError:
                     continue
+        elif first_unbalanced is None:
+            first_unbalanced = idx
         idx += 1
+    if first_unbalanced is not None:
+        # TRUNCATED payload (token cap mid-object): no balanced candidate
+        # exists, which is exactly the case repair_json is for — without
+        # this arm the docstring's "repairing if needed" never ran on
+        # truncation and a capped probe/extraction response parsed to None
+        try:
+            return json.loads(repair_json(text[first_unbalanced:]))
+        except json.JSONDecodeError:
+            return None
+    return None
 
 
 def extract_json_object(text: str) -> Optional[dict]:

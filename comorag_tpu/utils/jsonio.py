@@ -1,4 +1,7 @@
-"""JSONL helpers used by the CLI entry points and dataset loaders."""
+"""JSONL helpers used by the CLI entry points and dataset loaders.
+
+Capability parity with the reference's inline load/save_jsonl pairs
+(script/chunk_doc_corpus.py:13-24 and main.py's dataset loading)."""
 
 from __future__ import annotations
 

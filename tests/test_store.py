@@ -168,11 +168,17 @@ def test_hash_encoder_empty_batch_fallback_path():
 
 
 def test_json_repair_roundtrip():
-    broken = '{"named_entities": ["a", "b", "c'
-    fixed = repair_json(broken)
     import json
 
-    assert json.loads(fixed)["named_entities"] == ["a", "b"]
+    # truncation mid-string keeps the (honest) partial value — the old
+    # rfind(',') cut amputated at commas INSIDE strings, fabricating a
+    # confident shorter value ('"Paris, France and the ' -> '"Paris"')
+    broken = '{"named_entities": ["a", "b", "c'
+    assert json.loads(repair_json(broken))["named_entities"] == ["a", "b", "c"]
+    cut = repair_json('{"answer": "Paris, France and the ')
+    assert json.loads(cut)["answer"] == "Paris, France and the "
+    # truncation OUTSIDE a string drops the trailing partial element
+    assert json.loads(repair_json('{"a": 1, "b": [1, 2,')) == {"a": 1, "b": [1, 2]}
 
 
 def test_extract_json_from_prose():
