@@ -188,3 +188,22 @@ def test_fact_filter_loads_dspy_prompt_file(tmp_path):
     candidates = [("orion ferry", "served", "port alden"), ("moss", "grew on", "stones")]
     idxs, items, log = filt.rerank("Which ferry served Port Alden?", candidates, [0, 1])
     assert isinstance(idxs, list) and isinstance(items, list)
+
+
+def test_probe_agent_recovers_truncated_json():
+    """A token-capped probe response (finish cut mid-string) must still
+    yield the complete probes — extract_json_object repairs truncation
+    (a capped response used to parse to None and the impasse round ran
+    with zero probes)."""
+    from comorag_tpu.agents.probe_agent import ProbeAgent
+    from comorag_tpu.llm.base import LLMResponse
+
+    class CappedLLM:
+        def infer(self, messages, **kw):
+            return LLMResponse(
+                text='{"probe_1": "Find passages about Edith Marsh", "probe_2": "Find pass',
+                metadata={"finish_reason": "length"},
+            )
+
+    probes = ProbeAgent(CappedLLM()).find_probes("Who directed the museum?")
+    assert "Find passages about Edith Marsh" in probes
