@@ -25,20 +25,23 @@ device utilization — decode throughput scales ~4x from batch 1 to 32
 
 from __future__ import annotations
 
-import threading
-import time
 from concurrent.futures import Future
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 from comorag_tpu.llm.base import BaseLLM, LLMResponse, Messages
 from comorag_tpu.llm.jax_offline import JaxOfflineLLM
 from comorag_tpu.utils.logging import get_logger
+from comorag_tpu.utils.reqwindow import RequestWindow
 
 logger = get_logger(__name__)
 
 
-class GenerationServer(BaseLLM):
-    """Thread-safe batching front over a JaxOfflineLLM engine."""
+class GenerationServer(RequestWindow, BaseLLM):
+    """Thread-safe batching front over a JaxOfflineLLM engine.
+
+    Scheduler plumbing (queue/drain/close) lives in RequestWindow — the
+    SAME skeleton as retrieval/engine.RetrievalWindow, so cap/close/error
+    policies can't diverge between the two again."""
 
     def __init__(
         self,
@@ -51,22 +54,13 @@ class GenerationServer(BaseLLM):
         # _stage_kwargs) — the server forwards gen_kwargs verbatim, so it
         # supports exactly what its engine supports.
         self.supports_guided_json = getattr(engine, "supports_guided_json", False)
-        self.window_s = window_ms / 1000.0
         self.max_batch = max_batch
-        self._lock = threading.Condition()
-        self._queue: List[Tuple[Messages, Dict[str, Any], Future]] = []
-        self._closed = False
-        self._thread = threading.Thread(target=self._run, daemon=True, name="gen-server")
-        self._thread.start()
+        super().__init__(window_ms / 1000.0, max_batch, "gen-server")
 
     # ------------------------------------------------------------ interface
     def submit(self, messages: Messages, **gen_kwargs) -> "Future[LLMResponse]":
         fut: "Future[LLMResponse]" = Future()
-        with self._lock:
-            if self._closed:
-                raise RuntimeError("GenerationServer is closed")
-            self._queue.append((messages, gen_kwargs, fut))
-            self._lock.notify()
+        self._enqueue((messages, gen_kwargs, fut))
         return fut
 
     def infer(self, messages: Messages, **gen_kwargs) -> LLMResponse:
@@ -76,61 +70,15 @@ class GenerationServer(BaseLLM):
         futures = [self.submit(m, **gen_kwargs) for m in batch]
         return [f.result() for f in futures]
 
-    def close(self) -> None:
-        with self._lock:
-            self._closed = True
-            self._lock.notify()
-        self._thread.join(timeout=30)
-        if self._thread.is_alive():
-            # a cold Mosaic compile / tunnel stall can exceed 30 s; callers
-            # treating close() as a barrier must know it wasn't one
-            logger.warning(
-                "GenerationServer.close(): scheduler still serving after "
-                "30 s — in-flight requests will resolve when it finishes"
-            )
-
-    def __enter__(self) -> "GenerationServer":
-        return self
-
-    def __exit__(self, *exc) -> None:
-        self.close()
-
     # ------------------------------------------------------------ scheduler
-    def _drain_window(self) -> List[Tuple[Messages, Dict[str, Any], Future]]:
-        """Block until work exists, then keep collecting until the window
-        closes or the batch is full."""
-        with self._lock:
-            while not self._queue and not self._closed:
-                self._lock.wait()
-            if not self._queue:
-                return []
-            deadline = time.monotonic() + self.window_s
-            while len(self._queue) < self.max_batch and not self._closed:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
-                self._lock.wait(timeout=remaining)
-            batch, self._queue = self._queue[: self.max_batch], self._queue[self.max_batch :]
-            return batch
-
-    def _run(self) -> None:
-        while True:
-            batch = self._drain_window()
-            if not batch:
-                if self._closed:
-                    return
-                continue
-            try:
-                self._serve(batch)
-            except Exception as e:  # noqa: BLE001 — the scheduler thread must survive
-                logger.warning("generation window failed: %s", e)
-                for _, _, fut in batch:
-                    # one response object PER requester: they are mutable
-                    # (the success path mutates metadata) and two threads
-                    # sharing one would cross-contaminate
-                    _resolve(fut, LLMResponse(
-                        text="", metadata={"error": str(e), "finish_reason": "error"}
-                    ))
+    def _on_serve_error(self, batch, e: Exception) -> None:
+        for _, _, fut in batch:
+            # one response object PER requester: they are mutable (the
+            # success path mutates metadata) and two threads sharing one
+            # would cross-contaminate
+            _resolve(fut, LLMResponse(
+                text="", metadata={"error": str(e), "finish_reason": "error"}
+            ))
 
     def _serve(self, batch: List[Tuple[Messages, Dict[str, Any], Future]]) -> None:
         # group by generation options: one device program per distinct

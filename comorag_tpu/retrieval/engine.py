@@ -39,6 +39,7 @@ from comorag_tpu.retrieval.index import MipsIndex
 from comorag_tpu.store.embedding_store import EmbeddingStore
 from comorag_tpu.utils.hashing import content_hash
 from comorag_tpu.utils.logging import get_logger
+from comorag_tpu.utils.reqwindow import RequestWindow
 from comorag_tpu.utils import trace
 
 logger = get_logger(__name__)
@@ -633,7 +634,7 @@ class RetrievalEngine:
         return results
 
 
-class RetrievalWindow:
+class RetrievalWindow(RequestWindow):
     """Cross-question fan-out coalescing (r3).
 
     ``try_answer`` runs up to 16 question threads (the reference's
@@ -654,28 +655,22 @@ class RetrievalWindow:
     """
 
     def __init__(self, engine: RetrievalEngine, window_ms: float = 4.0, max_rows: int = 64):
-        import threading
-        from concurrent.futures import Future  # noqa: F401  (typing)
-
         self.engine = engine
-        self.window_s = window_ms / 1000.0
         self.max_rows = max_rows
-        self._lock = threading.Condition()
-        self._queue: list = []  # (queries, pool_hashes, (vk, sk, ek), Future)
-        self._closed = False
-        self._thread = threading.Thread(target=self._run, daemon=True, name="retrieval-window")
-        self._thread.start()
+        # scheduler plumbing (queue/drain/close) is the SAME RequestWindow
+        # skeleton as llm/serving.GenerationServer; items weigh their ROW
+        # count so max_rows bounds the merged device batch — a burst must
+        # not snowball into one unbounded merge (at 200k chunks a 256-row
+        # batch keeps a ~205 MB score buffer alive past the VMEM gather
+        # budget, CLAUDE.md)
+        super().__init__(window_ms / 1000.0, max_rows, "retrieval-window")
 
     # ------------------------------------------------------------ interface
     def submit(self, queries, pool_hashes=None, ver_top_k=None, sem_top_k=None, epi_top_k=None):
         from concurrent.futures import Future
 
         fut: Future = Future()
-        with self._lock:
-            if self._closed:
-                raise RuntimeError("RetrievalWindow is closed")
-            self._queue.append((list(queries), pool_hashes, (ver_top_k, sem_top_k, epi_top_k), fut))
-            self._lock.notify()
+        self._enqueue((list(queries), pool_hashes, (ver_top_k, sem_top_k, epi_top_k), fut))
         return fut
 
     def tri_retrieve_batch(self, queries, pool_hashes=None, ver_top_k=None,
@@ -686,98 +681,55 @@ class RetrievalWindow:
                      sem_top_k=None, epi_top_k=None):
         return self.tri_retrieve_batch([query], pool_hashes, ver_top_k, sem_top_k, epi_top_k)[0]
 
-    def close(self) -> None:
-        with self._lock:
-            self._closed = True
-            self._lock.notify()
-        self._thread.join(timeout=30)
-        if self._thread.is_alive():
-            logger.warning(
-                "RetrievalWindow.close(): scheduler still serving after "
-                "30 s — in-flight requests will resolve when it finishes"
-            )
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *exc):
-        self.close()
-
     # ------------------------------------------------------------ scheduler
-    def _drain(self):
-        import time
+    def _units(self, item) -> int:
+        return len(item[0])  # queued ROW count (queries per request)
 
-        with self._lock:
-            while not self._queue and not self._closed:
-                self._lock.wait()
-            if not self._queue:
-                return []
-            deadline = time.monotonic() + self.window_s
-            rows = sum(len(q) for q, _, _, _ in self._queue)
-            while rows < self.max_rows and not self._closed:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
-                self._lock.wait(timeout=remaining)
-                rows = sum(len(q) for q, _, _, _ in self._queue)
-            # enforce max_rows at REQUEST boundaries (an oversized single
-            # request still goes alone, as it would without the window):
-            # a burst must not snowball into one unbounded device batch —
-            # at 200k chunks a 256-row merge keeps a ~205 MB score buffer
-            # alive and crosses the VMEM gather budget (CLAUDE.md)
-            batch, rows = [], 0
-            while self._queue:
-                n = len(self._queue[0][0])
-                if batch and rows + n > self.max_rows:
-                    break
-                batch.append(self._queue.pop(0))
-                rows += n
-            return batch  # leftovers serve on the next loop iteration
+    def _on_serve_error(self, batch, e: Exception) -> None:
+        # _serve handles per-group failures itself; this is the safety net
+        # for errors outside those try blocks
+        for _, _, _, fut in batch:
+            if fut.set_running_or_notify_cancel():
+                fut.set_exception(e)
 
-    def _run(self) -> None:
-        while True:
-            batch = self._drain()
-            if not batch:
-                if self._closed:
-                    return
-                continue
-            groups: Dict[tuple, list] = {}
-            for req in batch:
-                groups.setdefault(req[2], []).append(req)
-            for (vk, sk, ek), reqs in groups.items():
-                try:
-                    queries, rows_ph = [], []
-                    for q, ph, _, _ in reqs:
-                        queries.extend(q)
-                        rows_ph.extend([ph] * len(q))
-                    out = self.engine.tri_retrieve_batch(
-                        queries, ver_top_k=vk, sem_top_k=sk, epi_top_k=ek,
-                        pool_hashes_rows=rows_ph,
-                    )
-                except Exception as e:  # noqa: BLE001 — keep the thread alive
-                    # Retry each request ALONE: pre-window, a failure was
-                    # confined to its own question thread — one poison row
-                    # or transient device error must not crash every
-                    # concurrent requester's future.
-                    logger.warning(
-                        "retrieval window group failed (%s) — retrying "
-                        "requests individually", e,
-                    )
-                    for q, ph, _, fut in reqs:
-                        if not fut.set_running_or_notify_cancel():
-                            continue
-                        try:
-                            fut.set_result(self.engine.tri_retrieve_batch(
-                                q, ver_top_k=vk, sem_top_k=sk, epi_top_k=ek,
-                                pool_hashes_rows=[ph] * len(q),
-                            ))
-                        except Exception as ee:  # noqa: BLE001 — its own fault now
-                            fut.set_exception(ee)
-                    continue
-                at = 0
-                for q, _, _, fut in reqs:
+    def _serve(self, batch) -> None:
+        groups: Dict[tuple, list] = {}
+        for req in batch:
+            groups.setdefault(req[2], []).append(req)
+        for (vk, sk, ek), reqs in groups.items():
+            try:
+                queries, rows_ph = [], []
+                for q, ph, _, _ in reqs:
+                    queries.extend(q)
+                    rows_ph.extend([ph] * len(q))
+                out = self.engine.tri_retrieve_batch(
+                    queries, ver_top_k=vk, sem_top_k=sk, epi_top_k=ek,
+                    pool_hashes_rows=rows_ph,
+                )
+            except Exception as e:  # noqa: BLE001 — keep the thread alive
+                # Retry each request ALONE: pre-window, a failure was
+                # confined to its own question thread — one poison row
+                # or transient device error must not crash every
+                # concurrent requester's future.
+                logger.warning(
+                    "retrieval window group failed (%s) — retrying "
+                    "requests individually", e,
+                )
+                for q, ph, _, fut in reqs:
                     if not fut.set_running_or_notify_cancel():
-                        at += len(q)
                         continue
-                    fut.set_result(out[at : at + len(q)])
+                    try:
+                        fut.set_result(self.engine.tri_retrieve_batch(
+                            q, ver_top_k=vk, sem_top_k=sk, epi_top_k=ek,
+                            pool_hashes_rows=[ph] * len(q),
+                        ))
+                    except Exception as ee:  # noqa: BLE001 — its own fault now
+                        fut.set_exception(ee)
+                continue
+            at = 0
+            for q, _, _, fut in reqs:
+                if not fut.set_running_or_notify_cancel():
                     at += len(q)
+                    continue
+                fut.set_result(out[at : at + len(q)])
+                at += len(q)
