@@ -23,7 +23,7 @@ import argparse
 import json
 import os
 import time
-from typing import List
+from typing import Dict, List
 
 import numpy as np
 
@@ -126,12 +126,21 @@ def main(argv: List[str] | None = None) -> dict:
 
     rng = np.random.default_rng(args.seed)
     losses: List[float] = []
-    # a contrastive batch must not repeat a passage (a duplicate positive
-    # is an unwinnable in-batch negative), so batches cap at the pair count
-    batch_size = min(args.batch, len(pairs))
+    # a contrastive batch must not repeat a passage TEXT (a duplicate
+    # positive is an unwinnable in-batch negative) — sampling pair INDICES
+    # without replacement is not enough when several queries share one
+    # passage, so sample within passage-unique index groups
+    unique_pair_idx: Dict[str, int] = {}
+    for i, p_text in enumerate(passages):
+        unique_pair_idx.setdefault(p_text, i)
+    pool = np.asarray(sorted(unique_pair_idx.values()))
+    batch_size = min(args.batch, len(pool))
+    if batch_size < min(args.batch, len(pairs)):
+        print(f"note: {len(pairs) - len(pool)} pairs share passages; "
+              f"batches sample from {len(pool)} passage-unique pairs")
     t0 = time.perf_counter()
     for step in range(args.steps):
-        take = rng.choice(len(pairs), size=batch_size, replace=False)
+        take = rng.choice(pool, size=batch_size, replace=False)
         q_ids, q_mask = tokenize([queries[i] for i in take])
         p_ids, p_mask = tokenize([passages[i] for i in take])
         batch = {

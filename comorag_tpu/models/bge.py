@@ -110,6 +110,10 @@ def param_shardings(mesh, dp_axis: str = "data", tp_axis: str = "model"):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def ns(*spec):
+        # a mesh without the tp axis (pure data parallelism — the train
+        # CLI's own `--mesh_shape data=8` example) replicates instead of
+        # crashing on an unknown PartitionSpec axis
+        spec = tuple(s if s is None or s in mesh.shape else None for s in spec)
         return NamedSharding(mesh, P(*spec))
 
     return {

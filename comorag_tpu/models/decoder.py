@@ -152,6 +152,9 @@ def param_shardings(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def ns(*spec):
+        # replicate on meshes lacking the tp axis (pure-dp training) —
+        # same guard as bge.param_shardings
+        spec = tuple(s if s is None or s in mesh.shape else None for s in spec)
         return NamedSharding(mesh, P(*spec))
 
     def w3(in_spec, out_spec):

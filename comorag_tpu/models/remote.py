@@ -58,8 +58,21 @@ class RemoteEncoder(BaseEncoder):
                 with urllib.request.urlopen(req, timeout=self.timeout) as resp:
                     payload = json.loads(resp.read().decode("utf-8"))
                 data = sorted(payload["data"], key=lambda d: d["index"])
+                if len(data) != len(texts):
+                    # a short 200 response (server dropped an over-length
+                    # input) would silently misalign EVERY later
+                    # text/vector pair in the store
+                    raise ValueError(
+                        f"embeddings API returned {len(data)} rows for "
+                        f"{len(texts)} inputs"
+                    )
                 return [d["embedding"] for d in data]
-            except (urllib.error.URLError, OSError, KeyError, json.JSONDecodeError) as exc:
+            except (urllib.error.URLError, OSError, KeyError, json.JSONDecodeError, ValueError) as exc:
+                status = getattr(exc, "code", None)
+                if status is not None and 400 <= status < 500 and status != 429:
+                    # permanent client error (bad key / invalid request):
+                    # retries can never succeed, don't burn the backoff
+                    raise
                 if attempt == self.max_retries - 1:
                     raise
                 logger.warning("embeddings request failed (%s); retry in %.1fs", exc, delay)
@@ -70,6 +83,7 @@ class RemoteEncoder(BaseEncoder):
     # ---------------------------------------------------------------- encode
     def encode(self, texts: Sequence[str], instruction: str = "", norm=None) -> np.ndarray:
         norm = self.resolve_norm(norm)
+        texts = self._as_list(texts)  # a bare str must not iterate per CHAR
         texts = [(instruction + t) if instruction else t for t in texts]
         # the API rejects empty strings — substitute a space (reference
         # behavior: OpenAI.py replaces empties before the call)
@@ -77,7 +91,13 @@ class RemoteEncoder(BaseEncoder):
         out: List[List[float]] = []
         for i in range(0, len(texts), self.batch_size):
             out.extend(self._post(texts[i : i + self.batch_size]))
+        if not out:
+            # [0, dim] like every other encoder — a 1-D (0,) array breaks
+            # downstream concatenation/shape access
+            dim = getattr(self, "_dim", None)
+            return np.zeros((0, dim or 0), np.float32)
         embs = np.asarray(out, np.float32)
+        self._dim = embs.shape[1]
         if norm and embs.size:
             norms = np.linalg.norm(embs, axis=1, keepdims=True)
             norms[norms == 0] = 1.0

@@ -87,8 +87,9 @@ def make_train_step(
 
     p_shard = param_shardings(mesh, dp_axis, tp_axis)
     replicated = NamedSharding(mesh, P())
+    dp = dp_axis if dp_axis in mesh.shape else None  # tp-only mesh: replicate the batch
     batch_sharding = {
-        k: NamedSharding(mesh, P(dp_axis, None)) for k in ("q_ids", "q_mask", "p_ids", "p_mask")
+        k: NamedSharding(mesh, P(dp, None)) for k in ("q_ids", "q_mask", "p_ids", "p_mask")
     }
     # Adam moments follow the parameter shardings; scalars replicate.
     # eval_shape: only the TREE STRUCTURE is needed — concretely

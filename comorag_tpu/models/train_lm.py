@@ -81,10 +81,13 @@ def make_lm_train_step(
 
     p_shard = param_shardings(mesh, tp_axis, arch=arch)
     replicated = NamedSharding(mesh, P())
-    batch_sharding = {k: NamedSharding(mesh, P(dp_axis, None)) for k in ("ids", "mask")}
-    opt_shard = _shard_opt_like(
-        optimizer, p_shard, replicated, init_params(jax.random.PRNGKey(0), arch)
-    )
+    dp = dp_axis if dp_axis in mesh.shape else None  # tp-only mesh: replicate the batch
+    batch_sharding = {k: NamedSharding(mesh, P(dp, None)) for k in ("ids", "mask")}
+    # eval_shape: only the optimizer-state TREE is needed — a concrete
+    # init would allocate the full parameter set (+ RNG program compile)
+    # on the remote device per make_lm_train_step call (see train.py)
+    params_shape = jax.eval_shape(lambda: init_params(jax.random.PRNGKey(0), arch))
+    opt_shard = _shard_opt_like(optimizer, p_shard, replicated, params_shape)
     state_shardings = TrainState(p_shard, opt_shard, replicated)
     return jax.jit(
         step,

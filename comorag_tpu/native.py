@@ -126,6 +126,16 @@ def build_csr(
     dst = np.ascontiguousarray(dst, np.int32)
     w = np.ascontiguousarray(weights, np.float32)
     e = len(src)
+    # validate BEFORE crossing the ctypes boundary: an out-of-range node
+    # id corrupts the C++ heap silently (the numpy fallback would raise),
+    # and the int32 CSR offsets wrap past 2^31 arcs
+    if e > np.iinfo(np.int32).max:
+        raise ValueError(f"CSR offsets are int32: {e} arcs > 2^31-1")
+    if e and (
+        int(src.min()) < 0 or int(src.max()) >= n_nodes
+        or int(dst.min()) < 0 or int(dst.max()) >= n_nodes
+    ):
+        raise ValueError(f"arc endpoints out of range [0, {n_nodes})")
     if lib is None:
         order = np.argsort(src, kind="stable")
         indptr = np.zeros(n_nodes + 1, np.int32)
@@ -156,6 +166,11 @@ def ppr(
         return None
     indptr, indices, data = build_csr(src, dst, weights, n_nodes)
     resets = np.ascontiguousarray(np.atleast_2d(resets), np.float32)
+    if resets.shape[1] != n_nodes:
+        # the C++ kernel reads n_nodes floats per row with no width check:
+        # a mismatched row stride reads out of bounds / misaligned and
+        # returns silently wrong scores
+        raise ValueError(f"resets width {resets.shape[1]} != n_nodes {n_nodes}")
     b = resets.shape[0]
     out = np.zeros((b, n_nodes), np.float32)
     lib.ppr_csr(

@@ -162,29 +162,42 @@ def probe_and_cache(kind: Optional[str] = None, max_mb: int = 256) -> DeviceProf
     budget = _V5E_BUDGET_BYTES
     step_mb = 16
     baseline = None
-    for mb in range(32, max_mb + 1, step_mb):
-        n_nodes = mb * 2**20 // (4 * b)
-        rng = np.random.default_rng(0)
-        e = min(4 * n_nodes, 4_000_000)
-        src = rng.integers(0, n_nodes, e).astype(np.int32)
-        dst = rng.integers(0, n_nodes, e).astype(np.int32)
-        w = np.ones(e, np.float32)
-        g = _ppr.PPRGraph(src, dst, w, n_nodes, max_iters=12, tol=0.0, backend="device")
-        resets = np.zeros((b, n_nodes), np.float32)
-        resets[:, 0] = 1.0
-        g.query(resets)  # compile + warm
-        t0 = time.perf_counter()
-        g.query(resets)
-        dt = (time.perf_counter() - t0) / e
-        times_per_arc.append(dt)
-        sizes_mb.append(mb)
-        if baseline is None:
-            baseline = dt
-        elif dt > 3 * baseline:
-            budget = (mb - step_mb) * 2**20
-            break
-    else:
-        budget = max_mb * 2**20
+    # The probe must run UNCHUNKED states: PPRGraph.query splits batches
+    # under the ACTIVE profile's budget, so measuring through it can never
+    # materialize a state past that budget — the cliff is invisible, the
+    # loop exhausts, and max_mb would be cached as the "measured" budget
+    # (worse than never probing). Temporarily install an unbounded profile.
+    prior = _ppr._PROFILE
+    _ppr._PROFILE = DeviceProfile(
+        kind=kind, state_bytes_budget=1 << 40, node_bucket_step=_NODE_BUCKET_STEP,
+        good_batch=b, crossover_batch_arcs=_V5E_CROSSOVER, source="probe-unbounded",
+    )
+    try:
+        for mb in range(32, max_mb + 1, step_mb):
+            n_nodes = mb * 2**20 // (4 * b)
+            rng = np.random.default_rng(0)
+            e = min(4 * n_nodes, 4_000_000)
+            src = rng.integers(0, n_nodes, e).astype(np.int32)
+            dst = rng.integers(0, n_nodes, e).astype(np.int32)
+            w = np.ones(e, np.float32)
+            g = _ppr.PPRGraph(src, dst, w, n_nodes, max_iters=12, tol=0.0, backend="device")
+            resets = np.zeros((b, n_nodes), np.float32)
+            resets[:, 0] = 1.0
+            g.query(resets)  # compile + warm
+            t0 = time.perf_counter()
+            g.query(resets)
+            dt = (time.perf_counter() - t0) / e
+            times_per_arc.append(dt)
+            sizes_mb.append(mb)
+            if baseline is None:
+                baseline = dt
+            elif dt > 3 * baseline:
+                budget = (mb - step_mb) * 2**20
+                break
+        else:
+            budget = max_mb * 2**20
+    finally:
+        _ppr._PROFILE = prior
 
     prof = DeviceProfile(
         kind=kind,

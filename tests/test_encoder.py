@@ -98,6 +98,37 @@ def test_multichip_train_step_runs():
     assert len(q_w.sharding.device_set) == 8 or q_w.sharding.is_fully_replicated is False
 
 
+def test_data_parallel_only_mesh_train_step():
+    """The train CLI's own documented example (`--mesh_shape data=8`) must
+    run: parameter specs referencing an absent 'model' axis used to raise
+    ValueError at make_train_step (reproduced) — they replicate instead."""
+    arch = EncoderArch.tiny()
+    mesh = build_mesh({"data": 8})
+    step = make_train_step(arch, mesh=mesh)
+    state = create_train_state(jax.random.PRNGKey(0), arch)
+    batch = {
+        "q_ids": jnp.ones((8, 16), jnp.int32), "q_mask": jnp.ones((8, 16), jnp.int32),
+        "p_ids": jnp.ones((8, 16), jnp.int32), "p_mask": jnp.ones((8, 16), jnp.int32),
+    }
+    state, loss = step(state, batch)
+    assert np.isfinite(float(loss))
+
+
+def test_tp_only_mesh_lm_train_step():
+    """Symmetric case for the causal-LM step: a model-only mesh replicates
+    the batch instead of crashing on the absent 'data' axis."""
+    from comorag_tpu.models.decoder import DecoderArch
+    from comorag_tpu.models.train_lm import create_lm_train_state, make_lm_train_step
+
+    arch = DecoderArch.tiny()
+    mesh = build_mesh({"model": 8})
+    step = make_lm_train_step(arch, mesh=mesh)
+    state = create_lm_train_state(jax.random.PRNGKey(0), arch)
+    batch = {"ids": jnp.ones((4, 16), jnp.int32), "mask": jnp.ones((4, 16), jnp.int32)}
+    state, loss = step(state, batch)
+    assert np.isfinite(float(loss))
+
+
 def test_hf_checkpoint_parity(tmp_path):
     """Weight-conversion oracle: a randomly-initialized HF BERT saved to
     disk must produce the same pooled embeddings through the JAX encoder
