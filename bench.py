@@ -5,11 +5,12 @@ P queries against an N x d chunk-embedding corpus — and compares against
 the reference's retrieval path (torch-CPU ``mm`` + ``topk`` with batched
 key tiles, embed_utils.py:8-97 semantics) on the same data.
 
-Headline = the **two-pass** serving path: int8 scan (1/4 the HBM reads of
-fp32 — retrieval is bandwidth-bound) -> top-candidates -> exact fp32
-gather+rescore. The result set is verified EXACT against the CPU reference
-on every run (topk_overlap_vs_cpu); if a run ever measured < 1.0 the
-headline falls back to the fp32 single-pass number.
+Headline = the FASTEST variant whose result set is verified EXACT against
+the CPU reference on this run (topk_overlap_vs_cpu == 1.0) — the bench can
+never again report a self-crippled path while a faster exact one sits in
+the same JSON (VERDICT r3 #4). Certificate-rescue counts for the two-pass
+paths are reported in ``detail`` and a stderr warning fires if a two-pass
+variant underruns single-pass fp32.
 
 All TPU variants are measured in interleaved rounds (round-robin,
 best-of): the remote-tunnel throughput drifts minute-to-minute, and
@@ -85,18 +86,28 @@ def bench_tpu_variants(corpus, queries):
     device_batches = [jnp.asarray(q) for q in host_batches]
     device_batches[0].block_until_ready()
 
+    from comorag_tpu.utils import trace
+
+    def _rescued() -> float:
+        return trace.summary()["counters"].get("two_pass.rescued_batches", 0)
+
     best = {name: 0.0 for name in indexes}
     best["two_pass_device"] = 0.0
+    rescued = {name: 0 for name in best}
     for _ in range(ROUNDS):
         for name, index in indexes.items():
+            r0 = _rescued()
             start = time.perf_counter()
             index.topk_many(host_batches, k=K)
             elapsed = time.perf_counter() - start
             best[name] = max(best[name], P * TPU_ITERS / elapsed)
+            rescued[name] += int(_rescued() - r0)
+        r0 = _rescued()
         start = time.perf_counter()
         indexes["two_pass_int8"].topk_many(device_batches, k=K)
         elapsed = time.perf_counter() - start
         best["two_pass_device"] = max(best["two_pass_device"], P * TPU_ITERS / elapsed)
+        rescued["two_pass_device"] += int(_rescued() - r0)
 
     # sequential blocking (one sync per call) for reference, fp32 path
     n_block = max(3, TPU_ITERS // 10)
@@ -104,7 +115,7 @@ def bench_tpu_variants(corpus, queries):
     for _ in range(n_block):
         indexes["fp32"].topk(queries, k=K)
     qps_block = P * n_block / (time.perf_counter() - start)
-    return best, out_idx, qps_block
+    return best, out_idx, qps_block, rescued
 
 
 def bench_cpu_reference(corpus, queries):
@@ -182,24 +193,33 @@ def _probe_device(attempts: int = 6, timeout_s: int = 100) -> None:
 
 
 def main() -> None:
+    import sys
+
     _probe_device()
     corpus, queries = make_data()
-    qps, idx, qps_block = bench_tpu_variants(corpus, queries)
+    qps, idx, qps_block, rescued = bench_tpu_variants(corpus, queries)
     cpu_qps, cpu_idx = bench_cpu_reference(corpus, queries)
 
     ov = {name: overlap(idx[name], cpu_idx) for name in idx}
-    # Headline: the SHIPPED serving path — the engine hands query
-    # embeddings to the index device-resident (encode_device, no host
-    # bounce), scored by the exact two-pass. Falls back to the host-upload
-    # two-pass, then fp32, if this run's output disagrees with the CPU
-    # oracle. The CPU reference likewise starts from in-memory embeddings,
-    # so both sides exclude encode cost.
-    if ov["two_pass_device"] >= 1.0:
-        headline = "two_pass_device"
-    elif ov["two_pass_int8"] >= 1.0:
-        headline = "two_pass_int8"
-    else:
-        headline = "fp32"
+    # Headline: the FASTEST path this run verified EXACT against the CPU
+    # oracle (every exact path returns the same set — picking the fastest
+    # can never trade correctness, only protect against a path crippling
+    # itself, e.g. the r3 certificate regression). The serving default
+    # (device-resident two-pass) is expected to win; if it doesn't, the
+    # JSON says so and a stderr warning fires. The CPU reference likewise
+    # starts from in-memory embeddings, so both sides exclude encode cost.
+    exact_paths = [name for name in qps if ov.get(name, 0.0) >= 1.0]
+    headline = max(exact_paths or ["fp32"], key=lambda name: qps[name])
+    for tp in ("two_pass_int8", "two_pass_device"):
+        # >20% under fp32 is a real regression; smaller gaps on the
+        # host-upload row are tunnel-wire drift (both paths are wire-bound)
+        if qps[tp] < 0.8 * qps["fp32"]:
+            print(
+                f"bench: WARNING {tp} ({qps[tp]:.0f} qps) underruns single-pass "
+                f"fp32 ({qps['fp32']:.0f} qps) — two-pass regression "
+                f"(rescued batches: {rescued[tp]})",
+                file=sys.stderr,
+            )
     result = {
         "metric": "retrieval_qps_per_chip",
         "value": round(qps[headline], 2),
@@ -218,6 +238,8 @@ def main() -> None:
             "tpu_two_pass_device_resident_qps": round(qps["two_pass_device"], 2),
             "tpu_bf16_pipelined_qps": round(qps["bf16"], 2),
             "tpu_int8_pipelined_qps": round(qps["int8"], 2),
+            "two_pass_rescued_batches": rescued["two_pass_int8"],
+            "two_pass_device_rescued_batches": rescued["two_pass_device"],
             "topk_overlap_vs_cpu": round(ov[headline], 4),
             "topk_overlap_two_pass_vs_cpu": round(ov["two_pass_int8"], 4),
             "topk_overlap_two_pass_device_vs_cpu": round(ov["two_pass_device"], 4),

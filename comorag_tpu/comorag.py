@@ -391,10 +391,22 @@ class ComoRAG:
                     key_batch_size=self.config.synonymy_edge_key_batch_size,
                 )
         node_names = list(entity_keys) + list(chunk_ids)
+        summary_keys: list = []
         if self.config.need_cluster and self.sem_store is not None:
-            node_names += list(self.sem_store.get_all_ids())
+            summary_keys = list(self.sem_store.get_all_ids())
+            node_names += summary_keys
         with trace.span("graph.finalize"):
             self.graph = builder.finalize(node_names, directed=self.config.is_directed_graph)
+            # structural census (reference get_graph_info, ComoRAG.py:843-874):
+            # logged at finalize and surfaced in trace.json gauges
+            self.graph.census = builder.census(
+                node_names,
+                passage_keys=chunk_ids,
+                summary_keys=summary_keys,
+                num_extracted_triples=len(self.fact_store.get_all_ids()),
+            )
+            for key, value in self.graph.info().items():
+                trace.gauge(f"graph.census.{key}", value)
         self.graph.save(self._graph_prefix)
         tmp_meta = meta_path + ".tmp"
         with open(tmp_meta, "w", encoding="utf-8") as f:

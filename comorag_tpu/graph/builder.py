@@ -45,6 +45,7 @@ class GraphData:
         dst: np.ndarray,
         weights: np.ndarray,
         ent_node_to_num_chunk: Dict[str, int],
+        census: Optional[Dict[str, int]] = None,
     ):
         self.node_names = node_names
         self.name_to_idx = {n: i for i, n in enumerate(node_names)}
@@ -52,6 +53,7 @@ class GraphData:
         self.dst = dst
         self.weights = weights
         self.ent_node_to_num_chunk = ent_node_to_num_chunk
+        self.census = dict(census or {})
 
     @property
     def n_nodes(self) -> int:
@@ -89,7 +91,11 @@ class GraphData:
         os.replace(path_prefix + ".npz.tmp.npz", path_prefix + ".npz")
         with open(path_prefix + ".json.tmp", "w", encoding="utf-8") as f:
             json.dump(
-                {"node_names": self.node_names, "ent_node_to_num_chunk": self.ent_node_to_num_chunk},
+                {
+                    "node_names": self.node_names,
+                    "ent_node_to_num_chunk": self.ent_node_to_num_chunk,
+                    "census": self.census,
+                },
                 f,
             )
         os.replace(path_prefix + ".json.tmp", path_prefix + ".json")
@@ -107,10 +113,20 @@ class GraphData:
             arrays["dst"],
             arrays["weights"],
             meta["ent_node_to_num_chunk"],
+            census=meta.get("census"),
         )
 
-    def info(self) -> Dict[str, int]:
-        return {"num_nodes": self.n_nodes, "num_arcs": self.n_arcs}
+    def info(self) -> Dict[str, float]:
+        # arcs are directed half-edges; symmetric pairs make arcs/nodes
+        # exactly the average undirected degree (ref get_graph_info logs
+        # the same structural summary after augmentation)
+        out: Dict[str, float] = {
+            "num_nodes": self.n_nodes,
+            "num_arcs": self.n_arcs,
+            "avg_degree": round(self.n_arcs / self.n_nodes, 4) if self.n_nodes else 0.0,
+        }
+        out.update(self.census)
+        return out
 
 
 def _key_blocked_topk(
@@ -163,6 +179,7 @@ class GraphBuilder:
         # across many triples (3.2M hash calls over ~200k uniques at
         # 200k-chunk scale profiled as half the add_fact_edges wall)
         self._ekey: Dict[str, str] = {}
+        self._synonymy_count = 0  # exact, for the census
 
     def _entity_key(self, name: str) -> str:
         key = self._ekey.get(name)
@@ -287,8 +304,51 @@ class GraphBuilder:
             )
         )
         num_added = int(qs.shape[0])
+        self._synonymy_count += num_added
         logger.info("Added %d synonymy edges", num_added)
         return num_added
+
+    # --------------------------------------------------------------- census
+    def census(
+        self,
+        node_names: Sequence[str],
+        passage_keys: Sequence[str],
+        summary_keys: Sequence[str] = (),
+        num_extracted_triples: Optional[int] = None,
+    ) -> Dict[str, int]:
+        """Structural graph census — reference ``get_graph_info`` parity
+        (ComoRAG.py:843-874): node counts by class, stats-entry counts by
+        edge class. ``num_extracted_triples`` is the fact-store row count
+        (unique OpenIE triples); synonymy entries are the remainder after
+        fact and passage entries, mirroring the reference's arithmetic
+        (its double-entry fact edges make two stats entries per triple, so
+        the remainder subtracts BOTH — same here)."""
+        passage_set = set(passage_keys)
+        summary_set = set(summary_keys)
+        n_passage = len(passage_set)
+        n_summary = len(summary_set)
+        n_phrase = len(set(node_names)) - n_passage - n_summary
+        with_passage = sum(
+            1 for (u, v) in self.stats if u in passage_set or v in passage_set
+        )
+        total = len(self.stats)
+        out: Dict[str, int] = {
+            "num_phrase_nodes": n_phrase,
+            "num_passage_nodes": n_passage,
+            "num_summary_nodes": n_summary,
+            "num_total_nodes": n_phrase + n_passage + n_summary,
+            "num_triples_with_passage_node": with_passage,
+            "num_total_triples": total,
+        }
+        # deviation from the reference (documented, SURVEY §7.3 style):
+        # it derives synonymy as `total - extracted - with_passage`, which
+        # miscounts because fact triples are double-entered in the stats
+        # while the fact store counts each once; we track the exact count
+        # at add time instead.
+        out["num_synonymy_triples"] = self._synonymy_count
+        if num_extracted_triples is not None:
+            out["num_extracted_triples"] = int(num_extracted_triples)
+        return out
 
     # -------------------------------------------------------------- finalize
     def finalize(self, node_names: Sequence[str], directed: bool = False) -> GraphData:

@@ -125,6 +125,97 @@ def quantize_int8(corpus: jnp.ndarray | "np.ndarray") -> Tuple[jnp.ndarray, jnp.
     return jnp.asarray(q), jnp.asarray(scales.astype(np.float32))
 
 
+def _scan_eps(dim: int) -> float:
+    """Arithmetic-error allowance per unit ``qnorm * row_norm`` for the
+    certified scan + rescore: the query hi/lo bf16 split leaves a relative
+    2^-18 residual, and each fp32-accumulated dot (two scan channels, the
+    fp32 rescore, the per-row scale fold) contributes at most d*2^-24
+    worst-case sequential rounding. 4x covers all of them with margin."""
+    return 2.0 ** -18 + 4.0 * dim * 2.0 ** -24
+
+
+RESIDUAL_FOLD = 256.0  # channel-2 values sit at s1/256 — a power of two,
+# so folding it into the (bf16) query copies is EXACT
+
+
+def quantize_int8_residual(
+    corpus: "np.ndarray", block: int = 32768
+) -> Tuple["np.ndarray", "np.ndarray", float]:
+    """Residual-compensated dual-int8 quantization for the certified
+    two-pass scan (replaces the r3 single-channel scan whose pool-max
+    error estimate was unsound — VERDICT r3 #1/#3).
+
+    Channel 1 quantizes the row; channel 2 quantizes channel 1's error at
+    a FIXED relative step of ``s1/RESIDUAL_FOLD``:
+
+        row ≈ s1 * (q1 + q2 / 256)
+
+    so the residual ``e2`` is bounded per element by ~``s1/512`` — 16
+    effective bits at 2 bytes/element HBM (the same bytes as a bf16 scan,
+    ~100x tighter). The fixed power-of-two channel-2 step lets the device
+    scan run as ONE fused matmul over the feature-concatenated
+    ``[N, 2d]`` int8 matrix with the 1/256 folded into the query copies
+    (measured 2.8x faster than two separate channel dots, which defeated
+    XLA's operand-read fusion).
+
+    Returns ``(cat, s1, bound)``: ``cat`` the [N, 2d] int8 matrix
+    ``[q1 | q2]``, ``s1`` the [N] f32 per-row scales, and ``bound`` the
+    SOUND per-query exactness-certificate scalar — for any query q and
+    row x,
+
+        |true_score - scan_score| <= ||q||_2 * bound
+
+    by Cauchy-Schwarz on the exactly-known residual (max_j ||e2_j||_2,
+    computed here in float64) plus the arithmetic terms of ``_scan_eps``.
+    The two-pass result is certifiably exact for a query row whenever its
+    k-th rescored value clears the scan pool boundary by more than
+    ``||q|| * bound`` (ops/topk._exactness_flag).
+    """
+    import numpy as np
+
+    c32 = np.asarray(corpus, np.float32)
+    n, d = c32.shape if c32.ndim == 2 else (c32.shape[0], 1)
+    cat = np.empty((n, 2 * d), np.int8)
+    s1 = np.empty(n, np.float32)
+    beta_max = 0.0  # max_j ||e2_j||_2, exact (f64)
+    chi_max = 0.0   # max_j ||s1*(q1 + q2/256)||_2 (what the scan dots)
+    for i in range(0, n, block):
+        x = c32[i : i + block].astype(np.float64)
+        a1 = np.abs(x).max(axis=1) / 127.0
+        a1 = np.where(a1 == 0, 1.0, a1)
+        a1 = a1.astype(np.float32).astype(np.float64)  # device folds f32
+        b1 = np.clip(np.rint(x / a1[:, None]), -127, 127)
+        # residual in units of s1/256: in [-128, 128], clipped to int8
+        b2 = np.clip(np.rint((x / a1[:, None] - b1) * RESIDUAL_FOLD), -127, 127)
+        hat = a1[:, None] * (b1 + b2 / RESIDUAL_FOLD)
+        e2 = x - hat
+        beta_max = max(beta_max, float(np.sqrt((e2 * e2).sum(axis=1)).max(initial=0.0)))
+        chi_max = max(chi_max, float(np.sqrt((hat * hat).sum(axis=1)).max(initial=0.0)))
+        cat[i : i + block, :d] = b1.astype(np.int8)
+        cat[i : i + block, d:] = b2.astype(np.int8)
+        s1[i : i + block] = a1.astype(np.float32)
+    bound = beta_max + _scan_eps(d) * max(chi_max, 1e-30)
+    return cat, s1, float(bound)
+
+
+def bf16_scan_corpus(corpus: "np.ndarray") -> Tuple["np.ndarray", float]:
+    """bf16 cast of the corpus + its sound certificate ``bound`` (same
+    contract as ``quantize_int8_residual``): the cast residual norm is
+    exactly computable at build time, ~2^-9 per unit row norm — looser
+    than the dual-int8 channel at the same 2 bytes/element."""
+    import ml_dtypes
+    import numpy as np
+
+    c32 = np.asarray(corpus, np.float32)
+    hat16 = c32.astype(ml_dtypes.bfloat16)
+    hat = hat16.astype(np.float64)
+    e = c32.astype(np.float64) - hat
+    beta_max = float(np.sqrt((e * e).sum(axis=1)).max(initial=0.0))
+    chi_max = float(np.sqrt((hat * hat).sum(axis=1)).max(initial=0.0))
+    d = c32.shape[1] if c32.ndim == 2 else 1
+    return hat16, beta_max + _scan_eps(d) * max(chi_max, 1e-30)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "exact"))
 def int8_topk(
     queries: jnp.ndarray,    # [P, d] f32
@@ -223,97 +314,143 @@ def make_packed_int8_topk(k: int, exact: bool = True):
     return fn
 
 
+def _certified_scan(queries: jnp.ndarray, scan_mat: jnp.ndarray, scales) -> jnp.ndarray:
+    """The certified compressed scan shared by the single-device and
+    sharded two-pass — ONE fused matmul:
+
+      - queries split hi/lo into bf16 (the query cast then contributes
+        only a 2^-18 relative residual, not bf16's 2^-9) and stacked into
+        a [2P, ...] operand, so the corpus is read from HBM exactly once;
+      - ``scales`` is not None: ``scan_mat`` is the [rows, 2d] int8
+        residual layout from ``quantize_int8_residual`` — the query
+        copies are feature-concatenated with an EXACT power-of-two 1/256
+        fold ([q, q/256]) so one dot yields q·q1 + q·q2/256, scaled
+        per-row afterwards;
+      - ``scales`` is None: ``scan_mat`` is a plain [rows, d] bf16 cast.
+    """
+    p = queries.shape[0]
+    q32 = queries.astype(jnp.float32)
+    q_hi = q32.astype(jnp.bfloat16)
+    q_lo = (q32 - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    qs = jnp.concatenate([q_hi, q_lo], axis=0)  # [2P, d]
+    if scales is not None:
+        qs = jnp.concatenate([qs, qs * jnp.bfloat16(1.0 / RESIDUAL_FOLD)], axis=1)
+    dd = jnp.dot(qs, scan_mat.T.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    s = dd[:p] + dd[p:]
+    if scales is not None:
+        s = s * scales[None, :]
+    return s
+
+
+def _two_pass_core(
+    queries: jnp.ndarray,      # [P, d] fp32
+    scan_mat: jnp.ndarray,     # THIS device's scan rows (int8 [rows, 2d]
+    scales,                    #   with scales [rows], or bf16 [rows, d])
+    corpus_f32: jnp.ndarray,   # [rows, d] fp32 (same rows as scan_mat)
+    n_valid,                   # global valid-row count (scalar)
+    k: int,
+    candidates: int,
+    offset=0,                  # global row id of this device's row 0
+    local_valid=None,          # valid rows on THIS device (sharded only)
+):
+    """scan -> pool -> exact fp32 rescore. Returns (rescored [P, k'],
+    global idx [P, k'], pool boundary scan value [P], qnorm [P],
+    immune [P] bool — rows that can never flag: the pool covered every
+    valid row (nothing outside to miss) or the query is all-zero padding)."""
+    rows_here = corpus_f32.shape[0]
+    c = min(candidates, rows_here)
+    s = _mask_padded(_certified_scan(queries, scan_mat, scales), n_valid, offset=offset)
+    # consume ONLY the indices of the scan top_k: reading its values
+    # output flips XLA's TPU lowering to a variant measured 2.7x slower
+    # end-to-end (0.84 -> 2.24 ms at 100k x 1024); the certificate's pool
+    # boundary is recovered bit-identically by a tiny gather from the
+    # score matrix that top_k already materialized
+    cand = jax.lax.top_k(s, c)[1]
+    boundary = jnp.min(jnp.take_along_axis(s, cand, axis=1), axis=1)
+    pool = jnp.take(corpus_f32, cand, axis=0)  # [P, C, d] fp32
+    exact = jnp.einsum(
+        "pd,pcd->pc",
+        queries,
+        pool,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    exact_m = jnp.where(cand + offset < n_valid, exact, NEG_INF)
+    k_local = min(k, c)
+    rv, pos = jax.lax.top_k(exact_m, k_local)
+    idx = jnp.take_along_axis(cand, pos, axis=1) + offset
+    qnorm = jnp.sqrt(jnp.sum(jnp.square(queries.astype(jnp.float32)), axis=1))
+    full_cover = c >= (n_valid if local_valid is None else local_valid)
+    immune = jnp.logical_or(jnp.broadcast_to(full_cover, qnorm.shape), qnorm == 0)
+    return rv, idx, boundary, qnorm, immune
+
+
 def make_packed_two_pass_topk(k: int, candidates: int, scan: str = "int8"):
-    """Two-pass exact top-k: a low-precision *scan* over compressed storage
-    (int8: 1/4 the HBM reads of fp32; bf16: 1/2 — retrieval is
+    """Two-pass exact top-k: a compressed *scan* (dual-int8 residual
+    channels or bf16 — 1/2 the HBM reads of fp32; retrieval is
     HBM-bandwidth-bound) selects ``candidates`` rows per query, then an
     exact fp32 gather+rescore of just those rows picks the final k.
 
-    The result is bit-exact vs the fp32 path whenever the true top-k is a
-    subset of the scan's top-``candidates`` — the bench measures overlap
-    at the shipped margin. The scan matmul runs in bf16 on the MXU (int8
-    values convert to bf16 exactly; scan error is dominated by
-    quantization, which the rescore removes). Rescore intermediate is
-    [P, candidates, d] fp32 — size the candidate count accordingly for
-    very large query buckets.
+    Exactness is certified PER ROW on device by a sound analytic bound
+    (see ``quantize_int8_residual`` / ``_exactness_flag``): a row whose
+    k-th rescored value clears the scan pool boundary by more than
+    ``||q|| * bound`` provably has its true top-k inside the pool. Rows
+    that don't clear it carry a flag and are rescued by the caller with a
+    per-row fp32 pass (retrieval/index.TwoPassHandle) — never a whole-
+    batch blocking fallback (VERDICT r3 #1/#3).
+
+    Rescore intermediate is [P, candidates, d] fp32 — size the candidate
+    count accordingly for very large query buckets.
     """
 
     @jax.jit
-    def fn_int8(queries, corpus_q, scales, corpus_f32, n_valid):
-        c = min(candidates, corpus_q.shape[0])
-        s = _int8_scan_dot(queries, corpus_q, scales)
-        s = _mask_padded(s, n_valid)
-        sv, cand = jax.lax.top_k(s, c)
-        rows = jnp.take(corpus_f32, cand, axis=0)  # [P, C, d] fp32
-        exact = jnp.einsum(
-            "pd,pcd->pc",
-            queries,
-            rows,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
+    def fn_int8(queries, scan_cat, scales, corpus_f32, n_valid, bound):
+        rv, idx, boundary, qnorm, immune = _two_pass_core(
+            queries, scan_cat, scales, corpus_f32, n_valid, k, candidates
         )
-        exact_m = jnp.where(cand < n_valid, exact, NEG_INF)
-        k_local = min(k, c)
-        s2, pos = jax.lax.top_k(exact_m, k_local)
-        idx = jnp.take_along_axis(cand, pos, axis=1)
-        flag = _exactness_flag(sv, exact, s2[:, k_local - 1], cand, n_valid, c)
-        return _pack_flagged(s2, idx, flag)
+        flag = _exactness_flag(boundary, rv[:, -1], qnorm, bound, immune)
+        return _pack_flagged(rv, idx, flag)
 
     @jax.jit
-    def fn_bf16(queries, corpus_bf16, corpus_f32, n_valid):
-        c = min(candidates, corpus_bf16.shape[0])
-        s = jnp.dot(
-            queries.astype(jnp.bfloat16),
-            corpus_bf16.T,
-            preferred_element_type=jnp.float32,
+    def fn_bf16(queries, corpus_bf16, corpus_f32, n_valid, bound):
+        rv, idx, boundary, qnorm, immune = _two_pass_core(
+            queries, corpus_bf16, None, corpus_f32, n_valid, k, candidates
         )
-        s = _mask_padded(s, n_valid)
-        sv, cand = jax.lax.top_k(s, c)
-        rows = jnp.take(corpus_f32, cand, axis=0)
-        exact = jnp.einsum(
-            "pd,pcd->pc",
-            queries,
-            rows,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        exact_m = jnp.where(cand < n_valid, exact, NEG_INF)
-        k_local = min(k, c)
-        s2, pos = jax.lax.top_k(exact_m, k_local)
-        idx = jnp.take_along_axis(cand, pos, axis=1)
-        flag = _exactness_flag(sv, exact, s2[:, k_local - 1], cand, n_valid, c)
-        return _pack_flagged(s2, idx, flag)
+        flag = _exactness_flag(boundary, rv[:, -1], qnorm, bound, immune)
+        return _pack_flagged(rv, idx, flag)
 
     return fn_int8 if scan == "int8" else fn_bf16
 
 
 def _exactness_flag(
-    scan_vals: jnp.ndarray,   # [P, c] scan scores of the pool, desc
-    exact: jnp.ndarray,       # [P, c] fp32 rescores, SAME candidate order
-    rescored_k: jnp.ndarray,  # [P] the k-th best rescored value
-    cand: jnp.ndarray,        # [P, c] candidate row ids
-    n_valid,
-    c: int,
+    boundary: jnp.ndarray,    # [P] the c-th (worst) scan score in the pool
+    kth_value: jnp.ndarray,   # [P] the k-th best fp32-rescored value that
+                              #     the final (merged) result keeps
+    qnorm: jnp.ndarray,       # [P] fp32 query L2 norms
+    bound,                    # scalar: max-row |true-scan| per unit qnorm
+    immune: jnp.ndarray,      # [P] bool: full pool coverage / padding row
 ) -> jnp.ndarray:
     """[P] int32: 1 when this row's two-pass result is not certifiably
-    exact. A row OUTSIDE the pool scores at most (scan boundary value +
-    scan error); the pool's own observed |rescore - scan| errors estimate
-    that error, so the certificate is
+    exact. SOUND: every row outside the scan pool has computed scan score
+    <= boundary, and |true - scan| <= qnorm * bound for every row (bound
+    is the build-time Cauchy-Schwarz residual bound plus arithmetic
+    allowances — quantize_int8_residual / _scan_eps; the rescore's own
+    fp32 error is inside the same allowance). So when
 
-        rescored_k >= scan_vals[:, c-1] + max_pool_error.
+        kth_value - boundary > qnorm * bound
 
-    Near-duplicate/boilerplate chunks (which quantize onto each other and
-    tie the scan at the boundary — the one reproduced inexactness class)
-    fail it and fall back to fp32; well-separated corpora pass with slack
-    (measured at 100k x 1024: min slack +5e-4, no false positives). The
-    pool max is an estimate of the corpus-wide error, not a proof — the
-    bench additionally verifies overlap == 1.0 on every run. When every
-    valid row fits the pool there is nothing outside it — never flagged."""
-    valid = cand < n_valid
-    err_max = jnp.max(jnp.where(valid, jnp.abs(exact - scan_vals), 0.0), axis=1)
-    ambiguous = rescored_k - scan_vals[:, c - 1] <= err_max
-    full_cover = c >= n_valid
-    return jnp.where(jnp.logical_and(ambiguous, ~full_cover), 1, 0).astype(jnp.int32)
+    no outside row can beat the value the result keeps at rank k, and the
+    result is provably the exact top-k. On a mesh, ``kth_value`` is the
+    GLOBAL merged k-th (not the shard-local one): a shard whose pool
+    boundary sits below the global k-th by more than the error bound
+    cannot hide a winner, however ambiguous its own tail is — this keeps
+    an all-duplicates shard from flagging queries it can't affect. The
+    dual-int8 residual scan keeps ``bound`` ~1e-4 per unit norm — orders
+    below the pool-boundary gap of any non-degenerate corpus — so the
+    flag fires only on genuine sub-residual-step ties (exact duplicate/
+    boilerplate rows straddling the pool boundary)."""
+    ambiguous = kth_value - boundary <= qnorm * bound
+    return jnp.where(ambiguous & (~immune), 1, 0).astype(jnp.int32)
 
 
 def _pack_flagged(scores: jnp.ndarray, idx: jnp.ndarray, flag: jnp.ndarray) -> jnp.ndarray:
@@ -435,12 +572,13 @@ def make_sharded_two_pass_topk(
     """Sharded exact two-pass top-k: per-shard compressed scan -> local
     fp32 gather+rescore -> ICI merge (VERDICT r2 task #1).
 
-    Every device scans ITS corpus rows in int8/bf16 (1/4 or 1/2 the HBM
-    reads of fp32 — retrieval is bandwidth-bound), picks its local
-    top-``candidates``, rescores just those rows from its *local* fp32
-    shard (the gather never crosses devices), and takes a local exact
-    top-k. Per-shard winners then ride ICI via ``all_gather`` into the
-    global merge — identical merge topology to ``make_sharded_topk``.
+    Every device scans ITS corpus rows compressed (dual-int8 residual
+    channels or bf16 — 1/2 the HBM reads of fp32; retrieval is
+    bandwidth-bound), picks its local top-``candidates``, rescores just
+    those rows from its *local* fp32 shard (the gather never crosses
+    devices), and takes a local exact top-k. Per-shard winners then ride
+    ICI via ``all_gather`` into the global merge — identical merge
+    topology to ``make_sharded_topk``.
 
     Exactness: per-shard local-top-k ⊆ local-scan-top-C is the same
     margin property as the single-device two-pass, but applied to 1/n of
@@ -449,69 +587,54 @@ def make_sharded_two_pass_topk(
     Replaces the reference's single-device torch scan (embed_utils.py:8-97)
     at any device count.
 
-    int8 signature: (queries [P,d] f32, scan_q [N_pad,d] int8 sharded,
-    scales [N_pad] f32 sharded, corpus_f32 [N_pad,d] f32 sharded, n_valid).
-    bf16 signature drops the scales operand.
+    int8 signature: (queries [P,d] f32, scan_cat [N_pad,2d] int8 sharded,
+    scales [N_pad] f32 sharded, corpus_f32 [N_pad,d] f32 sharded,
+    n_valid, bound). bf16 signature: (queries, corpus_bf16 sharded,
+    corpus_f32 sharded, n_valid, bound). ``bound`` is the certificate
+    scalar from ``quantize_int8_residual`` / ``bf16_scan_corpus``; flags
+    stay PER ROW across shards (elementwise pmax — a row is ambiguous iff
+    ANY shard's pool boundary reaches the merged k-th), so the caller
+    rescues only the flagged rows, not the whole batch.
     """
 
-    def _local(queries, scan_shard, scales_shard, f32_shard, n_valid):
-        shard_rows = scan_shard.shape[0]
+    def _local(queries, scan_shard, scales_shard, f32_shard, n_valid, bound):
+        shard_rows = f32_shard.shape[0]
         my_shard = jax.lax.axis_index(axis)
         offset = my_shard * shard_rows
-        c = min(candidates, shard_rows)
-        if scan == "int8":
-            s = _int8_scan_dot(queries, scan_shard, scales_shard)
-        else:
-            s = jnp.dot(
-                queries.astype(jnp.bfloat16),
-                scan_shard.T,
-                preferred_element_type=jnp.float32,
-            )
-        s = _mask_padded(s, n_valid, offset=offset)
-        sv, cand = jax.lax.top_k(s, c)  # local row ids within the shard
-        rows = jnp.take(f32_shard, cand, axis=0)  # [P, C, d] fp32, local
-        exact = jnp.einsum(
-            "pd,pcd->pc",
-            queries,
-            rows,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        exact_m = jnp.where(cand + offset < n_valid, exact, NEG_INF)
-        local_k = min(k, c)
-        local_scores, pos = jax.lax.top_k(exact_m, local_k)
-        local_idx = jnp.take_along_axis(cand, pos, axis=1) + offset
-        # shard-local exactness certificate (see _exactness_flag); the
-        # shard's valid-row count bounds full coverage, and any shard's
-        # ambiguity poisons the merged result -> max across the axis
+        # the shard's own valid-row count bounds full pool coverage
         local_valid = jnp.clip(n_valid - offset, 0, shard_rows)
-        flag = _exactness_flag(
-            sv, exact, local_scores[:, local_k - 1], cand, local_valid, c
+        local_scores, local_idx, boundary, qnorm, immune = _two_pass_core(
+            queries, scan_shard, scales_shard, f32_shard, n_valid, k, candidates,
+            offset=offset, local_valid=local_valid,
         )
-        flag = jax.lax.pmax(flag, axis)
         all_scores = jax.lax.all_gather(local_scores, axis, axis=1, tiled=True)
         all_idx = jax.lax.all_gather(local_idx, axis, axis=1, tiled=True)
         merged_scores, merged_pos = jax.lax.top_k(all_scores, min(k, all_scores.shape[1]))
         merged_idx = jnp.take_along_axis(all_idx, merged_pos, axis=1)
+        # certificate per shard against the GLOBAL merged k-th (see
+        # _exactness_flag): a shard can only hide a winner if its pool
+        # boundary reaches the value the merged result keeps at rank k
+        flag = _exactness_flag(boundary, merged_scores[:, -1], qnorm, bound, immune)
+        flag = jax.lax.pmax(flag, axis)  # per-row OR across shards
         return _pack_flagged(merged_scores, merged_idx, flag)
 
     if scan == "int8":
         sharded = shard_map(
             _local,
             mesh=mesh,
-            in_specs=(P(), P(axis, None), P(axis), P(axis, None), P()),
+            in_specs=(P(), P(axis, None), P(axis), P(axis, None), P(), P()),
             out_specs=P(),
             check_vma=False,
         )
         return jax.jit(sharded)
 
-    def _local_bf16(queries, scan_shard, f32_shard, n_valid):
-        return _local(queries, scan_shard, None, f32_shard, n_valid)
+    def _local_bf16(queries, scan_shard, f32_shard, n_valid, bound):
+        return _local(queries, scan_shard, None, f32_shard, n_valid, bound)
 
     sharded = shard_map(
         _local_bf16,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis, None), P()),
+        in_specs=(P(), P(axis, None), P(axis, None), P(), P()),
         out_specs=P(),
         check_vma=False,
     )

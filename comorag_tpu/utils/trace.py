@@ -8,6 +8,8 @@ observability layer:
     registry (thread-safe; spans aggregate by name: count/total/max),
   - ``count(name, n)``: monotonic counters (LLM calls, cache hits,
     device dispatches, ...),
+  - ``gauge(name, value)``: last-write-wins point-in-time values
+    (graph census at finalize, pool sizes, ...),
   - ``summary()`` / ``dump(path)``: snapshot for logs or a JSON artifact
     (written next to the QA results by the orchestrator).
 
@@ -26,6 +28,7 @@ from typing import Dict, Iterator
 _LOCK = threading.Lock()
 _SPANS: Dict[str, Dict[str, float]] = {}
 _COUNTERS: Dict[str, float] = {}
+_GAUGES: Dict[str, float] = {}
 _ENABLED = os.environ.get("COMORAG_TRACE", "1") not in ("0", "false", "off")
 
 
@@ -57,6 +60,13 @@ def count(name: str, n: float = 1) -> None:
         _COUNTERS[name] = _COUNTERS.get(name, 0) + n
 
 
+def gauge(name: str, value: float) -> None:
+    if not _ENABLED:
+        return
+    with _LOCK:
+        _GAUGES[name] = value
+
+
 def summary() -> Dict[str, Dict]:
     with _LOCK:
         spans = {
@@ -69,7 +79,8 @@ def summary() -> Dict[str, Dict]:
             for k, v in sorted(_SPANS.items())
         }
         counters = dict(sorted(_COUNTERS.items()))
-    return {"spans": spans, "counters": counters}
+        gauges = dict(sorted(_GAUGES.items()))
+    return {"spans": spans, "counters": counters, "gauges": gauges}
 
 
 def dump(path: str) -> None:
@@ -84,3 +95,4 @@ def reset() -> None:
     with _LOCK:
         _SPANS.clear()
         _COUNTERS.clear()
+        _GAUGES.clear()

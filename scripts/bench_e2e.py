@@ -179,10 +179,18 @@ def main() -> None:
         rag_imp.try_answer(queries[:n_q])
         qa_imp_s = time.perf_counter() - t0
 
-    spans = trace.summary()["spans"]
+    summary = trace.summary()
+    spans = summary["spans"]
+    counters = summary["counters"]
     report = {
         "chunks": args.chunks,
         "queries": len(queries),
+        # certificate fallback-rate probe (VERDICT r3 #4): rescued batches
+        # should be ~0 on non-degenerate corpora; any nonzero count names
+        # the cost the two-pass pays on this corpus
+        "two_pass_batches": int(counters.get("two_pass.batches", 0)),
+        "two_pass_rescued_batches": int(counters.get("two_pass.rescued_batches", 0)),
+        "two_pass_rescued_rows": int(counters.get("two_pass.rescued_rows", 0)),
         "index_wall_s": round(index_s, 2),
         "index_stages_s": {
             k.split(".", 1)[1]: v["total_s"] for k, v in spans.items() if k.startswith("index.")

@@ -160,11 +160,16 @@ def main() -> None:
     rag.try_answer(queries[:n_q])
     qa_s = time.perf_counter() - t0
 
-    spans = trace.summary()["spans"]
+    summary = trace.summary()
+    spans = summary["spans"]
+    counters = summary["counters"]
     print(json.dumps({
         "stack": "jax-bge-bert-base + jax-offline-int8-speculative",
         "llm_params_b": round(n_params / 1e9, 2),
         "chunks": args.chunks,
+        # certificate fallback-rate probe (VERDICT r3 #4)
+        "two_pass_batches": int(counters.get("two_pass.batches", 0)),
+        "two_pass_rescued_batches": int(counters.get("two_pass.rescued_batches", 0)),
         "setup_s": round(setup_s, 1),
         "index_wall_s": round(index_s, 1),
         "index_stages_s": {

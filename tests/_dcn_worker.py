@@ -65,19 +65,20 @@ for q in range(nq):
 from comorag_tpu.ops.topk import (
     make_sharded_topk_min,
     make_sharded_two_pass_topk,
-    quantize_int8,
+    quantize_int8_residual,
 )
 
-corpus_q, corpus_scales = quantize_int8(docs)
-cq_np, sc_np = np.asarray(corpus_q), np.asarray(corpus_scales)
-cq_g = jax.make_array_from_callback(
-    (N, d), NamedSharding(mesh, P("corpus", None)), lambda i: cq_np[i]
+cat_np, s1_np, bound = quantize_int8_residual(docs)
+cat_g = jax.make_array_from_callback(
+    (N, 2 * d), NamedSharding(mesh, P("corpus", None)), lambda i: cat_np[i]
 )
-sc_g = jax.make_array_from_callback(
-    (N,), NamedSharding(mesh, P("corpus")), lambda i: sc_np[i]
+s1_g = jax.make_array_from_callback(
+    (N,), NamedSharding(mesh, P("corpus")), lambda i: s1_np[i]
 )
 fn2 = make_sharded_two_pass_topk(mesh, k=k, candidates=64)
-packed = np.asarray(fn2(queries_g, cq_g, sc_g, docs_g, N).addressable_data(0))
+packed = np.asarray(
+    fn2(queries_g, cat_g, s1_g, docs_g, N, np.float32(bound)).addressable_data(0)
+)
 # layout: [P, 2k+1] — k score bits, k idx, 1 exactness flag (scan-tie
 # certificate; random Gaussian corpora must never trip it)
 tp_scores = packed[:, :k].view(np.float32)

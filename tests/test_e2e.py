@@ -72,6 +72,77 @@ def test_index_builds_all_layers(rag):
     assert os.path.isfile(rag.openie_results_path)
 
 
+def test_graph_census_hand_built():
+    """VERDICT r3 #5: get_graph_info parity — the census of a hand-built
+    toy graph must match counts computable by hand."""
+    from comorag_tpu.graph.builder import GraphBuilder
+
+    b = GraphBuilder()
+    # 2 chunks; chunk A has triples (x, r, y) twice and (y, r, z);
+    # chunk B has (x, r, z). Unique triples (fact-store rows) = 3.
+    ents = {n: b._entity_key(n) for n in ("x", "y", "z")}
+    b.add_fact_edges(
+        ["chunk-A", "chunk-B"],
+        [[("x", "r", "y"), ("x", "r", "y"), ("y", "r", "z")], [("x", "r", "z")]],
+    )
+    b.add_passage_edges(["chunk-A", "chunk-B"], [["x", "y", "z"], ["x", "z"]])
+    # synonymy: two clearly-identical embeddings among three entities
+    embs = np.asarray([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]], np.float32)
+    n_syn = b.add_synonymy_edges(
+        [ents["x"], ents["y"], ents["z"]], ["xxx", "yyy", "zzz"], embs
+    )
+    assert n_syn == 2  # x<->y both directions
+
+    node_names = list(ents.values()) + ["chunk-A", "chunk-B", "sum-1"]
+    census = b.census(
+        node_names,
+        passage_keys=["chunk-A", "chunk-B"],
+        summary_keys=["sum-1"],
+        num_extracted_triples=3,
+    )
+    assert census == {
+        "num_phrase_nodes": 3,
+        "num_passage_nodes": 2,
+        "num_summary_nodes": 1,
+        "num_total_nodes": 6,
+        # 2 chunks x their contained entities: 3 + 2 entries
+        "num_triples_with_passage_node": 5,
+        # fact pairs double-entered: (x,y),(y,x),(y,z),(z,y),(x,z),(z,x)=6;
+        # synonymy (x,y),(y,x) overwrite existing fact entries -> total
+        # stats = 6 + 5 passage = 11
+        "num_total_triples": 11,
+        "num_synonymy_triples": 2,
+        "num_extracted_triples": 3,
+    }
+
+    g = b.finalize(node_names)
+    info = g.info()
+    assert info["num_nodes"] == 6
+    # every stats entry except self-loops becomes a symmetric arc pair
+    assert info["num_arcs"] == 22
+    assert info["avg_degree"] == pytest.approx(22 / 6, abs=1e-3)
+
+
+def test_graph_census_persisted_and_traced(rag):
+    """The indexed pipeline attaches the census to the graph, persists it
+    through save/load, and surfaces it as trace gauges."""
+    from comorag_tpu.graph.builder import GraphData
+    from comorag_tpu.utils import trace
+
+    census = rag.graph.census
+    assert census["num_passage_nodes"] == len(CORPUS)
+    assert census["num_phrase_nodes"] == len(rag.entity_store)
+    assert census["num_summary_nodes"] == len(rag.sem_store)
+    assert census["num_extracted_triples"] == len(rag.fact_store)
+    # every stats entry materializes at most one symmetric arc pair
+    # (self-loops / unknown endpoints drop), so total >= arcs / 2
+    assert census["num_total_triples"] >= rag.graph.n_arcs // 2
+    reloaded = GraphData.load(rag._graph_prefix)
+    assert reloaded.census == census
+    gauges = trace.summary()["gauges"]
+    assert gauges.get("graph.census.num_passage_nodes") == len(CORPUS)
+
+
 def test_tri_retrieve_layers(rag):
     result = rag.engine.tri_retrieve("Who repaired the clockwork mainspring?")
     assert len(result.veridical) > 0

@@ -29,6 +29,7 @@ from comorag_tpu.comorag import ComoRAG
 from comorag_tpu.config import ComoConfig
 from comorag_tpu.eval.qa_eval import evaluate_directory, extract_final_answer
 from comorag_tpu.llm.fake import FakeLLM
+from comorag_tpu.retrieval.index import MipsIndex
 
 N_CHUNKS = 2000  # x ~100 tokens/chunk ~= 200K tokens
 N_SINGLE = 12
@@ -183,10 +184,19 @@ def golden_run(tmp_path_factory):
         gmm_em_iterations=20,
         max_meta_loop_iterations=2,
     )
+    from comorag_tpu.utils import trace
+
+    c0 = trace.summary()["counters"]
     rag = ComoRAG(config, llm=FakeLLM(qa_answer_fn=qa_answer_fn))
     rag.index(chunks)
     queries = [q["question"] for q in qas]
     solutions = rag.try_answer(queries)
+    c1 = trace.summary()["counters"]
+    # two-pass fallback-rate probe for THIS run (counters are process-wide)
+    rag._test_two_pass_counters = {
+        k: c1.get(k, 0) - c0.get(k, 0)
+        for k in ("two_pass.batches", "two_pass.rescued_batches")
+    }
 
     results = [
         {"idx": i, "question": q["question"], "golden_answers": q["answer"],
@@ -211,6 +221,37 @@ class TestGolden200K:
         rag, *_ = golden_run
         assert len(rag.sem_store) > 0 and len(rag.epi_store) > 0
         assert rag.graph is not None and rag.graph.n_arcs > 0
+
+    def test_two_pass_fallback_rate_under_one_percent(self, golden_run):
+        """VERDICT r3 #4: fallback-rate probe on a realistic-text-shaped
+        corpus. The QA fan-out's ver layer runs dense scoring (the PPR
+        prior needs every score), so the two-pass is probed where it
+        serves: the direct top-k serving path over the golden chunk
+        index. The sound certificate must rescue <1% of batches (here:
+        zero — the golden corpus has no sub-residual-step duplicate
+        chunks) while every result stays exact vs fp32."""
+        rag, qas, *_ = golden_run
+        index = rag.engine.ver_index
+        assert index.scan_dtype == "int8", "default config lost the two-pass"
+
+        embs = rag.engine.encode_queries([q["question"] for q in qas])["passage"]
+        batches = [embs[i : i + 4] for i in range(0, len(embs), 4)]
+        handles = [index.topk_async(b, k=10) for b in batches]
+        rescued = 0
+        for h, b in zip(handles, batches):
+            s_tp, i_tp = h.result()
+            rows, rescue = h._rescue_state
+            rescued += int(rescue is not None)
+            ref = MipsIndex(np.asarray(index.corpus)[: index.n], scan_dtype=None)
+            s_ref, i_ref = ref.topk(b, k=10)
+            for r in range(len(b)):
+                assert set(i_tp[r].tolist()) == set(i_ref[r].tolist())
+        # indexing also counted its own two-pass batches (synonymy KNN
+        # engages when >=1024 entities); fold those into the rate
+        counters = rag._test_two_pass_counters
+        total = counters["two_pass.batches"] + len(batches)
+        total_rescued = counters["two_pass.rescued_batches"] + rescued
+        assert total_rescued <= max(1, 0.01 * total), (total, total_rescued)
 
     def test_single_hop_recall_at_10(self, golden_run):
         rag, qas, solutions, out_dir = golden_run
