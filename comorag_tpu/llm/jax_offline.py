@@ -193,7 +193,15 @@ class JaxOfflineLLM(BaseLLM):
         self.prefix_cache_min = 64  # tokens; shorter prefixes aren't worth a phase
 
         quantized = param_dtype in ("int8", jnp.int8)
-        if quantized:
+        if param_dtype == "int4":
+            # 1/8 the weight HBM traffic (half of int8) via the fused
+            # nibble-unpack Pallas matmul (decoder.Int4Weight /
+            # ops/pallas_int4) — VERDICT r3 #7
+            from comorag_tpu.models.decoder import quantize_params_int4
+
+            params = quantize_params_int4(params)
+            quantized = "int4"
+        elif quantized:
             # 1/4 the weight HBM traffic and 4x model capacity per chip;
             # matmuls upcast int8 in the operand read (decoder.QuantWeight)
             from comorag_tpu.models.decoder import quantize_params

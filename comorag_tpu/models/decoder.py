@@ -142,14 +142,25 @@ def param_shardings(
     Pass ``arch`` so the tree matches tied-embedding checkpoints (no
     ``lm_head`` leaf).
 
-    ``quantized=True`` emits ``QuantWeight(spec_q, spec_scale)`` entries
-    for the matmul weights (VERDICT r2 task #3 — 1/4-HBM weights AND TP
-    together): output-dim-sharded weights shard q and their per-output-
-    channel scale along the SAME dim; input-dim-sharded weights (o/down)
-    keep the scale replicated — the scale epilogue distributes over the
-    partial-sum all-reduce (``(Σ partialₛ)·scale = Σ(partialₛ·scale)``),
-    so per-shard application is exact."""
+    ``quantized=True`` (int8) emits ``QuantWeight(spec_q, spec_scale)``
+    entries for the matmul weights (VERDICT r2 task #3 — 1/4-HBM weights
+    AND TP together): output-dim-sharded weights shard q and their
+    per-output-channel scale along the SAME dim; input-dim-sharded
+    weights (o/down) keep the scale replicated — the scale epilogue
+    distributes over the partial-sum all-reduce
+    (``(Σ partialₛ)·scale = Σ(partialₛ·scale)``), so per-shard
+    application is exact.
+
+    ``quantized="int4"`` emits ``Int4Weight(spec_packed, spec_scale)``:
+    every matmul weight goes COLUMN-parallel (packed and grouped scales
+    both sharded on the output dim) — at decode the activations whose
+    resharding this costs are KB-scale while the weights are GB-scale,
+    and a single sharding orientation keeps the nibble-packed layout
+    shard-local (a row split would cut input groups across devices)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    int4 = quantized == "int4"
+    tp_size = mesh.shape.get(tp_axis, 1)
 
     def ns(*spec):
         # replicate on meshes lacking the tp axis (pure-dp training) —
@@ -157,32 +168,47 @@ def param_shardings(
         spec = tuple(s if s is None or s in mesh.shape else None for s in spec)
         return NamedSharding(mesh, P(*spec))
 
-    def w3(in_spec, out_spec):
+    def _int4_col(out_dim):
+        # shard the output dim only when it divides the axis (the tiny
+        # test arch's 259-token vocab doesn't); replicate otherwise
+        return tp_axis if (out_dim is None or out_dim % max(tp_size, 1) == 0) else None
+
+    def w3(in_spec, out_spec, out_dim=None):
         """A [L, in, out] matmul weight; scale is [L, 1, out]."""
+        if int4:
+            col = _int4_col(out_dim)
+            return Int4Weight(packed=ns(None, None, col), scale=ns(None, None, col))
         full = ns(None, in_spec, out_spec)
         if not quantized:
             return full
         return QuantWeight(q=full, scale=ns(None, None, out_spec))
 
-    def w2(in_spec, out_spec):
+    def w2(in_spec, out_spec, out_dim=None):
         """A [in, out] matmul weight (lm_head); scale is [1, out]."""
+        if int4:
+            col = _int4_col(out_dim)
+            return Int4Weight(packed=ns(None, col), scale=ns(None, col))
         full = ns(in_spec, out_spec)
         if not quantized:
             return full
         return QuantWeight(q=full, scale=ns(None, out_spec))
 
+    a = arch
     tree = {
         "embed": ns(None, None),
         "layers": {
             "attn_norm": ns(None, None),
-            "qkv_w": w3(None, tp_axis),
-            "o_w": w3(tp_axis, None),
+            "qkv_w": w3(
+                None, tp_axis,
+                out_dim=(a.num_heads + 2 * a.num_kv_heads) * a.head_dim if a else None,
+            ),
+            "o_w": w3(tp_axis, None, out_dim=a.hidden_size if a else None),
             "ffn_norm": ns(None, None),
-            "gateup_w": w3(None, tp_axis),
-            "down_w": w3(tp_axis, None),
+            "gateup_w": w3(None, tp_axis, out_dim=2 * a.intermediate_size if a else None),
+            "down_w": w3(tp_axis, None, out_dim=a.hidden_size if a else None),
         },
         "final_norm": ns(None),
-        "lm_head": w2(None, None),
+        "lm_head": w2(None, None, out_dim=a.vocab_size if a else None),
     }
     if arch is not None and arch.tie_embeddings:
         tree.pop("lm_head")
@@ -298,6 +324,79 @@ def quantize_params(params: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+class Int4Weight(NamedTuple):
+    """Nibble-packed int4 weight with per-(input-group, out-channel) fp32
+    scales (ops/pallas_int4.pack layout: packed [..., in/2, out] int8, the
+    low nibble holding input row i and the high nibble row i + in/2).
+
+    On TPU the matmul runs the fused Pallas kernel
+    (ops/pallas_int4.int4_matmul) — 0.5 bytes/element of weight HBM
+    traffic, the r3-profiled remaining decode lever past int8. Off-TPU
+    (tests, CPU dryrun) it falls back to dequant + dot, which XLA's SPMD
+    partitioner shards like any other matmul. vLLM counterpart: 4-bit
+    quantized serving (the reference delegates to vLLM's quantization
+    config)."""
+
+    packed: jnp.ndarray  # [..., in/2, out] int8
+    scale: jnp.ndarray   # [..., in/group_size, out] f32
+
+
+def _quantize_int4(w: jnp.ndarray, group_size: int = 128) -> Int4Weight:
+    """Group-quantize one [in, out] or [L, in, out] weight on device."""
+    from comorag_tpu.ops.pallas_int4 import quantize_int4_grouped
+
+    arr = jnp.asarray(w, jnp.float32)
+    d_in = arr.shape[-2]
+    gs = group_size
+    while gs > 2 and d_in % gs:
+        gs //= 2  # tiny test archs: shrink to an aligned (even) group
+    if arr.ndim == 2:
+        packed, scale = quantize_int4_grouped(arr, gs)
+        return Int4Weight(packed, scale)
+    packed, scale = jax.vmap(lambda m: quantize_int4_grouped(m, gs))(arr)
+    return Int4Weight(packed, scale)
+
+
+def quantize_params_int4(params: Dict[str, Any], group_size: int = 128) -> Dict[str, Any]:
+    """int4-quantize every matmul weight — 1/8 the weight HBM traffic of
+    fp32 and half of int8 (VERDICT r3 #7); embeddings and norms stay
+    float, exactly like ``quantize_params``."""
+    out = {
+        "embed": params["embed"],
+        "layers": {
+            name: (_quantize_int4(w, group_size) if name.endswith("_w") else w)
+            for name, w in params["layers"].items()
+        },
+        "final_norm": params["final_norm"],
+    }
+    if "lm_head" in params:
+        out["lm_head"] = _quantize_int4(params["lm_head"], group_size)
+    return out
+
+
+def _int4_dot(inp: jnp.ndarray, w: Int4Weight, compute_dtype) -> jnp.ndarray:
+    """[..., in] @ Int4Weight -> [..., out] in compute_dtype."""
+    from comorag_tpu.ops.pallas_int4 import dequantize_int4, int4_matmul
+
+    half, d_out = w.packed.shape[-2], w.packed.shape[-1]
+    group_size = (half * 2) // w.scale.shape[-2]
+    lead = inp.shape[:-1]
+    x2d = inp.reshape(-1, inp.shape[-1])
+    if jax.default_backend() in ("cpu", "gpu"):
+        # portable fallback: dequant + dot (partitions under SPMD). On
+        # TPU the Pallas kernel runs at EVERY M: routing prefill-sized M
+        # through an XLA dequant+dot was measured SLOWER (2,900 vs 3,034
+        # tok/s whole-call at B=8/P=512) — the unpack's interleave
+        # stack+reshape materializes layout shuffles XLA can't fuse into
+        # the dot, while the kernel's adaptive tile_m=128 already keeps
+        # the MXU fed at prefill.
+        wf = dequantize_int4(w.packed, w.scale, group_size).astype(compute_dtype)
+        out = jnp.dot(x2d.astype(compute_dtype), wf, preferred_element_type=compute_dtype)
+    else:
+        out = int4_matmul(x2d, w.packed, w.scale, group_size=group_size)
+    return out.reshape(*lead, d_out).astype(compute_dtype)
+
+
 class KVCache(NamedTuple):
     k: jnp.ndarray  # [L, B, T, kv_heads, head_dim]
     v: jnp.ndarray  # [L, B, T, kv_heads, head_dim]
@@ -403,6 +502,8 @@ def decoder_forward(
         layer, li = layer_in
 
         def dot(inp, w):
+            if isinstance(w, Int4Weight):
+                return _int4_dot(inp, w, compute_dtype)
             if isinstance(w, QuantWeight):
                 # prec matters for the ACTIVATION operand under fp32
                 # compute (int8 weights upcast to bf16 exactly, but fp32
@@ -526,7 +627,9 @@ def decoder_forward(
     # operands stay in compute dtype (casting the [H, V] head to fp32 every
     # decode step costs ~2x the head's HBM traffic; TPU fp32 matmuls
     # truncate operands to bf16 anyway unless HIGHEST) — fp32 accumulate.
-    if isinstance(head, QuantWeight):
+    if isinstance(head, Int4Weight):
+        logits = _int4_dot(x, head, jnp.float32)
+    elif isinstance(head, QuantWeight):
         logits = jnp.dot(
             x.astype(compute_dtype), head.q.astype(compute_dtype),
             preferred_element_type=jnp.float32,

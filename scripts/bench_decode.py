@@ -30,7 +30,7 @@ def main() -> None:
     ap.add_argument("--new", type=int, default=128)
     ap.add_argument("--layers", type=int, default=16)
     ap.add_argument("--hidden", type=int, default=2048)
-    ap.add_argument("--dtypes", default="int8,bf16,fp32",
+    ap.add_argument("--dtypes", default="int4,int8,bf16,fp32",
                     help="comma-separated subset for targeted reruns")
     ap.add_argument("--skip_spec", action="store_true")
     args = ap.parse_args()
@@ -71,7 +71,7 @@ def main() -> None:
     table = make_token_table(dfa, byte_vocab, eos_token_id=arch.vocab_size - 1)
     table_j = jnp.asarray(table)
 
-    from comorag_tpu.models.decoder import quantize_params
+    from comorag_tpu.models.decoder import quantize_params, quantize_params_int4
 
     from comorag_tpu.models.decoder import generate_speculative
 
@@ -98,11 +98,21 @@ def main() -> None:
     echo_ids = jnp.asarray(echo_ids)
 
     wanted = set(args.dtypes.split(","))
-    for dtype_name, dtype in (("int8", jnp.bfloat16), ("bf16", jnp.bfloat16), ("fp32", jnp.float32)):
+    for dtype_name, dtype in (
+        ("int4", jnp.bfloat16),
+        ("int8", jnp.bfloat16),
+        ("bf16", jnp.bfloat16),
+        ("fp32", jnp.float32),
+    ):
         if dtype_name not in wanted:
             continue
         params = init_params(jax.random.PRNGKey(0), arch)
-        if dtype_name == "int8":
+        if dtype_name == "int4":
+            # fused nibble-unpack Pallas matmul (VERDICT r3 #7): half the
+            # weight HBM stream of int8
+            params = quantize_params_int4(params)
+            params["embed"] = params["embed"].astype(jnp.bfloat16)
+        elif dtype_name == "int8":
             params = quantize_params(params)
             params["embed"] = params["embed"].astype(jnp.bfloat16)
         elif dtype == jnp.bfloat16:

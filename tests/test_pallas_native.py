@@ -193,6 +193,45 @@ class TestPallasInt8:
         assert (np.asarray(i) < 700).all()
 
 
+class TestPallasInt4:
+    def test_int4_matmul_matches_dequant_reference(self):
+        """The fused nibble-unpack matmul (0.5 bytes/element weight HBM
+        reads — VERDICT r3 #7) equals dequant + fp32 dot, including
+        non-tile-aligned M and out."""
+        from comorag_tpu.ops.pallas_int4 import (
+            dequantize_int4,
+            int4_matmul,
+            quantize_int4_grouped,
+        )
+
+        rng = np.random.default_rng(5)
+        d_in, d_out, m, gs = 512, 640, 5, 128
+        w = (rng.standard_normal((d_in, d_out)) * 0.02).astype(np.float32)
+        x = rng.standard_normal((m, d_in)).astype(np.float32)
+        packed, scales = quantize_int4_grouped(jnp.asarray(w), gs)
+        assert packed.shape == (d_in // 2, d_out) and packed.dtype == jnp.int8
+        wd = np.asarray(dequantize_int4(packed, scales, gs))
+        # dequant error bounded by half the per-group step
+        step = np.repeat(np.asarray(scales), gs, axis=0)
+        assert (np.abs(wd - w) <= step * 0.51).all()
+        out = np.asarray(
+            int4_matmul(jnp.asarray(x), packed, scales, group_size=gs, interpret=True)
+        )
+        ref = x @ wd
+        np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+    def test_int4_pack_nibble_signs(self):
+        """Both nibbles sign-extend correctly through the packed byte."""
+        from comorag_tpu.ops.pallas_int4 import dequantize_int4, quantize_int4_grouped
+
+        w = np.zeros((4, 4), np.float32)
+        w[0] = [-7, 7, -1, 1]   # low-half rows
+        w[2] = [7, -7, 1, -1]   # high-half rows (packed into high nibbles)
+        packed, scales = quantize_int4_grouped(jnp.asarray(w), group_size=2)
+        wd = np.asarray(dequantize_int4(packed, scales, 2))
+        np.testing.assert_allclose(wd, w, atol=1e-6)
+
+
 class TestShardedPallas:
     """The Pallas kernel as the per-shard scorer (VERDICT round 1 item 4):
     interpret mode on the CPU mesh; the compiled path is covered by the

@@ -142,5 +142,34 @@ def test_compiled_flash_encoder_attention_matches_xla():
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=rtol, atol=rtol)
 
-    enc = BGEJaxEncoder(params=params, arch=arch, tokenizer=SimpleHashTokenizer(1024))
-    assert enc.attention == "pallas"
+    # auto-resolution contract (r3 fp32-parity change): fp32 compute keeps
+    # the XLA path (HF-parity precision); bf16 compute — the throughput
+    # deployment — picks the fused Pallas kernels on a bare TPU backend
+    enc32 = BGEJaxEncoder(params=params, arch=arch, tokenizer=SimpleHashTokenizer(1024))
+    assert enc32.attention == "xla"
+    enc16 = BGEJaxEncoder(
+        params=params, arch=arch, tokenizer=SimpleHashTokenizer(1024),
+        compute_dtype=jnp.bfloat16,
+    )
+    assert enc16.attention == "pallas"
+
+
+def test_compiled_int4_matmul_matches_dequant():
+    """The fused int4 nibble-unpack matmul (ops/pallas_int4), Mosaic-
+    compiled on the real chip, vs dequant + fp32 dot (VERDICT r3 #7)."""
+    import jax.numpy as jnp
+
+    from comorag_tpu.ops.pallas_int4 import (
+        dequantize_int4,
+        int4_matmul,
+        quantize_int4_grouped,
+    )
+
+    rng = np.random.default_rng(6)
+    d_in, d_out, m, gs = 1024, 1536, 8, 128
+    w = (rng.standard_normal((d_in, d_out)) * 0.02).astype(np.float32)
+    x = rng.standard_normal((m, d_in)).astype(np.float32)
+    packed, scales = quantize_int4_grouped(jnp.asarray(w), gs)
+    out = np.asarray(int4_matmul(jnp.asarray(x), packed, scales, group_size=gs))
+    ref = np.asarray(x @ np.asarray(dequantize_int4(packed, scales, gs)))
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
