@@ -482,3 +482,58 @@ def test_ppr_rejects_zero_reset():
     )
     with pytest.raises(ValueError, match="all-zero"):
         g.query(np.zeros((2, 3), np.float32))
+
+
+# ------------------------------------------------- two-stage exact top-k
+def test_exact_topk_two_stage_matches_lax_topk():
+    """_exact_topk's block-max prefilter (r4: ~25x cheaper than a
+    full-width lax.top_k at [16, 100k]) must return a valid exact
+    top-k-by-value set at sizes above AND below the crossover, on random
+    scores, heavy duplicates, and NEG_INF-padded tails."""
+    import jax.numpy as jnp
+
+    from comorag_tpu.ops.topk import NEG_INF, _TWO_STAGE_BLOCK, _exact_topk
+
+    rng = np.random.default_rng(7)
+    k = 8
+    crossover = 2 * k * _TWO_STAGE_BLOCK  # 2048 at k=8
+    for n, flavor in (
+        (crossover + 511, "random"),     # two-stage path, unaligned n
+        (crossover + 512, "dups"),       # two-stage path, massive ties
+        (crossover - 1, "random"),       # plain lax.top_k fallback
+        (5000, "padded"),                # NEG_INF tail (masked rows)
+    ):
+        s = rng.standard_normal((5, n)).astype(np.float32)
+        if flavor == "dups":
+            s = np.round(s * 3) / 3  # many exact ties, incl. at rank k
+        if flavor == "padded":
+            s[:, 4000:] = NEG_INF
+        vals, idx = _exact_topk(jnp.asarray(s), k)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        ref = -np.sort(-s, axis=1)[:, :k]
+        # value multiset is exactly the top-k (ties may pick different
+        # indices than lax.top_k's lowest-index rule — same contract)
+        np.testing.assert_array_equal(vals, ref)
+        # returned indices actually hold the returned values
+        np.testing.assert_array_equal(np.take_along_axis(s, idx, axis=1), vals)
+        # no duplicate indices per row
+        assert all(len(set(row)) == k for row in idx)
+
+
+def test_exact_topk_adversarial_one_block():
+    """All true top-k clustered inside ONE block: the block top-k must
+    still keep enough tied/filler blocks for an exact result."""
+    import jax.numpy as jnp
+
+    from comorag_tpu.ops.topk import _TWO_STAGE_BLOCK, _exact_topk
+
+    k = 8
+    n = 2 * k * _TWO_STAGE_BLOCK + 256
+    s = np.zeros((3, n), np.float32)
+    s[:, 300:300 + k] = np.arange(10, 10 + k, dtype=np.float32)  # one block holds all winners
+    vals, idx = _exact_topk(jnp.asarray(s), k)
+    ref = -np.sort(-s, axis=1)[:, :k]
+    np.testing.assert_array_equal(np.asarray(vals), ref)
+    np.testing.assert_array_equal(
+        np.take_along_axis(s, np.asarray(idx), axis=1), np.asarray(vals)
+    )
