@@ -160,6 +160,42 @@ class TwoPassHandle:
         return scores, idx
 
 
+class _SharedHandle:
+    """One coalesced dispatch shared by several fan-out batches
+    (``topk_many`` group coalescing): caches the inner handle's resolved
+    (scores, idx) so each per-batch slice view resolves it exactly once."""
+
+    def __init__(self, inner: TopkHandle):
+        self._inner = inner
+        self._out: Optional[Tuple[np.ndarray, np.ndarray]] = None
+
+    def prepare(self) -> None:
+        self._inner.prepare()
+
+    def result(self) -> Tuple[np.ndarray, np.ndarray]:
+        if self._out is None:
+            self._out = self._inner.result()
+        return self._out
+
+
+class _SliceHandle:
+    """Row-slice view [lo, hi) of a coalesced group's result — the same
+    (scores, idx) the batch would have gotten from its own dispatch (the
+    scan, rescore, and per-row certificate are all row-independent)."""
+
+    def __init__(self, shared: _SharedHandle, lo: int, hi: int):
+        self._shared = shared
+        self._lo = lo
+        self._hi = hi
+
+    def prepare(self) -> None:
+        self._shared.prepare()
+
+    def result(self) -> Tuple[np.ndarray, np.ndarray]:
+        scores, idx = self._shared.result()
+        return scores[self._lo : self._hi], idx[self._lo : self._hi]
+
+
 class TopkMinHandle:
     """In-flight top-k + row-min query ([P, 2k+1] packed buffer): the
     fact-linking fetch (candidates + min-max stats) in ONE transfer."""
@@ -450,30 +486,76 @@ class MipsIndex:
         return self.topk_async(queries, k, exact).result()
 
     def topk_many(
-        self, query_batches: Sequence[np.ndarray], k: int, exact: bool = True, window: int = 64
+        self,
+        query_batches: Sequence[np.ndarray],
+        k: int,
+        exact: bool = True,
+        window: int = 64,
+        group_rows: int = 128,
     ) -> List[Tuple[np.ndarray, np.ndarray]]:
-        """Pipelined fan-out with bounded in-flight results: up to
-        ``window`` packed buffers live on device at once (unbounded
-        dispatch would hold O(batches * k) HBM for huge sweeps), while
-        dispatch/compute/transfer still overlap within the window.
+        """Pipelined fan-out with GROUP COALESCING: consecutive batches are
+        concatenated (up to ``group_rows`` query rows) into one dispatch,
+        and the packed result is split back per batch on the host.
 
-        Repeated batch objects upload once: per-call host->device query
-        transfers through the remote tunnel cost more than the top-k
-        itself (measured 14.7k vs 8.4k qps at 100k x 1024)."""
+        Through the remote device tunnel the fan-out cost is dominated by
+        per-MESSAGE round-trips (uploads + result fetches pipeline only up
+        to the transport's in-flight cap), while the corpus sweep itself is
+        shared by every query row in a dispatch — so fewer, larger
+        dispatches win on both axes. Measured at 100k x 1024, 16-query
+        fan-outs: group_rows=128 lifted the device-resident two-pass from
+        9.7k to >20k qps on the same chip (scripts/exp_group_rows.py).
+
+        Up to ``window`` in-flight packed buffers bound device HBM for
+        huge sweeps; dispatch/compute/transfer overlap within the window.
+        """
         # materialize first: a lazy iterable could free each array after its
         # handle is queued, letting CPython reuse the id for a DIFFERENT
         # later batch and silently serving it the wrong device buffer
         query_batches = list(query_batches)
         ready: List[TopkHandle] = []
         handles: List[TopkHandle] = []
-        prepped: Dict[int, Tuple[jnp.ndarray, int]] = {}
+
+        def _rows(q) -> int:
+            return 1 if getattr(q, "ndim", 2) == 1 else int(q.shape[0])
+
+        def _flush(buf: list) -> None:
+            if not buf:
+                return
+            if len(buf) == 1:
+                handles.append(self.topk_async(buf[0], k, exact))
+                return
+            # device-resident and host batches coalesce separately (a
+            # jnp.concatenate is an async device op; np.concatenate is a
+            # host memcpy feeding ONE upload instead of len(buf) uploads)
+            if isinstance(buf[0], jax.Array):
+                qcat = jnp.concatenate([jnp.atleast_2d(q) for q in buf], axis=0)
+            else:
+                qcat = np.concatenate(
+                    [np.atleast_2d(np.asarray(q, np.float32)) for q in buf], axis=0
+                )
+            shared = _SharedHandle(self.topk_async(qcat, k, exact))
+            lo = 0
+            for q in buf:
+                p = _rows(q)
+                handles.append(_SliceHandle(shared, lo, lo + p))
+                lo += p
+
+        pend: list = []
+        pend_rows = 0
         for q in query_batches:
-            pr = prepped.get(id(q))
-            if pr is None:
-                pr = self._prep_queries(q)
-                prepped[id(q)] = pr
-            handles.append(self.topk_async(q, k, exact, _prepped=pr))
-            if len(handles) >= window:
+            p = _rows(q)
+            same_kind = not pend or (
+                isinstance(q, jax.Array) == isinstance(pend[0], jax.Array)
+            )
+            if pend and (pend_rows + p > group_rows or not same_kind):
+                _flush(pend)
+                pend, pend_rows = [], 0
+            pend.append(q)
+            pend_rows += p
+            if pend_rows >= group_rows:
+                _flush(pend)
+                pend, pend_rows = [], 0
+            while len(handles) >= window:
                 # prepare() fetches the oldest packed buffer (its copy is
                 # already in flight — this is the same bound the old drain
                 # had) and LAUNCHES any certificate rescue asynchronously;
@@ -481,6 +563,7 @@ class MipsIndex:
                 h = handles.pop(0)
                 h.prepare()
                 ready.append(h)
+        _flush(pend)
         for h in handles:
             h.prepare()
         ready.extend(handles)

@@ -537,3 +537,51 @@ def test_exact_topk_adversarial_one_block():
     np.testing.assert_array_equal(
         np.take_along_axis(s, np.asarray(idx), axis=1), np.asarray(vals)
     )
+
+
+def test_topk_many_group_coalescing_matches_individual():
+    """Group-coalesced topk_many (several fan-out batches concatenated
+    into one dispatch, results sliced back per batch) returns exactly
+    what per-batch topk returns — including on mixed batch sizes, 1-D
+    queries, and a corpus whose exact duplicates fire the per-row
+    certificate rescue inside a coalesced group."""
+    rng = np.random.default_rng(7)
+    corpus = _exact_duplicate_corpus(n=2048, dups=300)
+    index = MipsIndex(corpus)
+    assert index.scan_dtype == "int8"
+
+    q_dup = corpus[0] / np.linalg.norm(corpus[0])
+    batches = [rng.standard_normal((p, corpus.shape[1])).astype(np.float32)
+               for p in (4, 16, 1, 7, 16, 16)]
+    batches[1][3] = q_dup  # flagged row lands mid-group
+    batches.append(q_dup.astype(np.float32))  # 1-D query batch
+
+    grouped = index.topk_many(batches, k=5, group_rows=32)
+    for q, (vs, ix) in zip(batches, grouped):
+        ve, ie = index.topk(q, 5)
+        np.testing.assert_array_equal(ie, ix)
+        np.testing.assert_allclose(ve, vs, rtol=1e-5, atol=1e-7)
+
+    # ungrouped path (group_rows=1 -> every batch its own dispatch)
+    single = index.topk_many(batches, k=5, group_rows=1)
+    for (vs, ix), (vs1, ix1) in zip(grouped, single):
+        np.testing.assert_array_equal(ix, ix1)
+        np.testing.assert_allclose(vs, vs1, rtol=1e-6, atol=1e-7)
+
+
+def test_topk_many_group_coalescing_device_resident():
+    """Device-resident jax.Array batches coalesce on device (no host
+    bounce) and host/device runs of the same batch list agree."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    corpus = rng.standard_normal((4096, 64)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    index = MipsIndex(corpus)
+    host = [rng.standard_normal((16, 64)).astype(np.float32) for _ in range(5)]
+    dev = [jnp.asarray(q) for q in host]
+    out_h = index.topk_many(host, k=9, group_rows=64)
+    out_d = index.topk_many(dev, k=9, group_rows=64)
+    for (vh, ih), (vd, idx_d) in zip(out_h, out_d):
+        np.testing.assert_array_equal(ih, idx_d)
+        np.testing.assert_allclose(vh, vd, rtol=1e-5, atol=1e-6)
