@@ -491,7 +491,7 @@ class MipsIndex:
         k: int,
         exact: bool = True,
         window: int = 64,
-        group_rows: int = 128,
+        group_rows: int = 256,
     ) -> List[Tuple[np.ndarray, np.ndarray]]:
         """Pipelined fan-out with GROUP COALESCING: consecutive batches are
         concatenated (up to ``group_rows`` query rows) into one dispatch,
@@ -501,9 +501,11 @@ class MipsIndex:
         per-MESSAGE round-trips (uploads + result fetches pipeline only up
         to the transport's in-flight cap), while the corpus sweep itself is
         shared by every query row in a dispatch — so fewer, larger
-        dispatches win on both axes. Measured at 100k x 1024, 16-query
-        fan-outs: group_rows=128 lifted the device-resident two-pass from
-        9.7k to >20k qps on the same chip (scripts/exp_group_rows.py).
+        dispatches win on both axes, until groups get so large that
+        dispatch/fetch overlap disappears. Interleaved chip A/B at
+        100k x 1024, 16-query fan-outs (scripts/exp_group_rows2.py):
+        group_rows 1/128/256/512/1024 -> device 18.0/19.4/21.9/17.6/15.5k
+        qps, host 5.3/6.9/7.5/6.8/6.3k — 256 peaks both paths.
 
         Up to ``window`` in-flight packed buffers bound device HBM for
         huge sweeps; dispatch/compute/transfer overlap within the window.
