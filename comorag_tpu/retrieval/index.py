@@ -374,14 +374,27 @@ class MipsIndex:
         k_pad = min(_round_up(k_eff, 8), self.n_pad)
         k_pad = max(k_pad, k_eff)
 
-        # Two-pass routing: the candidate pool c tracks k; top_k cost grows
-        # steeply with c (measured C=64 -> 23.5k qps, C=128 -> 13.7k,
-        # C=256 -> 8.7k ~= fp32 single-pass at 100k x 1024), so "auto"
-        # routes large-k calls (synonymy KNN sweeps etc.) back to the
-        # single-pass exact path instead of a worse two-pass.
+        # Two-pass routing. "auto" keeps the single-pass exact path for:
+        #  - large k: the candidate pool c tracks k and top_k cost grows
+        #    steeply with c (measured C=64 -> 23.5k qps, C=128 -> 13.7k,
+        #    C=256 -> 8.7k ~= fp32 single-pass at 100k x 1024);
+        #  - large query buckets: the compressed scan only pays while the
+        #    scan matmul is HBM-bound, and arithmetic intensity grows with
+        #    query rows — past ~512 rows the matmul is compute-bound, the
+        #    scan saves nothing, and the pool/rescore/certificate work is
+        #    pure overhead (chip A/B scripts/exp_twopass_pbucket.py: at
+        #    P=1024 fp32 wins 1.1-1.2x on random data; on the real 200k
+        #    entity sweep fp32 won 1.7x because near-duplicate entities
+        #    rescued EVERY 1000-row batch through the k+8 pool margin —
+        #    the graph.synonymy_edges 476 s regression in the r4 e2e
+        #    trace, scripts/exp_synonymy_stage.py).
         c_cap = self.n_pad // self.n_shards if self.mesh is not None else self.n_pad
         c = min(max(self.scan_candidates or 0, _round_up(k_pad + 8, 8), 64), c_cap)
-        use_scan = bool(self.scan_dtype) and not (self._scan_auto and c > 256) and not _force_fp32
+        use_scan = (
+            bool(self.scan_dtype)
+            and not (self._scan_auto and (c > 256 or q_dev.shape[0] >= 512))
+            and not _force_fp32
+        )
 
         # per-row rescue for certificate-flagged rows: slice the already-
         # device-resident query buffer (no host bounce) and run the fp32

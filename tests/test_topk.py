@@ -201,6 +201,37 @@ def test_scan_auto_large_k_falls_back_exact():
             assert set(i_a[row].tolist()) == set(i_r[row].tolist())
 
 
+def test_scan_auto_large_query_bucket_routes_single_pass():
+    """auto two-pass must route LARGE QUERY BUCKETS (>=512 padded rows —
+    index-build sweeps like the synonymy KNN) to the single-pass exact
+    path: past ~512 rows the scan matmul is compute-bound so the
+    compressed scan saves nothing, and on duplicate-heavy real data the
+    thin k+8 pool margin rescued every 1000-row batch (the 476 s
+    graph.synonymy_edges regression in the r4 200k e2e trace —
+    scripts/exp_synonymy_stage.py). Small serving buckets keep the
+    two-pass."""
+    from comorag_tpu.retrieval.index import TopkHandle, TwoPassHandle
+
+    rng = np.random.default_rng(13)
+    corpus = rng.standard_normal((2048, 32)).astype(np.float32)
+    auto = MipsIndex(corpus)
+    assert auto.scan_dtype == "int8"
+    small = rng.standard_normal((16, 32)).astype(np.float32)
+    big = rng.standard_normal((600, 32)).astype(np.float32)
+    h_small = auto.topk_async(small, k=10)
+    assert isinstance(h_small, TwoPassHandle)
+    h_big = auto.topk_async(big, k=10)
+    assert isinstance(h_big, TopkHandle) and not isinstance(h_big, TwoPassHandle)
+    # both routes agree with the explicit fp32 single-pass index
+    ref = MipsIndex(corpus, scan_dtype=None)
+    for q, h in ((small, h_small), (big, h_big)):
+        s, i = h.result()
+        s_r, i_r = ref.topk(q, k=10)
+        np.testing.assert_allclose(s, s_r, rtol=1e-5, atol=1e-5)
+        for row in range(q.shape[0]):
+            assert set(i[row].tolist()) == set(i_r[row].tolist())
+
+
 def test_sharded_topk_min_matches_single(cpu_mesh):
     """VERDICT r2 #1: the fused fact-linking fetch (top-k + row min in one
     packed transfer) under a mesh == the single-device fused path."""
