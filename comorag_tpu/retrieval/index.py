@@ -193,7 +193,13 @@ class _SliceHandle:
 
     def result(self) -> Tuple[np.ndarray, np.ndarray]:
         scores, idx = self._shared.result()
-        return scores[self._lo : self._hi], idx[self._lo : self._hi]
+        # copies, not views: per-batch dispatch returns independently-backed
+        # arrays, so a caller mutating one batch's result must not corrupt
+        # sibling batches sliced from the same shared group buffer
+        return (
+            scores[self._lo : self._hi].copy(),
+            idx[self._lo : self._hi].copy(),
+        )
 
 
 class TopkMinHandle:
@@ -531,7 +537,9 @@ class MipsIndex:
         handles: List[TopkHandle] = []
 
         def _rows(q) -> int:
-            return 1 if getattr(q, "ndim", 2) == 1 else int(q.shape[0])
+            # np.ndim/np.shape (not attribute access) so plain Python lists
+            # keep working — _prep_queries coerces them later anyway
+            return 1 if np.ndim(q) == 1 else int(np.shape(q)[0])
 
         def _flush(buf: list) -> None:
             if not buf:

@@ -616,3 +616,29 @@ def test_topk_many_group_coalescing_device_resident():
     for (vh, ih), (vd, idx_d) in zip(out_h, out_d):
         np.testing.assert_array_equal(ih, idx_d)
         np.testing.assert_allclose(vh, vd, rtol=1e-5, atol=1e-6)
+
+
+def test_topk_many_accepts_python_lists_and_returns_independent_buffers():
+    """ADVICE r4: (a) plain Python-list batches must keep working through
+    the coalescing row counter (np.ndim, not attribute access); (b) each
+    coalesced batch's result is independently backed — mutating one
+    batch's arrays must not corrupt a sibling sliced from the same group
+    buffer."""
+    rng = np.random.default_rng(11)
+    corpus = rng.standard_normal((2048, 32)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    index = MipsIndex(corpus)
+
+    list_1d = corpus[5].tolist()
+    list_2d = [corpus[i].tolist() for i in (1, 2, 3)]
+    arr = rng.standard_normal((4, 32)).astype(np.float32)
+    out = index.topk_many([list_1d, list_2d, arr], k=4, group_rows=64)
+    assert [v.shape[0] for v, _ in out] == [1, 3, 4]
+    np.testing.assert_array_equal(out[0][1][0, 0], 5)
+
+    ref = [(v.copy(), i.copy()) for v, i in out]
+    out[0][0][:] = -1.0
+    out[0][1][:] = -1
+    for (v, i), (rv, ri) in zip(out[1:], ref[1:]):
+        np.testing.assert_array_equal(i, ri)
+        np.testing.assert_allclose(v, rv)
