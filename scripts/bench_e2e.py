@@ -77,6 +77,40 @@ def make_corpus(n: int, n_gold: int, seed: int = 7):
     return chunks, golds
 
 
+# ---------------------------------------------------------------- drift probe
+# Fixed-cost tunnel probe (VERDICT r4 #1a): a deterministic fp32 16-query
+# microbench measured in slices INTERLEAVED with the QA loop, so the QA
+# q/s can be normalized by the same-minute tunnel state instead of moving
+# 3x with the weather between runs. PROBE_REFERENCE_QPS pins one
+# calibration run (chip + date recorded) — normalized q/s =
+# raw * reference/measured, comparable round-over-round.
+PROBE_N, PROBE_D, PROBE_P, PROBE_K, PROBE_BATCHES = 50_000, 256, 16, 50, 24
+PROBE_REFERENCE_QPS = 10_100.0  # TPU v5e via axon tunnel, 2026-08-19 (r5 calibration)
+
+
+def make_drift_probe():
+    from comorag_tpu.retrieval.index import MipsIndex
+
+    rng = np.random.default_rng(12345)
+    corpus = rng.standard_normal((PROBE_N, PROBE_D)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    index = MipsIndex(corpus, scan_dtype=None)  # fp32 single-pass, host uploads
+    batches = [
+        rng.standard_normal((PROBE_P, PROBE_D)).astype(np.float32)
+        for _ in range(PROBE_BATCHES)
+    ]
+    # warm/compile the FULL batch list outside any timing: coalescing
+    # gives the full list different group shapes than a short one
+    index.topk_many(batches, k=PROBE_K)
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        index.topk_many(batches, k=PROBE_K)
+        return PROBE_P * PROBE_BATCHES / (time.perf_counter() - t0)
+
+    return run
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunks", type=int, default=10_000)
@@ -144,14 +178,30 @@ def main() -> None:
     # concurrent calls, so its batch buckets depend on n_q — a 2-question
     # warmup leaves the merged shapes to compile inside the timed run
     rag.try_answer(queries[:n_q])
-    pre_qa = {k: v["total_s"] for k, v in trace.summary()["spans"].items()}
-    t0 = time.perf_counter()
-    rag.try_answer(queries[:n_q])
-    qa_s = time.perf_counter() - t0
-    # retrieve.* attribution for EXACTLY the timed QA loop (warmups and
-    # compiles excluded): per-span delta across the timed region
+    probe = make_drift_probe()
+    pre_qa = {
+        k: (v["total_s"], v["count"]) for k, v in trace.summary()["spans"].items()
+    }
+    # QA in 16-question slices (the reference's thread envelope, so merge
+    # dynamics match a full run) alternating with drift-probe slices
+    slice_q = 16
+    probe_rates = [probe()]
+    qa_s = 0.0
+    for at in range(0, n_q, slice_q):
+        t0 = time.perf_counter()
+        rag.try_answer(queries[at : at + slice_q])
+        qa_s += time.perf_counter() - t0
+        probe_rates.append(probe())
+    probe_med = float(np.median(probe_rates))
+    drift_factor = PROBE_REFERENCE_QPS / probe_med if PROBE_REFERENCE_QPS else None
+    # retrieve.* attribution for EXACTLY the timed QA loop (warmups,
+    # compiles, and the probe's own spans excluded): per-span delta —
+    # note the probe adds no retrieve.* spans (it drives MipsIndex raw)
     qa_retrieve_s = {
-        k.split(".", 1)[1]: round(v["total_s"] - pre_qa.get(k, 0.0), 4)
+        k.split(".", 1)[1]: {
+            "s": round(v["total_s"] - pre_qa.get(k, (0.0, 0))[0], 4),
+            "calls": int(v["count"] - pre_qa.get(k, (0.0, 0))[1]),
+        }
         for k, v in trace.summary()["spans"].items()
         if k.startswith("retrieve.")
     }
@@ -170,14 +220,19 @@ def main() -> None:
         return None
 
     qa_imp_s = None
+    imp_probe_rates: list = []
     if not args.skip_impasse:
         rag_imp = ComoRAG(config, llm=FakeLLM(qa_answer_fn=one_impasse))
         rag_imp.index(chunks)  # reloads persisted stores
         rag_imp.try_answer(queries[:n_q])
         impassed.clear()
-        t0 = time.perf_counter()
-        rag_imp.try_answer(queries[:n_q])
-        qa_imp_s = time.perf_counter() - t0
+        qa_imp_s = 0.0
+        imp_probe_rates.append(probe())
+        for at in range(0, n_q, slice_q):
+            t0 = time.perf_counter()
+            rag_imp.try_answer(queries[at : at + slice_q])
+            qa_imp_s += time.perf_counter() - t0
+            imp_probe_rates.append(probe())
 
     summary = trace.summary()
     spans = summary["spans"]
@@ -214,7 +269,24 @@ def main() -> None:
         "qa_loop_questions": n_q,
         "qa_loop_s": round(qa_s, 2),
         "qa_loop_qps": round(n_q / qa_s, 2),
+        # drift normalization (VERDICT r4 #1a): probe qps interleaved with
+        # the QA slices; normalized = raw * reference/measured, so the
+        # row is comparable across tunnel days
+        "drift_probe_qps": [round(r, 1) for r in probe_rates],
+        "drift_probe_median_qps": round(probe_med, 1),
+        "drift_probe_reference_qps": PROBE_REFERENCE_QPS,
+        "qa_loop_qps_drift_normalized": (
+            round(n_q / qa_s * drift_factor, 2) if drift_factor else None
+        ),
         "qa_loop_impasse_qps": round(n_q / qa_imp_s, 2) if qa_imp_s else None,
+        "qa_loop_impasse_qps_drift_normalized": (
+            round(
+                n_q / qa_imp_s * PROBE_REFERENCE_QPS / float(np.median(imp_probe_rates)), 2
+            )
+            if qa_imp_s and imp_probe_rates and PROBE_REFERENCE_QPS
+            else None
+        ),
+        "impasse_drift_probe_qps": [round(r, 1) for r in imp_probe_rates],
         "graph": rag.graph.info() if rag.graph else None,
         "stores": {
             "chunks": len(rag.ver_store),
