@@ -511,7 +511,8 @@ class ComoRAG:
         retriever = self._retrieval_front or self.engine
         with trace.span("qa.initial_retrieve"):
             retrieved = retriever.tri_retrieve(query, pool.get_all_hashes())
-        self.mem_encode(query, retrieved.as_docs(), pool)
+        with trace.span("qa.mem_encode"):
+            self.mem_encode(query, retrieved.as_docs(), pool)
 
         ver_context = "\n".join(v for n in pool.get_temp_nodes_by_type(NodeType.VER) for v in (n.original_content or []))
         sem_context = "\n".join(s for n in pool.get_temp_nodes_by_type(NodeType.SEM) for s in (n.original_content or []))
@@ -550,9 +551,10 @@ class ComoRAG:
             messages = self.prompts.render(template, prompt_user=prompt_user)
 
             try:
-                response_text = self.llm.infer(
-                    messages, max_completion_tokens=cfg.qa_max_completion_tokens
-                ).text
+                with trace.span("qa.llm_infer"):
+                    response_text = self.llm.infer(
+                        messages, max_completion_tokens=cfg.qa_max_completion_tokens
+                    ).text
             except Exception as e:  # noqa: BLE001 — keep the loop alive
                 logger.error("QA inference failed: %s", e)
                 step_info["error"] = str(e)
@@ -595,7 +597,8 @@ class ComoRAG:
             # ---- impasse: consolidate, probe, fan out, fuse -----------------
             pool.merge_temp_to_main()
             previous_probes = "\n".join(pool.get_all_probes())
-            probes = probe_agent.find_probes(query=query, context=prompt_user, previous_probes=previous_probes)
+            with trace.span("qa.find_probes"):
+                probes = probe_agent.find_probes(query=query, context=prompt_user, previous_probes=previous_probes)
             step_info["probes"] = probes
 
             pool_hashes = pool.get_all_hashes()
@@ -604,17 +607,19 @@ class ComoRAG:
             # vs the reference's sequential per-probe retrievals.
             with trace.span("qa.probe_fanout_retrieve"):
                 fan_out = retriever.tri_retrieve_batch(probes, pool_hashes)
-            for probe, retrieved_probe in zip(probes, fan_out):
-                self.mem_encode(query + " " + probe, retrieved_probe.as_docs(), pool, probe=probe)
+            with trace.span("qa.mem_encode"):
+                for probe, retrieved_probe in zip(probes, fan_out):
+                    self.mem_encode(query + " " + probe, retrieved_probe.as_docs(), pool, probe=probe)
 
             window = self._llm_window()
-            fused = pool.create_fusion_content(
-                probe=query, top_k_percent=0.5,
-                # fusion prompt budget: window - fusion completion (1000)
-                # - template/query headroom
-                max_tokens=max(256, window - 1000 - 256) if window else None,
-                token_counter=self.tokens,
-            )
+            with trace.span("qa.pool_fusion"):
+                fused = pool.create_fusion_content(
+                    probe=query, top_k_percent=0.5,
+                    # fusion prompt budget: window - fusion completion (1000)
+                    # - template/query headroom
+                    max_tokens=max(256, window - 1000 - 256) if window else None,
+                    token_counter=self.tokens,
+                )
             if fused and fused != NO_MEMORY_SENTINEL:
                 pool.add_fused_node(probe=query, fused_content=fused)
 

@@ -55,6 +55,15 @@ logger = get_logger(__name__)
 
 _QUERY_BUCKETS = (1, 4, 8, 16, 32, 64, 128, 256)
 
+# Adaptive two-pass margin knobs: grow when a batch rescues more than
+# _TIE_RATE_GROW of its rows; give up on the scan (fp32 fallback) when the
+# margin is maxed and more than _TIE_RATE_OFF still rescues. The max keeps
+# the candidate pool in the regime where lax.top_k cost hasn't erased the
+# scan's bandwidth win (C=256 ~= fp32 single-pass, PERF.md).
+_TIE_MARGIN_MAX = 192
+_TIE_RATE_GROW = 0.02
+_TIE_RATE_OFF = 0.20
+
 
 def _bucket(n: int) -> int:
     for b in _QUERY_BUCKETS:
@@ -110,11 +119,12 @@ class TwoPassHandle:
     round-trips overlap with the rest of the drain instead of serializing
     inside ``result()`` (VERDICT r3 #1/#3)."""
 
-    def __init__(self, packed: jax.Array, p: int, k: int, rescue):
+    def __init__(self, packed: jax.Array, p: int, k: int, rescue, on_rate=None):
         self._packed = packed
         self._p = p
         self._k = k
         self._rescue = rescue  # rows -> TopkHandle (fp32 exact, async)
+        self._on_rate = on_rate  # index feedback: fraction of rows rescued
         self._rescue_state: Optional[Tuple[np.ndarray, TopkHandle]] = None
         self._host: Optional[np.ndarray] = None
         _start_host_copy(packed)
@@ -134,6 +144,8 @@ class TwoPassHandle:
         packed = self._fetch()
         rows = np.nonzero(packed[: self._p, -1])[0]
         trace.count("two_pass.batches")
+        if self._on_rate is not None:
+            self._on_rate(rows.size / max(self._p, 1))
         if rows.size:
             trace.count("two_pass.rescued_batches")
             trace.count("two_pass.rescued_rows", int(rows.size))
@@ -282,6 +294,19 @@ class MipsIndex:
         self._packed_topk_cache: Dict[Tuple, object] = {}
         self._sharded_topk_cache: Dict[Tuple, object] = {}
         self.n_valid = jnp.asarray(self.n, jnp.int32)
+        # Adaptive two-pass pool margin (VERDICT r4 #4). Boundary-tie
+        # density is a property of the QUERY x CORPUS interaction (the
+        # 200k-entity synonymy sweep ties below 16-bit scan precision on
+        # near-duplicate clusters; random corpora don't), so it can't be
+        # sized at build time — instead the observed per-batch rescue rate
+        # feeds back: > _TIE_RATE_GROW of rows rescued doubles the extra
+        # candidate margin (quantized doubling keeps the jit-cache zoo to
+        # ~4 programs, persistent-cached). If the margin maxes out and
+        # rescues persist, THIS index falls back to single-pass fp32 —
+        # the demoted successor of the old global large-P auto-route.
+        # Races from concurrent query threads are benign (int writes).
+        self._tie_margin = 0
+        self._scan_off = False
 
         if self.int8:
             corpus_q, scales = quantize_int8(padded)
@@ -380,25 +405,29 @@ class MipsIndex:
         k_pad = min(_round_up(k_eff, 8), self.n_pad)
         k_pad = max(k_pad, k_eff)
 
-        # Two-pass routing. "auto" keeps the single-pass exact path for:
-        #  - large k: the candidate pool c tracks k and top_k cost grows
-        #    steeply with c (measured C=64 -> 23.5k qps, C=128 -> 13.7k,
-        #    C=256 -> 8.7k ~= fp32 single-pass at 100k x 1024);
-        #  - large query buckets: the compressed scan only pays while the
-        #    scan matmul is HBM-bound, and arithmetic intensity grows with
-        #    query rows — past ~512 rows the matmul is compute-bound, the
-        #    scan saves nothing, and the pool/rescore/certificate work is
-        #    pure overhead (chip A/B scripts/exp_twopass_pbucket.py: at
-        #    P=1024 fp32 wins 1.1-1.2x on random data; on the real 200k
-        #    entity sweep fp32 won 1.7x because near-duplicate entities
-        #    rescued EVERY 1000-row batch through the k+8 pool margin —
-        #    the graph.synonymy_edges 476 s regression in the r4 e2e
-        #    trace, scripts/exp_synonymy_stage.py).
+        # Two-pass routing. "auto" keeps the single-pass exact path for
+        # large k: the candidate pool c tracks k and top_k cost grows
+        # steeply with c (measured C=64 -> 23.5k qps, C=128 -> 13.7k,
+        # C=256 -> 8.7k ~= fp32 single-pass at 100k x 1024). The old
+        # large-query-bucket fp32 route (r4 commit 0bff4eb) is gone: its
+        # real trigger was the 200k-entity synonymy sweep rescuing EVERY
+        # 1000-row batch through the fixed k+8 margin (near-duplicate
+        # boundary ties below 16-bit scan precision) — the ADAPTIVE
+        # margin below now absorbs that (r5: the sweep keeps the
+        # compressed-scan win, scripts/exp_synonymy_stage.py), and the
+        # intrinsic large-P gap on random data is only ~1.1x while an
+        # adapted index is ~2x the other way on tie-dense ones. An index
+        # whose margin maxes out and still rescues falls back to fp32
+        # (self._scan_off, set by _note_rescue_rate).
         c_cap = self.n_pad // self.n_shards if self.mesh is not None else self.n_pad
-        c = min(max(self.scan_candidates or 0, _round_up(k_pad + 8, 8), 64), c_cap)
+        base_c = max(self.scan_candidates or 0, _round_up(k_pad + 8, 8), 64)
+        c = min(base_c + (self._tie_margin if self._scan_auto else 0), c_cap)
         use_scan = (
             bool(self.scan_dtype)
-            and not (self._scan_auto and (c > 256 or q_dev.shape[0] >= 512))
+            # the large-k route checks the BASE pool: a margin grown to
+            # avoid rescue storms is allowed past it (rescue dispatches
+            # cost far more than the wider top_k)
+            and not (self._scan_auto and (base_c > 256 or self._scan_off))
             and not _force_fp32
         )
 
@@ -408,6 +437,11 @@ class MipsIndex:
         def tp_rescue(rows, _q=q_dev):
             q_sub = jnp.take(_q, jnp.asarray(np.asarray(rows, np.int32)), axis=0)
             return self.topk_async(q_sub, k, exact, _force_fp32=True)
+
+        # adaptive-margin feedback, bound to THIS dispatch's margin so a
+        # stale handle resolved after growth doesn't double-grow
+        def on_rate(frac, _margin=self._tie_margin):
+            self._note_rescue_rate(frac, _margin)
 
         if self.mesh is not None and use_scan:
             # sharded exact two-pass: the candidate margin applies PER
@@ -427,7 +461,7 @@ class MipsIndex:
                 )
             else:
                 packed = fn(q_dev, self.scan_corpus, self.corpus, self.n_valid, self.scan_bound)
-            return TwoPassHandle(packed, p, k_eff, tp_rescue)
+            return TwoPassHandle(packed, p, k_eff, tp_rescue, on_rate=on_rate)
         elif self.mesh is not None:
             key = (k_pad, exact, self.method, self.int8)
             fn = self._sharded_topk_cache.get(key)
@@ -472,7 +506,7 @@ class MipsIndex:
                 )
             else:
                 packed = fn(q_dev, self.scan_corpus, self.corpus, self.n_valid, self.scan_bound)
-            return TwoPassHandle(packed, p, k_eff, tp_rescue)
+            return TwoPassHandle(packed, p, k_eff, tp_rescue, on_rate=on_rate)
         elif self.int8:
             fn = self._packed_topk_cache.get(("int8", k_pad, exact))
             if fn is None:
@@ -499,6 +533,34 @@ class MipsIndex:
                 self._packed_topk_cache[(k_pad, exact)] = fn
             packed = fn(q_dev, self.corpus, self.n_valid)
         return TopkHandle(packed, p, k_eff)
+
+    def _note_rescue_rate(self, frac: float, dispatch_margin: int) -> None:
+        """Adaptive-margin feedback from a resolved two-pass batch: a
+        rescue-heavy batch means the scan pool boundary sits inside a
+        near-tie cluster — widen the pool for FUTURE dispatches so the
+        certificate clears without per-row rescues. Exactness is never at
+        stake (rescued rows are fp32-exact); this is purely a throughput
+        controller for tie-dense corpora (entity synonymy sweeps)."""
+        if not self._scan_auto or frac <= _TIE_RATE_GROW:
+            return
+        if dispatch_margin < self._tie_margin:
+            return  # stale handle: growth already happened
+        if self._tie_margin >= _TIE_MARGIN_MAX:
+            if frac > _TIE_RATE_OFF and not self._scan_off:
+                self._scan_off = True
+                trace.count("two_pass.margin_exhausted")
+                logger.info(
+                    "two-pass: %.0f%% of rows still rescue at max pool margin "
+                    "%d — falling back to single-pass fp32 for this index",
+                    frac * 100, self._tie_margin,
+                )
+            return
+        self._tie_margin = min(max(self._tie_margin * 2, 48), _TIE_MARGIN_MAX)
+        trace.count("two_pass.margin_grown")
+        logger.debug(
+            "two-pass: %.0f%% of rows rescued — pool margin grown to +%d",
+            frac * 100, self._tie_margin,
+        )
 
     def topk(self, queries: np.ndarray, k: int, exact: bool = True) -> Tuple[np.ndarray, np.ndarray]:
         """Return (scores [P, k], indices [P, k]) as host numpy, descending."""

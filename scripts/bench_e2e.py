@@ -122,6 +122,12 @@ def main() -> None:
         "from the persisted stores — minutes at 500k chunks)",
     )
     ap.add_argument(
+        "--workdir", default=None,
+        help="persistent working dir: reruns reuse the saved index "
+        "(stores/graph/OpenIE reload by content hash) instead of paying "
+        "the full index wall each measurement iteration",
+    )
+    ap.add_argument(
         "--platform",
         default=None,
         help="force a JAX platform (e.g. 'cpu'). The env var alone is NOT "
@@ -138,7 +144,8 @@ def main() -> None:
         jax.config.update("jax_platforms", args.platform)
 
     chunks, golds = make_corpus(args.chunks, args.queries)
-    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+    tmp = args.workdir or tempfile.mkdtemp(prefix="bench_e2e_")
+    os.makedirs(tmp, exist_ok=True)
     config = ComoConfig(
         llm_name="fake",
         embedding_model_name="hash",
@@ -221,6 +228,7 @@ def main() -> None:
 
     qa_imp_s = None
     imp_probe_rates: list = []
+    imp_spans = {}
     if not args.skip_impasse:
         rag_imp = ComoRAG(config, llm=FakeLLM(qa_answer_fn=one_impasse))
         rag_imp.index(chunks)  # reloads persisted stores
@@ -228,11 +236,23 @@ def main() -> None:
         impassed.clear()
         qa_imp_s = 0.0
         imp_probe_rates.append(probe())
+        pre_imp = {
+            k: (v["total_s"], v["count"]) for k, v in trace.summary()["spans"].items()
+        }
         for at in range(0, n_q, slice_q):
             t0 = time.perf_counter()
             rag_imp.try_answer(queries[at : at + slice_q])
             qa_imp_s += time.perf_counter() - t0
             imp_probe_rates.append(probe())
+        imp_spans = {
+            k: {
+                "s": round(v["total_s"] - pre_imp.get(k, (0.0, 0))[0], 4),
+                "calls": int(v["count"] - pre_imp.get(k, (0.0, 0))[1]),
+            }
+            for k, v in trace.summary()["spans"].items()
+            if (k.startswith("retrieve.") or k.startswith("qa.") or k.startswith("pool."))
+            and v["count"] - pre_imp.get(k, (0.0, 0))[1] > 0
+        }
 
     summary = trace.summary()
     spans = summary["spans"]
@@ -279,6 +299,7 @@ def main() -> None:
             round(n_q / qa_s * drift_factor, 2) if drift_factor else None
         ),
         "qa_loop_impasse_qps": round(n_q / qa_imp_s, 2) if qa_imp_s else None,
+        "impasse_span_breakdown_s": imp_spans,
         "qa_loop_impasse_qps_drift_normalized": (
             round(
                 n_q / qa_imp_s * PROBE_REFERENCE_QPS / float(np.median(imp_probe_rates)), 2

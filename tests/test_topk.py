@@ -201,15 +201,12 @@ def test_scan_auto_large_k_falls_back_exact():
             assert set(i_a[row].tolist()) == set(i_r[row].tolist())
 
 
-def test_scan_auto_large_query_bucket_routes_single_pass():
-    """auto two-pass must route LARGE QUERY BUCKETS (>=512 padded rows —
-    index-build sweeps like the synonymy KNN) to the single-pass exact
-    path: past ~512 rows the scan matmul is compute-bound so the
-    compressed scan saves nothing, and on duplicate-heavy real data the
-    thin k+8 pool margin rescued every 1000-row batch (the 476 s
-    graph.synonymy_edges regression in the r4 200k e2e trace —
-    scripts/exp_synonymy_stage.py). Small serving buckets keep the
-    two-pass."""
+def test_scan_auto_routing_r5():
+    """r5 routing contract: large query buckets KEEP the two-pass (the
+    adaptive margin absorbs tie-dense sweeps — the old global fp32 route
+    for >=512-row buckets is gone, VERDICT r4 #4); only a large BASE
+    candidate pool (k-driven, where top_k cost erases the scan win)
+    routes to single-pass fp32. Both routes stay exact."""
     from comorag_tpu.retrieval.index import TopkHandle, TwoPassHandle
 
     rng = np.random.default_rng(13)
@@ -221,12 +218,15 @@ def test_scan_auto_large_query_bucket_routes_single_pass():
     h_small = auto.topk_async(small, k=10)
     assert isinstance(h_small, TwoPassHandle)
     h_big = auto.topk_async(big, k=10)
-    assert isinstance(h_big, TopkHandle) and not isinstance(h_big, TwoPassHandle)
-    # both routes agree with the explicit fp32 single-pass index
+    assert isinstance(h_big, TwoPassHandle)  # r5: big buckets scan too
+    # large k -> base pool > 256 -> single-pass fp32
+    h_bigk = auto.topk_async(small, k=300)
+    assert isinstance(h_bigk, TopkHandle) and not isinstance(h_bigk, TwoPassHandle)
+    # every route agrees with the explicit fp32 single-pass index
     ref = MipsIndex(corpus, scan_dtype=None)
-    for q, h in ((small, h_small), (big, h_big)):
+    for q, k, h in ((small, 10, h_small), (big, 10, h_big), (small, 300, h_bigk)):
         s, i = h.result()
-        s_r, i_r = ref.topk(q, k=10)
+        s_r, i_r = ref.topk(q, k=k)
         np.testing.assert_allclose(s, s_r, rtol=1e-5, atol=1e-5)
         for row in range(q.shape[0]):
             assert set(i[row].tolist()) == set(i_r[row].tolist())
@@ -642,3 +642,63 @@ def test_topk_many_accepts_python_lists_and_returns_independent_buffers():
     for (v, i), (rv, ri) in zip(out[1:], ref[1:]):
         np.testing.assert_array_equal(i, ri)
         np.testing.assert_allclose(v, rv)
+
+
+def test_adaptive_tie_margin_grows_and_stops_rescues():
+    """VERDICT r4 #4: a tie-dense corpus (near-duplicate cluster at the
+    boundary) rescues early batches; the observed rescue rate grows the
+    pool margin so later batches pass the certificate without rescue —
+    and results stay exact throughout."""
+    rng = np.random.default_rng(3)
+    d = 64
+    base = rng.standard_normal(d).astype(np.float32)
+    # 600 near-duplicates of one row: boundary ties below the int8-residual
+    # scan's precision for any query near `base`
+    dups = base[None, :] + 1e-7 * rng.standard_normal((600, d)).astype(np.float32)
+    rest = rng.standard_normal((1500, d)).astype(np.float32)
+    corpus = np.concatenate([dups, rest]).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    index = MipsIndex(corpus)
+    assert index.scan_dtype == "int8" and index._tie_margin == 0
+
+    ref = MipsIndex(corpus, scan_dtype=None)
+    q = (base[None, :] + 0.01 * rng.standard_normal((8, d))).astype(np.float32)
+
+    from comorag_tpu.utils import trace
+
+    margins = []
+    for _ in range(6):
+        s, i = index.topk(q, k=16)
+        s_ref, i_ref = ref.topk(q, k=16)
+        np.testing.assert_allclose(np.sort(s, axis=1), np.sort(s_ref, axis=1), rtol=1e-5, atol=1e-6)
+        margins.append(index._tie_margin)
+    assert margins[-1] > 0, f"margin never grew: {margins}"
+    # once grown, the wider pool should clear the certificate: the last
+    # call must not have rescued (margin covers the 600-row tie cluster
+    # once c >= dups + k headroom, or growth maxed and fp32 fallback took over)
+    h = index.topk_async(q, k=16)
+    h.prepare()
+    if not index._scan_off and index._tie_margin >= 600 - 16:
+        rows, rescue = h._rescue_state
+        assert rescue is None, f"still rescuing at margin {index._tie_margin}"
+
+
+def test_adaptive_margin_falls_back_to_fp32_when_exhausted():
+    """A corpus where ties exceed any affordable pool margin flips the
+    index to the single-pass fp32 fallback instead of rescuing forever."""
+    rng = np.random.default_rng(4)
+    d = 64
+    base = rng.standard_normal(d).astype(np.float32)
+    dups = base[None, :] + 1e-7 * rng.standard_normal((2000, d)).astype(np.float32)
+    corpus = np.concatenate([dups, rng.standard_normal((600, d)).astype(np.float32)])
+    corpus = (corpus / np.linalg.norm(corpus, axis=1, keepdims=True)).astype(np.float32)
+    index = MipsIndex(corpus)
+    q = (base[None, :] + 0.01 * rng.standard_normal((16, d))).astype(np.float32)
+    ref = MipsIndex(corpus, scan_dtype=None)
+    for _ in range(8):
+        s, i = index.topk(q, k=16)
+        s_ref, _ = ref.topk(q, k=16)
+        np.testing.assert_allclose(np.sort(s, axis=1), np.sort(s_ref, axis=1), rtol=1e-5, atol=1e-6)
+        if index._scan_off:
+            break
+    assert index._scan_off, "margin exhaustion never tripped the fp32 fallback"
