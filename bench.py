@@ -158,6 +158,28 @@ def overlap(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.mean([len(set(a[i]) & set(b[i])) / K for i in range(P)]))
 
 
+def load_canonical_baseline():
+    """Pinned CPU reference qps (BASELINE_CPU.json, VERDICT r4 #6): the
+    live same-run control keeps the bench honest about today's machine,
+    but it swung 135-236 qps across rounds and moved the headline ratio
+    with the DENOMINATOR. The canonical number makes `vs_canonical` a
+    stable round-over-round regression signal. Only honored when the
+    bench shape matches the shape it was measured at."""
+    import pathlib
+
+    path = pathlib.Path(__file__).parent / "BASELINE_CPU.json"
+    if not path.exists():
+        return None
+    try:
+        data = json.loads(path.read_text())
+    except (OSError, json.JSONDecodeError):
+        return None
+    shape = data.get("shape", {})
+    if (shape.get("N"), shape.get("DIM"), shape.get("P"), shape.get("K")) != (N, DIM, P, K):
+        return None
+    return data
+
+
 def _probe_device(attempts: int = 6, timeout_s: int = 100) -> None:
     """Fail FAST (bounded) if the device backend is unreachable.
 
@@ -220,6 +242,7 @@ def main() -> None:
                 f"(rescued batches: {rescued[tp]})",
                 file=sys.stderr,
             )
+    canonical = load_canonical_baseline()
     result = {
         "metric": "retrieval_qps_per_chip",
         "value": round(qps[headline], 2),
@@ -232,6 +255,15 @@ def main() -> None:
             "k": K,
             "headline_path": headline,
             "cpu_reference_qps": round(cpu_qps, 2),
+            # stable round-over-round ratio against the PINNED control
+            # (BASELINE_CPU.json); vs_baseline above keeps the live
+            # same-run control for this-machine honesty
+            "cpu_canonical_qps": canonical["cpu_reference_qps"] if canonical else None,
+            "vs_canonical": (
+                round(qps[headline] / canonical["cpu_reference_qps"], 2)
+                if canonical
+                else None
+            ),
             "tpu_blocking_qps": round(qps_block, 2),
             "tpu_fp32_pipelined_qps": round(qps["fp32"], 2),
             "tpu_two_pass_host_upload_qps": round(qps["two_pass_int8"], 2),

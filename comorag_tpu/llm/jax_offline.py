@@ -480,6 +480,19 @@ class JaxOfflineLLM(BaseLLM):
         lengths = np.asarray(result.lengths)
         steps = int(result.steps) if hasattr(result, "steps") else None
 
+        # serving observability (VERDICT r4 #3): prefix-cache hit rate and
+        # tokens/step across e.g. the 20k guided OpenIE calls of an index
+        # build are computable from these monotonic counters
+        from comorag_tpu.utils import trace
+
+        trace.count("llm.calls")
+        trace.count("llm.rows", len(id_rows))
+        trace.count("llm.prompt_tokens", sum(p0 + len(r) for r in id_rows))
+        trace.count("llm.cached_prefix_tokens", p0 * len(id_rows))
+        trace.count("llm.completion_tokens", int(lengths[: len(id_rows)].sum()))
+        if steps is not None:
+            trace.count("llm.decode_steps", steps)
+
         out = []
         for i, row in enumerate(id_rows):
             n = int(lengths[i])

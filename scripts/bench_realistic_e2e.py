@@ -65,6 +65,27 @@ def build_encoder(batch_size: int):
     )
 
 
+def build_tiny_llm(max_new_tokens: int):
+    """The committed TRAINED tiny checkpoint (scripts/train_tiny_lm.py):
+    hermetic answer quality above the fake-LLM floor — extraction yield
+    comes from real passage-copying behavior, decode stops at EOS, and
+    speculative echo accepts (the outputs quote the passage)."""
+    import numpy as np
+
+    from comorag_tpu.llm.jax_offline import JaxOfflineLLM
+    from comorag_tpu.llm.serving import GenerationServer
+    from comorag_tpu.models.curriculum import default_checkpoint_path, load_tiny_checkpoint
+
+    params, arch = load_tiny_checkpoint(default_checkpoint_path())
+    n_params = sum(int(np.prod(p.shape)) for p in
+                   __import__("jax").tree.leaves(params))
+    engine = JaxOfflineLLM(
+        params=params, arch=arch, temperature=0.0,
+        max_new_tokens=max_new_tokens, speculative=True,
+    )
+    return GenerationServer(engine), n_params
+
+
 def build_llm(max_new_tokens: int, temperature: float):
     """~0.9B-param llama-class engine: int8 weights, speculative decode,
     byte vocab (hermetic), window-batching server.
@@ -117,6 +138,12 @@ def main() -> None:
                     "free-run prompts; real models stop near this length)")
     ap.add_argument("--gmm_max_clusters", type=int, default=20)
     ap.add_argument("--temperature", type=float, default=0.7)
+    ap.add_argument(
+        "--llm", default="random-0.9B", choices=("random-0.9B", "tiny-trained"),
+        help="tiny-trained = the committed trained checkpoint "
+        "(assets/tiny_lm.npz): real extraction yield + QA answers "
+        "instead of schema-valid noise",
+    )
     args = ap.parse_args()
 
     chunks, golds = make_corpus(args.chunks, args.probes)
@@ -134,7 +161,10 @@ def main() -> None:
         max_meta_loop_iterations=1,
     )
     t0 = time.perf_counter()
-    llm, n_params = build_llm(args.max_new_tokens, args.temperature)
+    if args.llm == "tiny-trained":
+        llm, n_params = build_tiny_llm(args.max_new_tokens)
+    else:
+        llm, n_params = build_llm(args.max_new_tokens, args.temperature)
     encoder = build_encoder(batch_size=32)
     setup_s = time.perf_counter() - t0
     rag = ComoRAG(config, llm=llm, encoder=encoder)
@@ -163,9 +193,24 @@ def main() -> None:
     summary = trace.summary()
     spans = summary["spans"]
     counters = summary["counters"]
+    llm_counters = {
+        k.split(".", 1)[1]: int(v) for k, v in counters.items() if k.startswith("llm.")
+    }
+    steps = max(llm_counters.get("decode_steps", 0), 1)
+    prompt_toks = max(llm_counters.get("prompt_tokens", 0), 1)
     print(json.dumps({
-        "stack": "jax-bge-bert-base + jax-offline-int8-speculative",
+        "stack": f"jax-bge-bert-base + {args.llm}",
         "llm_params_b": round(n_params / 1e9, 2),
+        # serving counters (VERDICT r4 #3): prefix-cache hit rate over the
+        # shared OpenIE headers, and committed tokens per decode step
+        # (speculative echo acceptance shows up here)
+        "llm_counters": llm_counters,
+        "llm_prefix_cache_hit_rate": round(
+            llm_counters.get("cached_prefix_tokens", 0) / prompt_toks, 4
+        ),
+        "llm_tokens_per_decode_step": round(
+            llm_counters.get("completion_tokens", 0) / steps, 2
+        ),
         "chunks": args.chunks,
         # certificate fallback-rate probe (VERDICT r3 #4)
         "two_pass_batches": int(counters.get("two_pass.batches", 0)),
