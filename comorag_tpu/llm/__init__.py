@@ -11,6 +11,12 @@ def get_llm(config, mesh=None) -> BaseLLM:
       - ``fake`` / ``fake:*``       -> hermetic scripted test LLM
       - ``jax-offline``             -> in-process TPU engine, hermetic tiny
                                        weights (tests/benches/dryruns)
+      - ``jax-tiny``                -> in-process engine on the committed
+                                       TRAINED tiny checkpoint
+                                       (assets/tiny_lm.npz, recipe:
+                                       scripts/train_tiny_lm.py) — hermetic
+                                       answer quality above the fake-LLM
+                                       floor
       - ``jax:<local checkpoint>``  -> in-process TPU engine on a local
                                        llama-, qwen2/3- or gemma-family checkpoint, optionally
                                        tensor-parallel over ``mesh``
@@ -19,6 +25,25 @@ def get_llm(config, mesh=None) -> BaseLLM:
     name = str(config.llm_name)
     if name == "fake" or name.startswith("fake:"):
         return FakeLLM()
+    if name == "jax-tiny":
+        from comorag_tpu.llm.jax_offline import JaxOfflineLLM
+        from comorag_tpu.llm.serving import GenerationServer
+        from comorag_tpu.models.curriculum import (
+            default_checkpoint_path,
+            load_tiny_checkpoint,
+        )
+
+        params, arch = load_tiny_checkpoint(default_checkpoint_path())
+        engine = JaxOfflineLLM(
+            params=params,
+            arch=arch,
+            mesh=mesh,
+            temperature=0.0,  # the trained behaviors are greedy-decoded
+            max_new_tokens=384,  # matches the training curriculum's budget
+            seed=getattr(config, "seed", 0) or 0,
+            speculative=bool(getattr(config, "speculative_decoding", False)),
+        )
+        return GenerationServer(engine)
     if name == "jax-offline" or name.startswith("jax:"):
         from comorag_tpu.llm.jax_offline import JaxOfflineLLM
 

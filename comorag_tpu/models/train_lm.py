@@ -42,10 +42,16 @@ def lm_loss(
     attn = jnp.tril(jnp.ones((s, s), bool))[None, :, :] & valid[:, None, :]
     cache = KVCache.zeros(arch, b, s, compute_dtype)
     logits, _ = decoder_forward(
-        params, ids, positions, attn, cache, jnp.int32(0), arch, compute_dtype
+        params, ids, positions, attn, cache, jnp.int32(0), arch, compute_dtype,
+        remat=True,
     )
     targets = ids[:, 1:]
     target_mask = (valid[:, :-1] & valid[:, 1:]).astype(jnp.float32)
+    # optional completion-only loss (the curriculum trainer): loss_mask
+    # marks TARGET tokens that count — prompt positions contribute nothing,
+    # so capacity goes to the answer behaviors, not to modelling prompts
+    if "loss_mask" in batch:
+        target_mask = target_mask * batch["loss_mask"][:, 1:]
     ce = optax.softmax_cross_entropy_with_integer_labels(logits[:, :-1], targets)
     return jnp.sum(ce * target_mask) / jnp.maximum(jnp.sum(target_mask), 1.0)
 
@@ -63,6 +69,7 @@ def make_lm_train_step(
     mesh=None,
     dp_axis: str = "data",
     tp_axis: str = "model",
+    batch_keys: Tuple[str, ...] = ("ids", "mask"),
 ):
     """Jitted LM training step; with a mesh, parameters/opt-state shard
     tensor-parallel and the batch shards data-parallel (one global jit)."""
@@ -82,7 +89,7 @@ def make_lm_train_step(
     p_shard = param_shardings(mesh, tp_axis, arch=arch)
     replicated = NamedSharding(mesh, P())
     dp = dp_axis if dp_axis in mesh.shape else None  # tp-only mesh: replicate the batch
-    batch_sharding = {k: NamedSharding(mesh, P(dp, None)) for k in ("ids", "mask")}
+    batch_sharding = {k: NamedSharding(mesh, P(dp, None)) for k in batch_keys}
     # eval_shape: only the optimizer-state TREE is needed — a concrete
     # init would allocate the full parameter set (+ RNG program compile)
     # on the remote device per make_lm_train_step call (see train.py)
