@@ -133,6 +133,7 @@ class JaxOfflineLLM(BaseLLM):
         speculative: bool = False,
         draft_len: int = 7,
         kv_dtype=None,  # None (compute dtype) | "int8": quantized KV cache
+        kv_budget_bytes: int = 4 << 30,  # per-call KV-cache ceiling (see below)
     ):
         from comorag_tpu.models.decoder import (
             DecoderArch,
@@ -191,6 +192,24 @@ class JaxOfflineLLM(BaseLLM):
         self._prefix_lru: "OrderedDict[tuple, Any]" = OrderedDict()
         self._prefix_lru_max = 4
         self.prefix_cache_min = 64  # tokens; shorter prefixes aren't worth a phase
+
+        # Token-budget batching (the vLLM max_num_batched_tokens counterpart,
+        # /root/reference/src/comorag/llm/vllm_offline.py engine args): a
+        # batch is admitted by KV-cache BYTES, not row count. Request-count
+        # batching let 32 x 4096-token summarization prompts allocate a
+        # 4 GB cache whose placement temps OOMed the 16 GB chip; short
+        # OpenIE-shaped rows still batch at full width (their slot cost is
+        # ~1/4 of a summarization row's). batch_infer caps each device call
+        # at `kv_budget_bytes // (slot_row_bytes * total_slots)` rows.
+        hd = arch.head_dim
+        if kv_dtype in ("int8", jnp.int8):
+            slot_bytes = arch.num_layers * 2 * arch.num_kv_heads * (hd + 4)
+        else:
+            slot_bytes = (
+                arch.num_layers * 2 * arch.num_kv_heads * hd
+                * jnp.dtype(compute_dtype).itemsize
+            )
+        self._slot_row_budget = max(1, int(kv_budget_bytes) // slot_bytes)
 
         quantized = param_dtype in ("int8", jnp.int8)
         if param_dtype == "int4":
@@ -587,8 +606,24 @@ class JaxOfflineLLM(BaseLLM):
             results[i] = LLMResponse(
                 text="", metadata={"error": msg, "finish_reason": "error"}
             )
+        fit = [bk for bk in _NEW_TOKEN_BUCKETS if bk <= self.max_model_len - _PROMPT_BUCKETS[0]]
+        max_new_est = _bucket(
+            min(max_tokens, self.max_new_tokens), fit or _NEW_TOKEN_BUCKETS[:1]
+        )
+        limit_est = max(self.max_model_len - max_new_est, _PROMPT_BUCKETS[0])
         for _, idxs in sorted(groups.items()):
-            max_b = _BATCH_BUCKETS[-1]
+            # token-budget admission (see __init__): rows whose padded
+            # slots (prompt bucket + new-token bucket) would exceed the
+            # KV budget split into smaller device calls — long prompts
+            # run at reduced batch, short ones keep full width
+            longest = min(max(len(id_rows[i]) for i in idxs), limit_est)
+            total_est = min(_bucket(longest, _PROMPT_BUCKETS), limit_est) + max_new_est
+            rows_cap = max(1, self._slot_row_budget // total_est)
+            max_b = 1
+            for bb in _BATCH_BUCKETS:
+                if bb <= rows_cap:
+                    max_b = bb
+            max_b = min(_BATCH_BUCKETS[-1], max_b)
             for j in range(0, len(idxs), max_b):
                 chunk = idxs[j : j + max_b]
                 try:

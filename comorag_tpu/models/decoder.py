@@ -760,20 +760,29 @@ def _prefill_batch(
     returns (last_logits [B,V], cache, slot_valid [B,total], row_len [B])."""
     b, p = input_ids.shape
     p0 = 0 if prefix is None else prefix.k.shape[2]
-    cache = make_kv_cache(arch, b, total, compute_dtype, kv_dtype)
     if prefix is not None:
-        assert type(prefix) is type(cache), (
+        expected = QuantKVCache if kv_dtype in ("int8", jnp.int8) else KVCache
+        assert type(prefix) is expected, (
             "prefix cache kind must match kv_dtype (rebuild the prefix "
             f"cache: got {type(prefix).__name__} for kv_dtype={kv_dtype!r})"
         )
 
-        def _place(dst, src):
-            tgt = (src.shape[0], b) + tuple(src.shape[2:])
-            return jax.lax.dynamic_update_slice(
-                dst, jnp.broadcast_to(src, tgt), (0,) * dst.ndim
+        # Build each cache tensor as concat(broadcast prefix, zeros tail)
+        # instead of dynamic_update_slice into a zeros cache: XLA lowers
+        # the latter to pad(broadcast) — a FULL-cache-sized HLO temp PER
+        # tensor on top of the real buffers (2 x 4.01 GB at B=32/T=4104 on
+        # a 0.9B model — the realistic-stack summarization OOM).
+        def _place(src):
+            head = jnp.broadcast_to(src, (src.shape[0], b) + tuple(src.shape[2:]))
+            tail = jnp.zeros(
+                (src.shape[0], b, total - src.shape[2]) + tuple(src.shape[3:]),
+                src.dtype,
             )
+            return jnp.concatenate([head, tail], axis=2)
 
-        cache = type(cache)(*(_place(d, s) for d, s in zip(cache, prefix)))
+        cache = type(prefix)(*(_place(s) for s in prefix))
+    else:
+        cache = make_kv_cache(arch, b, total, compute_dtype, kv_dtype)
     valid = prompt_mask.astype(bool)  # [B, P]
     # Positions are PER-ROW token indices (cumsum over valid tokens), not
     # slot indices: left-padded rows must sit at positions p0, p0+1, ...

@@ -592,6 +592,45 @@ def test_batch_infer_matches_single_greedy():
     assert batched == singles
 
 
+def test_batch_infer_token_budget_splits_long_prompt_batches():
+    """KV token-budget admission (the vLLM max_num_batched_tokens
+    counterpart): long-prompt groups split into smaller device calls so
+    the per-call KV cache stays under kv_budget_bytes (32 x 4096-token
+    summarization rows OOMed the real chip at request-count batching),
+    while short-prompt groups keep full batch width."""
+    llm = JaxOfflineLLM(seed=3)
+    hd = llm.arch.head_dim
+    slot_bytes = (
+        llm.arch.num_layers * 2 * llm.arch.num_kv_heads * hd
+        * jnp.dtype(llm.compute_dtype).itemsize
+    )
+    # budget: 4 rows of the engine's full window, so an 8-row long-prompt
+    # batch must split into >= 2 calls
+    llm._slot_row_budget = 4 * llm.max_model_len
+    assert slot_bytes > 0  # construction sanity
+
+    calls = []
+    orig = llm._generate_batch
+
+    def spy(prompts, *a, **k):
+        calls.append(len(prompts))
+        return orig(prompts, *a, **k)
+
+    llm.__dict__["_generate_batch"] = spy
+    long = "x " * (llm.max_model_len)  # tokenizes past the window -> clamped
+    out = llm.batch_infer(
+        [[{"role": "user", "content": long}] for _ in range(8)], max_tokens=8
+    )
+    assert len(out) == 8 and all(r.metadata.get("finish_reason") != "error" for r in out)
+    assert len(calls) >= 2 and max(calls) <= 4, calls
+
+    calls.clear()
+    short = [[{"role": "user", "content": f"tiny prompt {i}"}] for i in range(8)]
+    out = llm.batch_infer(short, max_tokens=8)
+    assert len(out) == 8
+    assert len(calls) == 1, calls  # short rows still batch at full width
+
+
 def test_batch_infer_unknown_template_isolated():
     llm = JaxOfflineLLM(seed=0)
     out = llm.batch_infer([[{"role": "user", "content": "x"}]], json_template="nope")
