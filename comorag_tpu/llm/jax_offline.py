@@ -95,7 +95,7 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
 
 
 _PROMPT_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
-_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32)
+_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 _NEW_TOKEN_BUCKETS = (64, 128, 256, 512, 1024, 2048)
 
 
@@ -133,7 +133,8 @@ class JaxOfflineLLM(BaseLLM):
         speculative: bool = False,
         draft_len: int = 7,
         kv_dtype=None,  # None (compute dtype) | "int8": quantized KV cache
-        kv_budget_bytes: int = 4 << 30,  # per-call KV-cache ceiling (see below)
+        kv_budget_bytes: int = 6 << 30,  # per-call KV-cache ceiling (see below)
+        spec_fallback_ratio: float = 2.2,  # spec step cost / plain step cost
     ):
         from comorag_tpu.models.decoder import (
             DecoderArch,
@@ -261,6 +262,19 @@ class JaxOfflineLLM(BaseLLM):
         # prompt (RAG answers, OpenIE, summarization all do)
         self.speculative = bool(speculative)
         self.draft_len = int(draft_len)
+        # Adaptive fallback (chip-measured, scripts/exp_openie_profile.py):
+        # a spec step verifies draft_len+1 positions and costs ~2.2x a
+        # plain 1-token step (8.2 vs 3.8 ms at 0.76B/B=32/896 slots). Spec
+        # only pays when it commits > that ratio in tokens per step — the
+        # trained checkpoint's echo-heavy outputs do (~4 tok/step), random
+        # or non-quoting models don't (~1). Track committed-tokens-per-step
+        # (vs the plain loop's budget) as an EMA and permanently fall back
+        # to the plain program once the evidence says spec loses; vLLM's
+        # dynamic speculative disable is the same production idea.
+        self._spec_active = self.speculative
+        self._spec_ratio = float(spec_fallback_ratio)
+        self._spec_eff_ema: Optional[float] = None
+        self._spec_calls = 0
         self._generate_spec = jax.jit(
             generate_speculative,
             static_argnames=(
@@ -478,7 +492,8 @@ class JaxOfflineLLM(BaseLLM):
             compute_dtype=self.compute_dtype,
             kv_dtype=self.kv_dtype,
         )
-        if self.speculative:
+        used_spec = self.speculative and self._spec_active
+        if used_spec:
             # temp 0: exact greedy verification; temp > 0: rejection-
             # sampling verification (decoder.generate_speculative) — the
             # multi-token win survives sampling (VERDICT r2 #5)
@@ -511,6 +526,26 @@ class JaxOfflineLLM(BaseLLM):
         trace.count("llm.completion_tokens", int(lengths[: len(id_rows)].sum()))
         if steps is not None:
             trace.count("llm.decode_steps", steps)
+        if used_spec and steps is not None:
+            # adaptive spec fallback: a plain loop would have needed
+            # max(lengths) 1-token steps; spec took `steps` chunk steps at
+            # ~spec_fallback_ratio x the cost. EMA the efficiency and drop
+            # to the plain program once it provably loses.
+            eff = max(int(lengths[: len(id_rows)].max()), 1) / max(steps, 1)
+            with self._state_lock:
+                self._spec_calls += 1
+                ema = self._spec_eff_ema
+                self._spec_eff_ema = eff if ema is None else 0.7 * ema + 0.3 * eff
+                trace.gauge("llm.spec_tokens_per_step", self._spec_eff_ema)
+                if self._spec_calls >= 3 and self._spec_eff_ema < self._spec_ratio:
+                    self._spec_active = False
+                    trace.count("llm.spec_fallback")
+                    logger.info(
+                        "speculative decode committing %.2f tok/step "
+                        "(< %.1fx step-cost ratio) — falling back to the "
+                        "plain decode program",
+                        self._spec_eff_ema, self._spec_ratio,
+                    )
 
         out = []
         for i, row in enumerate(id_rows):

@@ -697,6 +697,7 @@ _PREFILL_CHUNK = 512
 class GenerateResult(NamedTuple):
     tokens: jnp.ndarray   # [B, max_new_tokens] int32, pad_id after EOS
     lengths: jnp.ndarray  # [B] int32: emitted tokens incl. EOS
+    steps: jnp.ndarray    # scalar int32: device loop iterations taken
 
 
 def prefill_prefix(
@@ -927,9 +928,9 @@ def generate(
     done0 = jnp.zeros((b,), bool) if row_valid is None else ~row_valid.astype(bool)
     dfa0 = jnp.zeros((b,), jnp.int32)
     init = (jnp.int32(0), cache, last_logits, done0, dfa0, rng, out0, slot_valid0)
-    _, _, _, _, _, _, out, slot_valid = jax.lax.while_loop(cond, body, init)
+    i, _, _, _, _, _, out, slot_valid = jax.lax.while_loop(cond, body, init)
     lengths = jnp.sum(slot_valid[:, base:].astype(jnp.int32), axis=1)
-    return GenerateResult(out, lengths)
+    return GenerateResult(out, lengths, i)
 
 
 class SpecGenerateResult(NamedTuple):

@@ -1108,6 +1108,28 @@ def test_engine_speculative_matches_plain():
         assert all("decode_steps" in r.metadata for r in b)
 
 
+def test_adaptive_spec_fallback_is_output_transparent():
+    """When speculative decode commits fewer tokens/step than its step-cost
+    ratio (chip-measured 2.2x, scripts/exp_openie_profile.py), the engine
+    permanently falls back to the plain program — and the switch changes
+    NOTHING about the emitted text (greedy exactness holds across it)."""
+    plain = JaxOfflineLLM(seed=7)
+    # ratio=1e9 makes ANY efficiency insufficient: fallback must fire on
+    # the 3rd spec call regardless of how well the draft echoes
+    spec = JaxOfflineLLM(seed=7, speculative=True, draft_len=5,
+                         spec_fallback_ratio=1e9)
+    msgs = [[{"role": "user", "content": f"note {i}: the owl waits."}]
+            for i in range(2)]
+    texts = []
+    for _ in range(5):
+        texts.append([r.text for r in spec.batch_infer(msgs, max_tokens=16)])
+    assert not spec._spec_active, "fallback never fired"
+    ref = [r.text for r in plain.batch_infer(msgs, max_tokens=16)]
+    assert all(t == ref for t in texts), "fallback changed outputs"
+    # plain engines never enter the fallback stats path
+    assert plain._spec_eff_ema is None
+
+
 def test_generation_server_speculative_engine_concurrent():
     """The window server over a speculative engine: 12 concurrent callers
     batch into shared speculative decode programs and get the same text a
@@ -1609,10 +1631,10 @@ def test_chunked_prefill_handles_non_multiple_widths(monkeypatch):
     ids = jnp.asarray(rng.integers(3, 250, (2, p)), jnp.int32)
     mask = jnp.ones((2, p), jnp.int32)
 
-    full_tokens, _ = generate(PARAMS, ids, mask, ARCH, max_new_tokens=8, eos_id=1, pad_id=0)
+    full_tokens, _, _ = generate(PARAMS, ids, mask, ARCH, max_new_tokens=8, eos_id=1, pad_id=0)
 
     monkeypatch.setattr(dec, "_PREFILL_CHUNK", 64)
-    chunked_tokens, _ = generate(PARAMS, ids, mask, ARCH, max_new_tokens=8, eos_id=1, pad_id=0)
+    chunked_tokens, _, _ = generate(PARAMS, ids, mask, ARCH, max_new_tokens=8, eos_id=1, pad_id=0)
     np.testing.assert_array_equal(np.asarray(full_tokens), np.asarray(chunked_tokens))
 
 
@@ -1629,12 +1651,12 @@ def test_prefill_prefix_handles_non_multiple_widths(monkeypatch):
     mask = jnp.ones((1, 16), jnp.int32)
 
     cache_full = prefill_prefix(PARAMS, prefix_ids, ARCH)
-    toks_full, _ = generate(
+    toks_full, _, _ = generate(
         PARAMS, row, mask, ARCH, max_new_tokens=8, eos_id=1, pad_id=0, prefix=cache_full
     )
     monkeypatch.setattr(dec, "_PREFILL_CHUNK", 64)
     cache_chunked = prefill_prefix(PARAMS, prefix_ids, ARCH)
-    toks_chunked, _ = generate(
+    toks_chunked, _, _ = generate(
         PARAMS, row, mask, ARCH, max_new_tokens=8, eos_id=1, pad_id=0, prefix=cache_chunked
     )
     np.testing.assert_array_equal(np.asarray(toks_full), np.asarray(toks_chunked))
