@@ -38,6 +38,16 @@ K = int(os.environ.get("BENCH_K", 50))  # qa_ver_top_k default
 TPU_ITERS = int(os.environ.get("BENCH_ITERS", 100))
 CPU_ITERS = int(os.environ.get("BENCH_CPU_ITERS", 3))
 ROUNDS = int(os.environ.get("BENCH_ROUNDS", 4))
+# Capacity-scale runs (BENCH_N=1M: fp32 4 GB + two-pass 6 GB + bf16 2 GB +
+# int8 1 GB + gather workspace > 16 GB v5e HBM) restrict the variant set,
+# e.g. BENCH_VARIANTS=two_pass_int8,fp32. Default: all four.
+VARIANTS = [
+    v.strip()
+    for v in os.environ.get(
+        "BENCH_VARIANTS", "fp32,two_pass_int8,bf16,int8"
+    ).split(",")
+    if v.strip()
+]
 
 
 def make_data():
@@ -66,20 +76,23 @@ def bench_tpu_variants(corpus, queries):
     # scan_dtype="auto" resolves to the exact int8-scan two-pass on fp32
     # corpora >=1024 rows (VERDICT r2 #1/#3: the benched headline IS what
     # a default-config user gets). "fp32" opts out to single-pass.
-    indexes = {
-        "fp32": MipsIndex(corpus, scan_dtype=None),
-        "two_pass_int8": MipsIndex(corpus),
-        "bf16": MipsIndex(corpus, dtype="bfloat16"),
-        "int8": MipsIndex(corpus, dtype="int8"),
+    builders = {
+        "fp32": lambda: MipsIndex(corpus, scan_dtype=None),
+        "two_pass_int8": lambda: MipsIndex(corpus),
+        "bf16": lambda: MipsIndex(corpus, dtype="bfloat16"),
+        "int8": lambda: MipsIndex(corpus, dtype="int8"),
     }
-    assert indexes["two_pass_int8"].scan_dtype == "int8", "default config lost the two-pass"
+    indexes = {name: builders[name]() for name in VARIANTS}
+    if "two_pass_int8" in indexes:
+        assert indexes["two_pass_int8"].scan_dtype == "int8", "default config lost the two-pass"
     out_idx = {}
     for name, index in indexes.items():
         out_idx[name] = index.topk(queries, k=K)[1]  # warmup + compile
     import jax.numpy as _jnp
-    out_idx["two_pass_device"] = np.asarray(
-        indexes["two_pass_int8"].topk(_jnp.asarray(queries), k=K)[1]
-    )
+    if "two_pass_int8" in indexes:
+        out_idx["two_pass_device"] = np.asarray(
+            indexes["two_pass_int8"].topk(_jnp.asarray(queries), k=K)[1]
+        )
 
     # distinct host arrays (fresh upload each call) and their device twins
     host_batches = [np.roll(queries, i % P, axis=0) for i in range(TPU_ITERS)]
@@ -91,8 +104,7 @@ def bench_tpu_variants(corpus, queries):
     def _rescued() -> float:
         return trace.summary()["counters"].get("two_pass.rescued_batches", 0)
 
-    best = {name: 0.0 for name in indexes}
-    best["two_pass_device"] = 0.0
+    best = {name: 0.0 for name in out_idx}
     rescued = {name: 0 for name in best}
     for _ in range(ROUNDS):
         for name, index in indexes.items():
@@ -102,18 +114,20 @@ def bench_tpu_variants(corpus, queries):
             elapsed = time.perf_counter() - start
             best[name] = max(best[name], P * TPU_ITERS / elapsed)
             rescued[name] += int(_rescued() - r0)
-        r0 = _rescued()
-        start = time.perf_counter()
-        indexes["two_pass_int8"].topk_many(device_batches, k=K)
-        elapsed = time.perf_counter() - start
-        best["two_pass_device"] = max(best["two_pass_device"], P * TPU_ITERS / elapsed)
-        rescued["two_pass_device"] += int(_rescued() - r0)
+        if "two_pass_int8" in indexes:
+            r0 = _rescued()
+            start = time.perf_counter()
+            indexes["two_pass_int8"].topk_many(device_batches, k=K)
+            elapsed = time.perf_counter() - start
+            best["two_pass_device"] = max(best["two_pass_device"], P * TPU_ITERS / elapsed)
+            rescued["two_pass_device"] += int(_rescued() - r0)
 
-    # sequential blocking (one sync per call) for reference, fp32 path
+    # sequential blocking (one sync per call) for reference
+    blocker = indexes.get("fp32") or next(iter(indexes.values()))
     n_block = max(3, TPU_ITERS // 10)
     start = time.perf_counter()
     for _ in range(n_block):
-        indexes["fp32"].topk(queries, k=K)
+        blocker.topk(queries, k=K)
     qps_block = P * n_block / (time.perf_counter() - start)
     return best, out_idx, qps_block, rescued
 
@@ -156,6 +170,10 @@ def bench_cpu_reference(corpus, queries):
 
 def overlap(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.mean([len(set(a[i]) & set(b[i])) / K for i in range(P)]))
+
+
+def _r(v, nd: int = 2):
+    return None if v is None else round(v, nd)
 
 
 def load_canonical_baseline():
@@ -231,10 +249,12 @@ def main() -> None:
     # JSON says so and a stderr warning fires. The CPU reference likewise
     # starts from in-memory embeddings, so both sides exclude encode cost.
     exact_paths = [name for name in qps if ov.get(name, 0.0) >= 1.0]
-    headline = max(exact_paths or ["fp32"], key=lambda name: qps[name])
+    headline = max(exact_paths or [next(iter(qps))], key=lambda name: qps[name])
     for tp in ("two_pass_int8", "two_pass_device"):
         # >20% under fp32 is a real regression; smaller gaps on the
         # host-upload row are tunnel-wire drift (both paths are wire-bound)
+        if tp not in qps or "fp32" not in qps:
+            continue
         if qps[tp] < 0.8 * qps["fp32"]:
             print(
                 f"bench: WARNING {tp} ({qps[tp]:.0f} qps) underruns single-pass "
@@ -264,19 +284,20 @@ def main() -> None:
                 if canonical
                 else None
             ),
+            "variants": sorted(qps),
             "tpu_blocking_qps": round(qps_block, 2),
-            "tpu_fp32_pipelined_qps": round(qps["fp32"], 2),
-            "tpu_two_pass_host_upload_qps": round(qps["two_pass_int8"], 2),
-            "tpu_two_pass_device_resident_qps": round(qps["two_pass_device"], 2),
-            "tpu_bf16_pipelined_qps": round(qps["bf16"], 2),
-            "tpu_int8_pipelined_qps": round(qps["int8"], 2),
-            "two_pass_rescued_batches": rescued["two_pass_int8"],
-            "two_pass_device_rescued_batches": rescued["two_pass_device"],
+            "tpu_fp32_pipelined_qps": _r(qps.get("fp32")),
+            "tpu_two_pass_host_upload_qps": _r(qps.get("two_pass_int8")),
+            "tpu_two_pass_device_resident_qps": _r(qps.get("two_pass_device")),
+            "tpu_bf16_pipelined_qps": _r(qps.get("bf16")),
+            "tpu_int8_pipelined_qps": _r(qps.get("int8")),
+            "two_pass_rescued_batches": rescued.get("two_pass_int8"),
+            "two_pass_device_rescued_batches": rescued.get("two_pass_device"),
             "topk_overlap_vs_cpu": round(ov[headline], 4),
-            "topk_overlap_two_pass_vs_cpu": round(ov["two_pass_int8"], 4),
-            "topk_overlap_two_pass_device_vs_cpu": round(ov["two_pass_device"], 4),
-            "topk_overlap_bf16_vs_cpu": round(ov["bf16"], 4),
-            "topk_overlap_int8_vs_cpu": round(ov["int8"], 4),
+            "topk_overlap_two_pass_vs_cpu": _r(ov.get("two_pass_int8"), 4),
+            "topk_overlap_two_pass_device_vs_cpu": _r(ov.get("two_pass_device"), 4),
+            "topk_overlap_bf16_vs_cpu": _r(ov.get("bf16"), 4),
+            "topk_overlap_int8_vs_cpu": _r(ov.get("int8"), 4),
         },
     }
     print(json.dumps(result))

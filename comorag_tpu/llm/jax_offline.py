@@ -210,6 +210,15 @@ class JaxOfflineLLM(BaseLLM):
                 arch.num_layers * 2 * arch.num_kv_heads * hd
                 * jnp.dtype(compute_dtype).itemsize
             )
+        # The chunked-prefill f32 score + probs slabs ([B, 512, heads,
+        # total] each) scale with admitted rows exactly like the KV cache
+        # and peak at the same moment — charging KV bytes alone let the
+        # int8-KV halving double the admitted rows and OOM a 32 x 3.5k-token
+        # summarization batch at the 0.76B arch (scores 4.4 GB + probs
+        # 4.4 GB + KV 4.5 GB + weights; repro: scripts/exp_kv_admission.py).
+        from comorag_tpu.models.decoder import _PREFILL_CHUNK
+
+        slot_bytes += arch.num_heads * _PREFILL_CHUNK * 4 * 2
         self._slot_row_budget = max(1, int(kv_budget_bytes) // slot_bytes)
 
         quantized = param_dtype in ("int8", jnp.int8)

@@ -47,8 +47,15 @@ class GenerationServer(RequestWindow, BaseLLM):
         self,
         engine: JaxOfflineLLM,
         window_ms: float = 8.0,
-        max_batch: int = 32,
+        max_batch: int = 64,
     ):
+        # 64 (not 32): at OpenIE shape the chip serves 64 rows at
+        # 11.96 ms/row vs 32 at 14.19 (scripts/exp_openie_profile.py) —
+        # weight reads amortize across the wider batch. Long-prompt rows
+        # don't blow HBM at this width: the engine's KV token-budget
+        # admission (jax_offline.batch_infer) splits any group whose
+        # padded slots exceed the per-call KV ceiling back into smaller
+        # device calls.
         self.engine = engine
         # OpenIE keys guided decoding off this attribute (ie/openie.py
         # _stage_kwargs) — the server forwards gen_kwargs verbatim, so it

@@ -121,7 +121,11 @@ def build_llm(max_new_tokens: int, temperature: float):
         arch=arch,
         param_dtype="int8",
         compute_dtype=jnp.bfloat16,  # the shipped fast path: int8 weights, bf16 compute
-        speculative=True,
+        speculative=True,  # adaptive: falls back to plain once the
+        # non-echoing random weights prove spec loses (exp_openie_profile:
+        # 0.635 -> 0.464 s/call steady state at OpenIE shape)
+        kv_dtype="int8",  # best measured serving config at batch 32-64:
+        # 2.88 vs 3.95 ms/step bf16 KV (exp_openie_profile)
         max_new_tokens=max_new_tokens,
         temperature=temperature,
     )

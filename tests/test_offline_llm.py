@@ -631,6 +631,30 @@ def test_batch_infer_token_budget_splits_long_prompt_batches():
     assert len(calls) == 1, calls  # short rows still batch at full width
 
 
+def test_token_budget_charges_prefill_slab():
+    """The admission cost per slot-row must include the chunked-prefill
+    f32 score+probs slabs, not KV bytes alone: charging KV only let the
+    int8-KV halving double admitted rows and OOM a 32 x 3.5k-token batch
+    on the real chip (scripts/exp_kv_admission.py repro). Pins the
+    formula so a refactor can't silently regress to KV-only."""
+    from comorag_tpu.models.decoder import _PREFILL_CHUNK
+
+    budget = 64 << 20
+    llm = JaxOfflineLLM(seed=0, kv_budget_bytes=budget)
+    a = llm.arch
+    kv_slot = a.num_layers * 2 * a.num_kv_heads * a.head_dim * jnp.dtype(
+        llm.compute_dtype
+    ).itemsize
+    slab = a.num_heads * _PREFILL_CHUNK * 4 * 2  # f32 scores + probs per slot-row
+    assert llm._slot_row_budget == budget // (kv_slot + slab)
+
+    # int8 KV shrinks ONLY the kv term; the slab term caps the row gain
+    llm8 = JaxOfflineLLM(seed=0, kv_budget_bytes=budget, kv_dtype="int8")
+    kv_slot8 = a.num_layers * 2 * a.num_kv_heads * (a.head_dim + 4)
+    assert llm8._slot_row_budget == budget // (kv_slot8 + slab)
+    assert llm8._slot_row_budget < 2 * llm._slot_row_budget
+
+
 def test_batch_infer_unknown_template_isolated():
     llm = JaxOfflineLLM(seed=0)
     out = llm.batch_infer([[{"role": "user", "content": "x"}]], json_template="nope")
